@@ -1,0 +1,310 @@
+"""FLRW background evolution: a(t), t(a), H(a), growth factors and exact
+time-step integrals ∫dt of a-dependent integrands.
+
+TPU-native re-design of reference: src/integration.py.
+  * Internal matter+Λ Friedmann solve with growth factors D1,f1,D2,f2,
+    D3a/b/c (ODEs identical to reference integration.py:1043-1263, solved
+    with scipy DOP853 at rtol 1e-12 on host in float64).
+  * a(t)/t(a)/H(a) as log-log cubic splines, evaluable inside jit.
+  * Time-step integrals ᔑdt (reference integration.py:712-863) computed by
+    fixed-order Gauss-Legendre quadrature on the a(t) spline — jittable, so
+    the whole simulation step can live in one compiled program.
+
+Integrand keys (reference main.py:1002-1025):
+  '1', 'a**2', 'a**(-1)', 'a**(-2)', 'ȧ/a' (written 'adot/a'),
+  and per-component keys parameterized by w_eff (trivial for matter).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import cached_property
+
+import numpy as np
+import jax.numpy as jnp
+
+from concept_tpu.cosmology.spline import Spline
+
+_GL_ORDER = 24
+_GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(_GL_ORDER)
+
+
+class Background:
+    """Homogeneous FLRW background (matter + Λ, optional radiation).
+
+    Parameters
+    ----------
+    H0 : float
+        Hubble constant in internal units (e.g. ``67*units.km/units.s/units.Mpc``).
+    Omega_m : float
+        Total matter density parameter today (Ωb + Ωcdm).
+    Omega_lambda : float, optional
+        Defaults to 1 - Omega_m - Omega_r (flat universe).
+    Omega_r : float
+        Radiation density today (0 to mirror the reference's internal
+        matter+Λ background, reference integration.py:1243-1247).
+    enable_Hubble : bool
+        If False, the universe is static (a ≡ 1); mirrors the reference's
+        ``enable_Hubble`` debugging parameter.
+    """
+
+    def __init__(
+        self,
+        H0: float,
+        Omega_m: float,
+        Omega_lambda: float | None = None,
+        Omega_r: float = 0.0,
+        enable_Hubble: bool = True,
+        a_today: float = 1.0,
+        cache_dir: str | None = None,
+    ):
+        self.H0 = float(H0)
+        self.Omega_m = float(Omega_m)
+        self.Omega_r = float(Omega_r)
+        if Omega_lambda is None:
+            Omega_lambda = 1.0 - self.Omega_m - self.Omega_r
+        self.Omega_lambda = float(Omega_lambda)
+        self.enable_Hubble = bool(enable_Hubble)
+        self.a_today = float(a_today)
+        self.cache_dir = cache_dir
+        if self.enable_Hubble:
+            self._solve()
+
+    # ------------------------------------------------------------------ #
+    # Friedmann
+    # ------------------------------------------------------------------ #
+    def hubble_np(self, a):
+        """H(a) (NumPy, float64). Reference: src/integration.py:570-600."""
+        if not self.enable_Hubble:
+            return np.zeros_like(np.asarray(a, dtype=np.float64)) + 0.0
+        a = np.asarray(a, dtype=np.float64)
+        return self.H0 * np.sqrt(
+            self.Omega_r / a**4 + self.Omega_m / a**3 + self.Omega_lambda
+        )
+
+    def hubble(self, a):
+        """H(a) (JAX)."""
+        if not self.enable_Hubble:
+            return jnp.zeros_like(jnp.asarray(a))
+        a = jnp.asarray(a)
+        return self.H0 * jnp.sqrt(
+            self.Omega_r / a**4 + self.Omega_m / a**3 + self.Omega_lambda
+        )
+
+    # ------------------------------------------------------------------ #
+    # Tabulation
+    # ------------------------------------------------------------------ #
+    def _solve(self):
+        """Tabulate a(t) and growth factors.
+
+        Matches reference solve_matterΛ_background (integration.py:1043-1170):
+        a from 1e-14 (matter-dominated start, t = 2/(3H)), log-spaced with
+        CLASS-like density, growth ODEs with EdS initial conditions,
+        normalised to D1(a_today) = 1.  Results are cached on disk
+        (reference caches under .reusable/background,
+        integration.py:1060-1064).
+        """
+        from concept_tpu.utils.cache import cache_filename
+
+        filename = cache_filename(
+            "background", self.H0, self.Omega_m, self.Omega_r, self.Omega_lambda, self.a_today
+        )
+        if os.path.exists(filename):
+            data = np.load(filename)
+            self._install_tables({k: data[k] for k in data.files})
+            return
+        tables = self._tabulate()
+        try:
+            np.savez(filename, **tables)
+        except OSError:
+            pass
+        self._install_tables(tables)
+
+    def _install_tables(self, tables: dict):
+        a_values = tables["a"]
+        t_values = tables["t"]
+        self.t_begin_bg, self.t_today = float(t_values[0]), float(t_values[-1])
+        self._a_of_t = Spline(t_values, a_values, logx=True, logy=True)
+        self._t_of_a = Spline(a_values, t_values, logx=True, logy=True)
+        self._growth = {}
+        for name in ("D1", "f1", "D2", "f2", "D3a", "f3a", "D3b", "f3b", "D3c", "f3c"):
+            vals = tables[name]
+            self._growth[name] = Spline(a_values, np.abs(vals), logx=True, logy=True)
+            self._growth[name + "_sign"] = float(np.sign(vals[-1]))
+
+    def _tabulate(self) -> dict:
+        import scipy.integrate
+
+        a_begin = 1e-14
+        t_begin = 2 / (3 * self.hubble_np(a_begin))
+        kwargs = dict(method="DOP853", rtol=1e-12, atol=0.0)
+
+        def dloga_dlogt(logt, loga):
+            return [math.exp(logt) * float(self.hubble_np(math.exp(loga[0])))]
+
+        def event(logt, loga):
+            return loga[0] - math.log(self.a_today)
+
+        event.terminal = True
+        sol = scipy.integrate.solve_ivp(
+            dloga_dlogt, (math.log(t_begin), math.inf), [math.log(a_begin)],
+            events=event, **kwargs,
+        )
+        t_today = math.exp(sol.t_events[0][0])
+        n_bg = int(math.log(self.a_today / a_begin) / 7e-3)
+        logt_values = np.linspace(math.log(t_begin), math.log(t_today), n_bg)
+        t_values = np.exp(logt_values)
+        a_values = np.exp(
+            scipy.integrate.solve_ivp(
+                dloga_dlogt, (logt_values[0], logt_values[-1]), [math.log(a_begin)],
+                t_eval=logt_values, **kwargs,
+            ).y[0]
+        )
+        t_values[0], t_values[-1] = t_begin, t_today
+        a_values[0], a_values[-1] = a_begin, self.a_today
+
+        # Growth factors (ODE system identical to reference
+        # integration.py:1215-1263).
+        Om, H0 = self.Omega_m, self.H0
+
+        def hub(a):
+            return H0 * math.sqrt(Om / a**3 + self.Omega_lambda)
+
+        def dgrowth_da(a, y):
+            D, dD, D2, dD2, D3a, dD3a, D3b, dD3b, D3c, dD3c = y
+            dH_da_over_H = -1.5 * Om * (H0 / hub(a)) ** 2 / a**4
+            g = -(3 / a + dH_da_over_H)
+            s = -dH_da_over_H / a
+            return [
+                dD, g * dD + s * D,
+                dD2, g * dD2 + s * (D2 + D**2),
+                dD3a, g * dD3a + s * (D3a + 2 * D**3),
+                dD3b, g * dD3b + s * (D3b + 2 * D * D2 + 2 * D**3),
+                dD3c, g * dD3c + s * D**3,
+            ]
+
+        ab = a_begin
+        y0 = [
+            ab, 1.0,
+            3 / 7 * ab**2, 6 / 7 * ab,
+            1 / 3 * ab**3, ab**2,
+            10 / 21 * ab**3, 10 / 7 * ab**2,
+            1 / 7 * ab**3, 3 / 7 * ab**2,
+        ]
+        gsol = scipy.integrate.solve_ivp(
+            dgrowth_da, (a_begin, self.a_today), y0, t_eval=a_values, **kwargs
+        )
+        D, dD, D2, dD2, D3a, dD3a, D3b, dD3b, D3c, dD3c = gsol.y
+        f = dD * a_values / D
+        f2 = dD2 * a_values / D2
+        f3a = dD3a * a_values / D3a
+        f3b = dD3b * a_values / D3b
+        f3c = dD3c * a_values / D3c
+        norm = 1 / D[-1]
+        D = D * norm
+        D[-1] = 1.0
+        D2 = D2 * norm**2
+        D3a, D3b, D3c = D3a * norm**3, D3b * norm**3, D3c * norm**3
+        return {
+            "a": a_values, "t": t_values,
+            "D1": D, "f1": f, "D2": D2, "f2": f2,
+            "D3a": D3a, "f3a": f3a, "D3b": D3b, "f3b": f3b,
+            "D3c": D3c, "f3c": f3c,
+        }
+
+    # ------------------------------------------------------------------ #
+    # Lookups
+    # ------------------------------------------------------------------ #
+    def a_of_t(self, t):
+        if not self.enable_Hubble:
+            return jnp.ones_like(jnp.asarray(t, dtype=jnp.float64 if jnp.asarray(t).dtype == jnp.float64 else None))
+        return self._a_of_t(t)
+
+    def t_of_a(self, a):
+        return self._t_of_a(a)
+
+    def a_of_t_np(self, t):
+        if not self.enable_Hubble:
+            return np.ones_like(np.asarray(t, dtype=np.float64))
+        return self._a_of_t.eval_np(t)
+
+    def t_of_a_np(self, a):
+        return self._t_of_a.eval_np(a)
+
+    def growth(self, name: str, a):
+        """Growth factor/rate spline lookup (JAX). name ∈ {D1,f1,D2,f2,D3a,...}."""
+        return self._growth[name](a) * self._growth[name + "_sign"]
+
+    def growth_np(self, name: str, a):
+        return self._growth[name].eval_np(a) * self._growth[name + "_sign"]
+
+    # ------------------------------------------------------------------ #
+    # Exact step integrals ᔑdt
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def integrand(key: str, a, adot_over_a):
+        """Evaluate a named integrand at scale factor a (vectorized, JAX/NumPy).
+
+        Key set mirrors reference main.py:1002-1025.  w_eff-parameterized
+        keys are produced via :func:`integrand_key_weff`.
+        """
+        if key == "1":
+            return a * 0 + 1.0
+        if key == "a**2":
+            return a**2
+        if key == "a**(-1)":
+            return 1 / a
+        if key == "a**(-2)":
+            return 1 / a**2
+        if key in ("ȧ/a", "adot/a"):
+            return adot_over_a
+        raise KeyError(f"unknown integrand key {key!r}")
+
+    def integrals(self, t1, t2, keys=("1", "a**2", "a**(-1)", "a**(-2)", "ȧ/a")):
+        """∫_{t1}^{t2} integrand(a(t)) dt for each key (JAX, jittable).
+
+        Fixed-order Gauss-Legendre quadrature on the a(t) spline — the
+        integrands are smooth over a single step, giving ~machine accuracy
+        (replaces reference's GSL spline integration,
+        integration.py:712-863).
+        """
+        t1 = jnp.asarray(t1)
+        t2 = jnp.asarray(t2)
+        half = (t2 - t1) / 2
+        mid = (t2 + t1) / 2
+        tq = mid + half * jnp.asarray(_GL_NODES)
+        if self.enable_Hubble:
+            aq = self._a_of_t(tq)
+        else:
+            aq = jnp.ones_like(tq)
+        adot_over_a = self.hubble(aq)
+        w = jnp.asarray(_GL_WEIGHTS)
+        out = {}
+        for key in keys:
+            vals = self.integrand(key, aq, adot_over_a)
+            out[key] = half * jnp.sum(w * vals)
+        return out
+
+    def integrals_np(self, t1, t2, keys=("1", "a**2", "a**(-1)", "a**(-2)", "ȧ/a")):
+        """Host-side float64 variant of :meth:`integrals`."""
+        half = (t2 - t1) / 2
+        mid = (t2 + t1) / 2
+        tq = mid + half * _GL_NODES
+        aq = self.a_of_t_np(tq)
+        adot_over_a = self.hubble_np(aq)
+        out = {}
+        for key in keys:
+            vals = self.integrand(key, aq, adot_over_a)
+            out[key] = float(half * np.sum(_GL_WEIGHTS * vals))
+        return out
+
+    @cached_property
+    def rho_crit(self):
+        """Critical density today: 3H0²/(8πG).  Requires G in matching units;
+        use ``rho_crit_of(G)`` instead when G is at hand."""
+        raise AttributeError("use rho_crit_of(G_Newton)")
+
+    def rho_crit_of(self, G_Newton: float) -> float:
+        """ρ_crit = 3H0²/(8πG) (reference commons.py:4435)."""
+        return 3 * self.H0**2 / (8 * math.pi * G_Newton)

@@ -1,0 +1,17 @@
+"""Test configuration: run on CPU with 8 virtual devices so multi-device
+sharding (the analogue of the reference's nprocs-invariance tests,
+reference concept:1849-1921) is exercised without TPU hardware.
+
+Must run before any jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
