@@ -15,3 +15,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon site hook force-sets JAX_PLATFORMS=axon at interpreter startup;
+# override via jax.config (effective as long as no backend is initialized yet).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
