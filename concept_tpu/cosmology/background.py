@@ -132,6 +132,9 @@ class Background:
             vals = tables[name]
             self._growth[name] = Spline(a_values, np.abs(vals), logx=True, logy=True)
             self._growth[name + "_sign"] = float(np.sign(vals[-1]))
+        # D_md(a) = D1(a) * D_md_today: growth normalised to D = a deep in
+        # matter domination (used in the transfer-function normalisation).
+        self.D_md_today = float(tables.get("D_md_today", 1.0))
 
     def _tabulate(self) -> dict:
         import scipy.integrate
@@ -211,6 +214,9 @@ class Background:
             "D1": D, "f1": f, "D2": D2, "f2": f2,
             "D3a": D3a, "f3a": f3a, "D3b": D3b, "f3b": f3b,
             "D3c": D3c, "f3c": f3c,
+            # Matter-era normalisation: the unnormalised solution has
+            # D(a) = a deep in matter domination, so D_md(a) = D1(a)/norm.
+            "D_md_today": np.array(1 / norm),
         }
 
     # ------------------------------------------------------------------ #

@@ -1,0 +1,123 @@
+"""Linear perturbation theory layer: δ/θ transfer functions, linear power
+spectra, σ_R — everything the realizer and analysis need from a Boltzmann
+source.
+
+TPU-native counterpart of reference src/linear.py (CosmoResults at :56,
+TransferFunction at :1481, get_linear_powerspec at :3074).  Where the
+reference interrogates the embedded CLASS code, this module combines the
+internal FLRW background (growth factors) with an analytic transfer
+function (Eisenstein-Hu by default; CLASS-backed when classy is
+available).
+
+Normalisation (Newtonian/N-body conventions):
+    δ(k, a) = (2/5) · k²c²/(Ωm H0²) · T(k) · D_md(a) · ζ(k)
+with T(k→0)=1, D_md(a)=a deep in matter domination, and ζ the primordial
+curvature.  Velocity divergence via linear growth:
+    θ(k, a) = -a H(a) f1(a) δ(k, a).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from concept_tpu.cosmology.background import Background
+from concept_tpu.cosmology.primordial import PrimordialSpectrum
+from concept_tpu.cosmology.transfer import make_transfer
+
+
+class LinearCosmology:
+    def __init__(
+        self,
+        bg: Background,
+        primordial: PrimordialSpectrum,
+        Omega_b: float,
+        Omega_cdm: float,
+        light_speed: float,
+        Mpc: float = 1.0,
+        transfer_kind: str = "eisenstein_hu",
+    ):
+        self.bg = bg
+        self.primordial = primordial
+        self.Omega_b = float(Omega_b)
+        self.Omega_cdm = float(Omega_cdm)
+        self.light_speed = float(light_speed)
+        self.Mpc = float(Mpc)
+        self.transfer_kind = transfer_kind
+        self._transfer = make_transfer(
+            transfer_kind, self.Omega_b + self.Omega_cdm, self.Omega_b,
+            h=self._infer_h(), Mpc=self.Mpc,
+        )
+
+    def _infer_h(self) -> float:
+        """h = H0 / (100 km/s/Mpc).  100 km/s/Mpc in internal units equals
+        100·(km/s)/Mpc; we only have Mpc (length) here, so derive km/s from
+        light_speed: c = 299792.458 km/s ⇒ km/s = c_internal/299792.458."""
+        km_per_s = self.light_speed / 299792.458
+        H100 = 100 * km_per_s / self.Mpc
+        return self.bg.H0 / H100
+
+    # ------------------------------------------------------------------ #
+    @property
+    def Omega_m(self) -> float:
+        return self.Omega_b + self.Omega_cdm
+
+    def transfer_T(self, k):
+        """Shape transfer function T(k) → 1 at low k."""
+        return self._transfer(k)
+
+    def transfer_delta(self, k, a):
+        """δ(k,a) per unit primordial curvature ζ (the 'transfer function'
+        in the reference's sense, linear.py:1481)."""
+        k = jnp.asarray(k)
+        c = self.light_speed
+        D_md = self.bg.growth("D1", a) * self.bg.D_md_today
+        return (
+            (2.0 / 5.0)
+            * (k * k * c * c / (self.Omega_m * self.bg.H0**2))
+            * self.transfer_T(k)
+            * D_md
+        )
+
+    def transfer_theta(self, k, a):
+        """θ(k,a) per unit ζ: θ = -a H f1 δ (linear continuity equation)."""
+        aHf = jnp.asarray(a) * self.bg.hubble(a) * self.bg.growth("f1", a)
+        return -aHf * self.transfer_delta(k, a)
+
+    def power_delta(self, k, a):
+        """Linear matter power spectrum P(k, a) (internal units³)."""
+        T = self.transfer_delta(k, a)
+        return T * T * self.primordial.zeta_power(k)
+
+    def delta_amplitude(self, k, a):
+        """√P_δ — the realization amplitude (reference ic.py:542)."""
+        return jnp.abs(self.transfer_delta(k, a)) * self.primordial.zeta_amplitude(k)
+
+    # ------------------------------------------------------------------ #
+    def sigma_R(self, R, a=1.0, nk: int = 1024):
+        """σ(R): rms of the density field smoothed with a tophat of radius R.
+
+        Reference: analysis.py:856 (σ tophat used for σ₈-style outputs).
+        Host-side float64 quadrature in log k.
+        """
+        kmin = 1e-5 / self.Mpc
+        kmax = 1e3 / self.Mpc
+        lnk = np.linspace(math.log(kmin), math.log(kmax), nk)
+        k = np.exp(lnk)
+        x = k * R
+        W = 3 * (np.sin(x) - x * np.cos(x)) / x**3
+        P = np.asarray(
+            jax.device_get(self.power_delta(jnp.asarray(k, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32), a))
+        ).astype(np.float64)
+        integrand = k**3 * P * W * W / (2 * math.pi**2)
+        return math.sqrt(np.trapezoid(integrand, lnk))
+
+    def sigma8(self, a=1.0):
+        return self.sigma_R(8 / self.h_value * self.Mpc, a)
+
+    @property
+    def h_value(self) -> float:
+        return self._infer_h()
