@@ -1,0 +1,237 @@
+"""Initial-condition generation: primordial noise and LPT realization.
+
+TPU-native redesign of reference src/ic.py:
+  * generate_primordial_noise (ic.py:928-1198): here counter-based JAX PRNG
+    on the full grid — deterministic and device-count-invariant by
+    construction (the array is generated identically regardless of
+    sharding; the reference needed an elaborate Fourier space-filling-curve
+    scheme to achieve nprocs-invariance under MPI).
+  * fixed-amplitude & paired-phase primordial modes
+    (reference ic.py:1058-1105; params primordial_amplitude_fixed,
+    primordial_phase_shift).
+  * realize_particles (ic.py:1199-1446): sc/bcc/fcc lattices + 1/2LPT
+    displacements (3LPT grids planned, reference ic.py:1447-2058).
+
+Conventions:
+  DFT normalisation: δ_dft(k) = Σ_x δ(x) e^{-ikx} (NumPy forward),
+  ⟨|δ_dft(k)|²⟩ = N_cells²/V · P(k), so the realization amplitude is
+  √(N/V)·√P(k) on unit-variance white noise.
+  Zel'dovich: x = q + ψ(q), ψ(k) = i k/k² δ(k),
+  mom = a²·m·ẋ = a²·m·H·f1·ψ.
+  2LPT: x += ψ²(q), ψ²(k) = -(D2/D1²)·i k/k²·S(k),
+  S = Σ_{i<j}(ψ¹ᵢ,ᵢψ¹ⱼ,ⱼ - (ψ¹ᵢ,ⱼ)²)  (reference growth convention
+  D2 = +3/7 a² in EdS, integration.py:1215-1222).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from concept_tpu.components import ComponentSpec, ParticleState, lattice_positions
+from concept_tpu.grid.fft import GridDistribution, rfft3, irfft3
+from concept_tpu.grid import fourier
+
+
+def generate_primordial_noise(
+    gridsize: int,
+    seed: int = 0,
+    fixed_amplitude: bool = False,
+    phase_shift: float = 0.0,
+    dist: GridDistribution | None = None,
+    dtype=jnp.float32,
+):
+    """Unit white noise in Fourier (rfft) layout with exact Hermitian
+    symmetry: generated as real-space i.i.d. N(0,1) and transformed.
+    ⟨|R(k)|²⟩ = N_cells.
+
+    fixed_amplitude: |R(k)| := √N_cells, keeping only the phase
+    (paired-and-fixed simulations, reference ic.py:1058-1105);
+    phase_shift is added to every mode's phase (π for the pair partner).
+    """
+    n = gridsize
+    key = jax.random.key(seed)
+    white = jax.random.normal(key, (n, n, n), dtype=dtype)
+    if dist is not None and dist.mesh is not None:
+        white = jax.device_put(white, dist.real_sharding())
+    R = rfft3(white, dist)
+    if fixed_amplitude or phase_shift != 0.0:
+        mag = jnp.abs(R)
+        phase = jnp.angle(R) + phase_shift
+        amp = jnp.where(fixed_amplitude, math.sqrt(n**3), mag)
+        R = amp * jnp.exp(1j * phase)
+    return R
+
+
+def _k_magnitude_grid(gridsize: int, boxsize: float, dtype=jnp.float32):
+    k2 = fourier.k2_int_grid(gridsize).astype(dtype)
+    return (2 * math.pi / boxsize) * jnp.sqrt(k2)
+
+
+def realize_delta_slab(
+    lin,
+    gridsize: int,
+    boxsize: float,
+    a: float,
+    seed: int = 0,
+    fixed_amplitude: bool = False,
+    phase_shift: float = 0.0,
+    dist: GridDistribution | None = None,
+    dtype=jnp.float32,
+    nongaussianity: float = 0.0,
+):
+    """δ(k) in DFT normalisation at scale factor a.
+
+    Reference: ic.py:542 (get_amplitudes = √P_prim·T) + ic.py:670
+    (realize_grid).  Optional local-type non-Gaussianity f_NL applied to
+    the primordial potential (reference realization_options
+    'nongaussianity').
+    """
+    n = gridsize
+    V = boxsize**3
+    R = generate_primordial_noise(
+        n, seed, fixed_amplitude, phase_shift, dist, dtype
+    )
+    kmag = _k_magnitude_grid(n, boxsize, dtype)
+    kmag_safe = jnp.where(kmag > 0, kmag, 1.0)
+    if nongaussianity != 0.0:
+        # ζ → ζ + (3/5) f_NL ζ² (local type, on the Bardeen potential
+        # Φ = 3/5 ζ): build ζ(x), square, re-transform.
+        zeta_amp = lin.primordial.zeta_amplitude(kmag_safe) * math.sqrt(n**3 / V)
+        zeta_k = jnp.where(kmag > 0, R * zeta_amp, 0.0)
+        zeta_x = irfft3(zeta_k, n, dist)
+        fnl_term = (3.0 / 5.0) * nongaussianity * (zeta_x**2 - jnp.mean(zeta_x**2))
+        zeta_k = zeta_k + rfft3(fnl_term.astype(dtype), dist)
+        Tdelta = lin.transfer_delta(kmag_safe, a)
+        delta = jnp.where(kmag > 0, zeta_k * Tdelta, 0.0)
+        return delta
+    amp = lin.delta_amplitude(kmag_safe, a) * math.sqrt(n**3 / V)
+    delta = jnp.where(kmag > 0, R * amp, 0.0)
+    return delta
+
+
+def displacement_from_delta(delta_slab, gridsize: int, boxsize: float, dist=None):
+    """ψ_d(x) grids from δ(k): ψ(k) = i k_d/k² δ(k).  Returns (3,n,n,n)."""
+    n = gridsize
+    kfac = 2 * math.pi / boxsize
+    k2 = fourier.k2_int_grid(n).astype(delta_slab.real.dtype) * kfac**2
+    inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
+    psis = []
+    for d in range(3):
+        kd = fourier.k_int_vectors(n)[d].astype(delta_slab.real.dtype) * kfac
+        psi_k = (1j * kd) * inv_k2 * delta_slab
+        psis.append(irfft3(psi_k, n, dist))
+    return jnp.stack(psis)
+
+
+def lpt2_source(psi_slabs_k, gridsize: int, boxsize: float, dist=None, dealias: bool = False):
+    """2LPT source S(x) = Σ_{i<j} (ψᵢ,ᵢψⱼ,ⱼ − ψᵢ,ⱼ²) from ψ¹(k) grids.
+
+    psi_slabs_k: list of 3 Fourier ψ-components.  Reference:
+    ic.py:1546-1718 (carryout_2lpt) with optional Orszag 3/2 dealiasing.
+    """
+    n = gridsize
+    # ψi,j real grids (6 unique combinations for i<=j)
+    def dij(i, j):
+        return irfft3(
+            fourier.fourier_diff(psi_slabs_k[i], n, boxsize, j), n, dist
+        )
+
+    d00, d11, d22 = dij(0, 0), dij(1, 1), dij(2, 2)
+    d01, d02, d12 = dij(0, 1), dij(0, 2), dij(1, 2)
+    S = d00 * d11 + d00 * d22 + d11 * d22 - d01**2 - d02**2 - d12**2
+    return S
+
+
+def realize_particles(
+    lin,
+    spec: ComponentSpec,
+    boxsize: float,
+    a: float,
+    seed: int = 0,
+    lpt_order: int = 1,
+    lattice: str = "sc",
+    fixed_amplitude: bool = False,
+    phase_shift: float = 0.0,
+    dist: GridDistribution | None = None,
+    dtype=jnp.float32,
+    with_ids: bool = False,
+    nongaussianity: float = 0.0,
+) -> ParticleState:
+    """Generate particle ICs for a matter-like component at scale factor a.
+
+    Reference: ic.py:1199-1446 (realize_particles) + LPT grids
+    (ic.py:1447-2058).
+    """
+    n_per_lattice = {"sc": 1, "bcc": 2, "fcc": 4}[lattice]
+    gridsize = round((spec.N // n_per_lattice) ** (1 / 3))
+    if n_per_lattice * gridsize**3 != spec.N:
+        raise ValueError(
+            f"N = {spec.N} is not a {lattice} lattice count "
+            f"(needs {n_per_lattice}·n³)"
+        )
+    H = lin.bg.hubble(a)
+    f1 = lin.bg.growth("f1", a)
+    delta_k = realize_delta_slab(
+        lin, gridsize, boxsize, a, seed, fixed_amplitude, phase_shift, dist,
+        dtype, nongaussianity,
+    )
+    kfac = 2 * math.pi / boxsize
+    k2 = fourier.k2_int_grid(gridsize).astype(dtype) * kfac**2
+    inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
+    psi_k = [
+        (1j * (fourier.k_int_vectors(gridsize)[d].astype(dtype) * kfac))
+        * inv_k2
+        * delta_k
+        for d in range(3)
+    ]
+
+    # Displacement and velocity-potential displacement (ψ̇  = H f ψ at 1LPT)
+    psi = jnp.stack([irfft3(pk, gridsize, dist) for pk in psi_k])
+    dpsi_dt = H * f1 * psi
+
+    if lpt_order >= 2:
+        D1 = lin.bg.growth("D1", a)
+        D2 = lin.bg.growth("D2", a)
+        f2 = lin.bg.growth("f2", a)
+        S = lpt2_source(psi_k, gridsize, boxsize, dist)
+        S_k = rfft3(S.astype(dtype), dist)
+        # ψ²(k) = -(D2/D1²) ik/k² S(k); ∇·ψ² = -(D2/D1²) S.
+        # Sign: with reference growth convention (D2>0 in EdS), the
+        # second-order displacement opposes the linear one along
+        # overdense directions; validated against the crossed-plane-wave
+        # analytic solution in tests/test_ic.py.
+        fac2 = D2 / (D1 * D1)
+        for d in range(3):
+            kd = fourier.k_int_vectors(gridsize)[d].astype(dtype) * kfac
+            psi2_k = -(1j * kd) * inv_k2 * (fac2 * S_k)
+            psi2 = irfft3(psi2_k, gridsize, dist)
+            psi = psi.at[d].add(psi2)
+            dpsi_dt = dpsi_dt.at[d].add(H * f2 * psi2)
+    if lpt_order >= 3:
+        raise NotImplementedError("3LPT planned (reference ic.py:1746-2058)")
+
+    q = lattice_positions(gridsize, boxsize, lattice, dtype)
+    # ψ grids sampled at lattice sites: for 'sc' the lattice sites are the
+    # cell centers, i.e. exactly the grid sampling points.
+    disp = jnp.stack([psi[d].reshape(-1) for d in range(3)], axis=1)
+    vel = jnp.stack([dpsi_dt[d].reshape(-1) for d in range(3)], axis=1)
+    if lattice != "sc":
+        reps = n_per_lattice
+        # Sample displacement at shifted lattice copies by re-gathering:
+        from concept_tpu.grid.interp import gather
+
+        disp = jnp.stack(
+            [gather(psi[d], q, boxsize, order=2) for d in range(3)], axis=1
+        )
+        vel = jnp.stack(
+            [gather(dpsi_dt[d], q, boxsize, order=2) for d in range(3)], axis=1
+        )
+    pos = jnp.mod(q + disp, boxsize)
+    mom = (a * a * spec.mass) * vel
+    ids = jnp.arange(spec.N, dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32) if with_ids else None
+    return ParticleState(pos=pos, mom=mom.astype(dtype), ids=ids)

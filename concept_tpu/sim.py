@@ -1,0 +1,201 @@
+"""Simulation driver: configuration, state, the jitted step and the time
+loop.
+
+TPU-native redesign of reference src/main.py (timeloop at main.py:2437-2473
+entry; step structure main.py:214-461).  Single-controller: the heavy
+kick+drift works are one jitted function per (component-set, force-config);
+the host only advances scalars (t, a, Δt), evaluates dump schedules and
+adapts the step size — mirroring the reference's master-rank bookkeeping,
+minus MPI.
+
+Time stepping (global; adaptive per-particle rungs are layered on in
+forces/shortrange):
+  Leapfrog KDK with *exact* time integrals (reference integration.py:712):
+    kick:  mom ← mom − m ∇φ · ᔑ a^(−1) dt        (matter)
+    drift: pos ← pos + mom/m · ᔑ a^(−2) dt
+Δt limiters mirror reference main.py:2345-2433 (fac_dynamical, fac_hubble,
+Δa_max_early/late, fac_pm) — see integration.py in this package.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from concept_tpu.components import ComponentSpec, ParticleState, particle_mass
+from concept_tpu.cosmology.background import Background
+from concept_tpu.cosmology.linear import LinearCosmology
+from concept_tpu.cosmology.primordial import PrimordialSpectrum
+from concept_tpu.grid.fft import GridDistribution
+from concept_tpu.forces import pm as pm_force
+from concept_tpu.units import UnitSystem
+
+
+# Reference numeric defaults (main.py:2345-2433; SURVEY.md Appendix A)
+FAC_DYNAMICAL = 0.056
+FAC_HUBBLE = 0.031
+FAC_PM = 0.13
+FAC_P3M = 0.14
+DELTA_A_MAX_EARLY = 0.00153
+DELTA_A_MAX_LATE = 0.022
+DT_PERIOD = 8
+DT_INCREASE_MAX_FAC = 1.5
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    """Static configuration, closed over by the jitted step."""
+
+    boxsize: float
+    potential_gridsize: int
+    interpolation_order: int = 2  # CIC (reference potential default)
+    deconvolve: tuple = (True, True)  # (upstream/deposit, downstream/gather)
+    differentiation: object = "fourier"  # 'fourier' or 2/4/6/8
+    deposit_method: str = "scatter"
+    interlace: bool = False
+    dtype: object = jnp.float32
+    G: float = 1.0
+    # P³M split scale rₛ (None → pure PM)
+    shortrange_scale: float | None = None
+    shortrange_range: float | None = None
+
+
+class Simulation:
+    """Matter-like particle simulation with PM (P³M forthcoming) gravity."""
+
+    def __init__(
+        self,
+        spec: ComponentSpec,
+        config: SimConfig,
+        bg: Background,
+        lin: LinearCosmology | None = None,
+        dist: GridDistribution | None = None,
+    ):
+        self.spec = spec
+        self.config = config
+        self.bg = bg
+        self.lin = lin
+        self.dist = dist
+        self._step_jit = jax.jit(self._step)
+
+    # ------------------------------------------------------------------ #
+    def initial_state(self, a_begin: float, seed: int = 0, lpt_order: int = 1,
+                      with_ids: bool = False, **kw) -> ParticleState:
+        from concept_tpu.ic import realize_particles
+
+        return realize_particles(
+            self.lin, self.spec, self.config.boxsize, a_begin, seed=seed,
+            lpt_order=lpt_order, dist=self.dist, dtype=self.config.dtype,
+            with_ids=with_ids, **kw,
+        )
+
+    # ------------------------------------------------------------------ #
+    def _kick(self, state: ParticleState, int_a1) -> ParticleState:
+        cfg = self.config
+        (dmom,) = pm_force.pm_gravity_momentum_updates(
+            [state.pos], [self.spec.mass],
+            cfg.potential_gridsize, cfg.boxsize, cfg.G,
+            kick_integral=int_a1,
+            order=cfg.interpolation_order,
+            deconvolve=cfg.deconvolve,
+            dist=self.dist,
+            differentiation=cfg.differentiation,
+            deposit_method=cfg.deposit_method,
+            longrange_scale=cfg.shortrange_scale,
+            interlace=cfg.interlace,
+        )
+        return state._replace(mom=state.mom + dmom)
+
+    def _drift(self, state: ParticleState, int_a2) -> ParticleState:
+        fac = int_a2 / self.spec.mass
+        pos = jnp.mod(state.pos + state.mom * fac, self.config.boxsize)
+        return state._replace(pos=pos)
+
+    def _step(self, state: ParticleState, int_a1, int_a2) -> ParticleState:
+        """One KDK-ordered update: kick(int_a1) then drift(int_a2).
+
+        The host supplies the exact integrals so that kicks straddle the
+        drift midpoints (leapfrog).  Passing integrals as traced scalars
+        avoids recompilation as Δt adapts.
+        """
+        state = self._kick(state, int_a1)
+        return self._drift(state, int_a2)
+
+    def step(self, state, int_a1, int_a2):
+        return self._step_jit(
+            state,
+            jnp.asarray(int_a1, dtype=self.config.dtype),
+            jnp.asarray(int_a2, dtype=self.config.dtype),
+        )
+
+    # ------------------------------------------------------------------ #
+    def timestep_size(self, a: float) -> float:
+        """Base Δt from background limiters (reference main.py:697-996 and
+        2345-2433).  Matter-only subset: dynamical, Hubble, Δa_max."""
+        bg = self.bg
+        H = float(bg.hubble_np(a))
+        rho_m_proper = (
+            self.spec.mass * self.spec.N / self.config.boxsize**3 / a**3
+            if self.spec.N
+            else 0.0
+        )
+        limits = []
+        if rho_m_proper > 0:
+            limits.append(FAC_DYNAMICAL / math.sqrt(self.config.G * rho_m_proper))
+        if H > 0:
+            limits.append(FAC_HUBBLE / H)
+            # Δa limiters: Δt ≈ Δa/(aH)
+            da_max = DELTA_A_MAX_EARLY if a < 0.1 else DELTA_A_MAX_LATE
+            limits.append(da_max / (a * H))
+        return min(limits) if limits else float("inf")
+
+    def evolve(
+        self,
+        state: ParticleState,
+        a_begin: float,
+        a_end: float,
+        callback: Callable | None = None,
+        max_steps: int = 100000,
+    ):
+        """Evolve from a_begin to a_end with leapfrog KDK.
+
+        Kicks are centered between drifts: the first kick covers Δt/2, each
+        subsequent kick covers the straddling interval, the last kick closes
+        the remaining half step so mom and pos end synchronized at a_end.
+        """
+        bg = self.bg
+        t = float(bg.t_of_a_np(a_begin))
+        t_end = float(bg.t_of_a_np(a_end))
+        a = a_begin
+        step_count = 0
+        # momentum currently synchronized at t
+        t_mom = t
+        while t < t_end - 1e-12 * abs(t_end):
+            dt = self.timestep_size(a)
+            dt = min(dt, t_end - t)
+            # kick target: midpoint of upcoming drift (or t_end at last step)
+            t_mid = min(t + 0.5 * dt, t_end)
+            ints = bg.integrals_np(t_mom, t_mid, keys=("a**(-1)",))
+            int_a1 = ints["a**(-1)"]
+            ints2 = bg.integrals_np(t, t + dt, keys=("a**(-2)",))
+            int_a2 = ints2["a**(-2)"]
+            state = self.step(state, int_a1, int_a2)
+            t_mom = t_mid
+            t += dt
+            a = float(bg.a_of_t_np(t))
+            step_count += 1
+            if callback is not None:
+                callback(state, t, a, step_count)
+            if step_count >= max_steps:
+                raise RuntimeError("max_steps exceeded")
+        # close the trailing half kick so mom is synchronized at t_end
+        if t_mom < t_end - 1e-12 * abs(t_end):
+            int_a1 = bg.integrals_np(t_mom, t_end, keys=("a**(-1)",))["a**(-1)"]
+            state = self.step(state, int_a1, 0.0)
+        return state, a

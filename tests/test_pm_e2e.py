@@ -1,0 +1,132 @@
+"""End-to-end PM tests: IC realization statistics and PM evolution vs
+linear theory — the analogue of reference test/realize, test/powerspec and
+test/concept_vs_class_pm (rel. err ≤ 0.10 at large scales,
+reference test/concept_vs_class_pm/analyze.py:29,56)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from concept_tpu.units import units, constants
+from concept_tpu.cosmology.background import Background
+from concept_tpu.cosmology.primordial import PrimordialSpectrum
+from concept_tpu.cosmology.linear import LinearCosmology
+from concept_tpu.components import ComponentSpec, particle_mass
+from concept_tpu.sim import Simulation, SimConfig
+from concept_tpu.analysis.powerspec import powerspec
+
+
+H0 = 67 * units.km / (units.s * units.Mpc)
+OMEGA_B, OMEGA_CDM = 0.049, 0.27
+OMEGA_M = OMEGA_B + OMEGA_CDM
+BOX = 256 / 0.67 * units.Mpc  # 256 Mpc/h (example_basic)
+NGRID = 64
+N = NGRID**3
+
+
+@pytest.fixture(scope="module")
+def cosmo():
+    bg = Background(H0=H0, Omega_m=OMEGA_M)
+    prim = PrimordialSpectrum(A_s=2.1e-9, n_s=0.96, pivot=0.05 / units.Mpc)
+    lin = LinearCosmology(
+        bg, prim, Omega_b=OMEGA_B, Omega_cdm=OMEGA_CDM,
+        light_speed=constants.light_speed, Mpc=units.Mpc,
+    )
+    return bg, lin
+
+
+@pytest.fixture(scope="module")
+def simulation(cosmo):
+    bg, lin = cosmo
+    rho_crit = bg.rho_crit_of(constants.G_Newton)
+    mass = particle_mass(OMEGA_M, rho_crit, BOX, N)
+    spec = ComponentSpec(
+        name="matter", species="matter", N=N, mass=mass,
+        forces=(("gravity", "pm"),),
+    )
+    config = SimConfig(
+        boxsize=BOX, potential_gridsize=NGRID, G=constants.G_Newton,
+        interlace=True,  # suppresses lattice-alias force bias at grid≈cbrt(N)
+    )
+    return Simulation(spec, config, bg, lin)
+
+
+def measure_pk(state, n_particles):
+    return powerspec(
+        [state.pos], [1.0], gridsize=NGRID, boxsize=BOX, n_particles=n_particles,
+    )
+
+
+def linear_pk(lin, k, a):
+    return np.asarray(lin.power_delta(jnp.asarray(k, dtype=jnp.float32), a))
+
+
+def test_ic_power_matches_linear(simulation, cosmo):
+    bg, lin = cosmo
+    a0 = 0.02
+    state = simulation.initial_state(a_begin=a0, seed=42)
+    pk = measure_pk(state, N)
+    # Compare in an intermediate k range (avoid cosmic variance at low k
+    # and interpolation/alias damping near Nyquist)
+    sel = (pk["modes"] > 100) & (pk["k"] < 0.5 * pk["k"].max())
+    Plin = linear_pk(lin, pk["k"][sel], a0)
+    # Lattice pre-ICs carry no Poisson shot noise below the particle
+    # Nyquist frequency — use the raw spectrum (no V/N subtraction).
+    ratio = pk["power"][sel] / Plin
+    # binwise scatter is large; the mean ratio must be close to 1
+    assert abs(np.mean(ratio) - 1) < 0.10, f"mean P/Plin = {np.mean(ratio)}"
+
+
+def test_momentum_conservation_one_step(simulation):
+    state = simulation.initial_state(a_begin=0.02, seed=1)
+    t0 = float(simulation.bg.t_of_a_np(0.02))
+    ints = simulation.bg.integrals_np(t0, t0 * 1.01)
+    new = simulation.step(state, ints["a**(-1)"], ints["a**(-2)"])
+    p_tot_before = np.asarray(jnp.sum(state.mom, axis=0))
+    p_tot_after = np.asarray(jnp.sum(new.mom, axis=0))
+    p_scale = float(jnp.mean(jnp.abs(state.mom))) * N
+    assert np.all(np.abs(p_tot_after - p_tot_before) < 1e-4 * p_scale)
+
+
+def test_pm_evolution_vs_linear_growth(simulation, cosmo):
+    """Evolve a=0.02 → 0.3 (linear regime); the per-bin power growth
+    P(a)/P(a0) must equal the linear prediction (D1(a)/D1(a0))² — this
+    ratio test cancels cosmic variance, isolating force + integrator
+    accuracy (reference concept_vs_class_pm uses 10% on large scales)."""
+    bg, lin = cosmo
+    a0, a1 = 0.02, 0.3
+    state = simulation.initial_state(a_begin=a0, seed=7)
+    pk0 = measure_pk(state, N)
+    state, a = simulation.evolve(state, a0, a1)
+    assert math.isclose(a, a1, rel_tol=1e-6)
+    pk1 = measure_pk(state, N)
+    kf = 2 * math.pi / BOX
+    # PM force is continuum-accurate for k ≲ knyq/4 (higher k needs the
+    # P³M short-range correction, as in the reference's default setup)
+    sel = (pk1["k"] > 1.9 * kf) & (pk1["k"] < 8.5 * kf)
+    growth = pk1["power"][sel] / pk0["power"][sel]
+    expected = (bg.growth_np("D1", a1) / bg.growth_np("D1", a0)) ** 2
+    ratio = growth / expected
+    assert np.all(np.abs(ratio - 1) < 0.10), f"growth/linear = {ratio}"
+
+
+def test_pm_evolution_to_a1_large_scales(simulation, cosmo):
+    """Full run to a=1: largest-scale bins must track linear theory to 10%
+    (cosmic variance is large for a 32³ box, so restrict to the mean over
+    the lowest well-populated bins — the reference oracle test uses 10%)."""
+    bg, lin = cosmo
+    a0, a1 = 0.02, 1.0
+    state = simulation.initial_state(a_begin=a0, seed=7)
+    pk0 = measure_pk(state, N)
+    state, _ = simulation.evolve(state, a0, a1)
+    pk1 = measure_pk(state, N)
+    kf = 2 * math.pi / BOX
+    sel = (pk1["k"] > 1.9 * kf) & (pk1["k"] < 6 * kf)
+    # ratio test against the IC spectrum (cancels variance); at these k
+    # nonlinear corrections at z=0 are ≲ few %
+    growth = pk1["power"][sel] / pk0["power"][sel]
+    expected = (bg.growth_np("D1", a1) / bg.growth_np("D1", a0)) ** 2
+    mean_ratio = float(np.mean(growth / expected))
+    assert abs(mean_ratio - 1) < 0.10, f"mean growth ratio = {mean_ratio}"
