@@ -1,0 +1,62 @@
+"""Benchmark: PM-gravity particle updates per second per chip.
+
+North-star target (BASELINE.json): ≥ 1e8 particle-updates/s/chip at 512³
+on TPU v5p.  This script times the full jitted KDK step (deposit → FFT →
+Poisson → gradient → gather → kick → drift) on the available chip and
+prints ONE JSON line.
+
+Grid/particle count auto-scales down if the chip runs out of memory.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_once(n_grid):
+    import __graft_entry__ as ge
+
+    sim, state = ge._build(n_grid=n_grid)
+    step = jax.jit(sim._step)
+    int1 = jnp.float32(1e-3)
+    int2 = jnp.float32(1e-3)
+    # warmup/compile
+    state = step(state, int1, int2)
+    jax.block_until_ready(state)
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state = step(state, int1, int2)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / n_iter
+    return dt
+
+
+def main():
+    target = 1e8  # particle-updates/s/chip (BASELINE.json north star)
+    for n_grid in (512, 384, 256, 128, 64):
+        try:
+            dt = bench_once(n_grid)
+            n_particles = n_grid**3
+            ups = n_particles / dt
+            print(
+                json.dumps(
+                    {
+                        "metric": f"pm_step_particle_updates_per_s_{n_grid}cubed",
+                        "value": ups,
+                        "unit": "updates/s/chip",
+                        "vs_baseline": ups / target,
+                    }
+                )
+            )
+            return
+        except Exception as e:  # noqa: BLE001 — OOM or backend limits: scale down
+            print(f"# gridsize {n_grid} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    print(json.dumps({"metric": "pm_step", "value": 0, "unit": "updates/s/chip", "vs_baseline": 0}))
+
+
+if __name__ == "__main__":
+    main()

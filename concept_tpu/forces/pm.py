@@ -50,9 +50,17 @@ def density_slab(
     cell_volume = (boxsize / n) ** 3
     pos_list = pos if isinstance(pos, (list, tuple)) else [pos]
     mass_list = masses if isinstance(masses, (list, tuple)) else [masses]
+
+    def _deposit(p, m):
+        if dist is not None and dist.mesh is not None:
+            from concept_tpu.parallel.step import deposit_distributed
+
+            return deposit_distributed(p, m, n, boxsize, order, dist, deposit_method)
+        return deposit(p, m, n, boxsize, order=order, method=deposit_method)
+
     grid = None
     for p, m in zip(pos_list, mass_list):
-        g = deposit(p, m, n, boxsize, order=order, method=deposit_method)
+        g = _deposit(p, m)
         grid = g if grid is None else grid + g
     slab = rfft3(grid / cell_volume, dist)
     if interlace:
@@ -60,7 +68,7 @@ def density_slab(
         shift = 0.5 * h
         grid2 = None
         for p, m in zip(pos_list, mass_list):
-            g = deposit(jnp.mod(p + shift, boxsize), m, n, boxsize, order=order, method=deposit_method)
+            g = _deposit(jnp.mod(p + shift, boxsize), m)
             grid2 = g if grid2 is None else grid2 + g
         slab2 = rfft3(grid2 / cell_volume, dist)
         # Undo the half-cell shift in k-space and average
@@ -149,6 +157,12 @@ def pm_gravity_momentum_updates(
         rho, gridsize, boxsize, G, deconv_order=deconv_order, longrange_scale=longrange_scale
     )
     gradphi = potential_gradient_grids(phi, gridsize, boxsize, dist, differentiation)
+    if dist is not None and dist.mesh is not None:
+        # Replicate force grids so each device gathers for its own particle
+        # shard locally (all_gather over ICI; see parallel/step.py).
+        from concept_tpu.parallel.step import replicate
+
+        gradphi = replicate(gradphi, dist)
     updates = []
     for p, m in zip(pos_list, mass_list):
         force = jnp.stack(

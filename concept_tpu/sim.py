@@ -61,9 +61,25 @@ class SimConfig:
     interlace: bool = False
     dtype: object = jnp.float32
     G: float = 1.0
-    # P³M split scale rₛ (None → pure PM)
+    # Gravity method: 'pm' | 'p3m' | 'pp' | 'ppnonperiodic'
+    method: str = "pm"
+    # P³M split scale rₛ and cutoff range (reference defaults:
+    # scale = 1.25·boxsize/gridsize, range = 4.5·scale,
+    # param/example_explanatory:211-218); None → derived defaults.
     shortrange_scale: float | None = None
     shortrange_range: float | None = None
+    shortrange_capacity: int = 0  # 0 → auto from mean density
+    ewald_gridsize: int = 64  # reference default (example_explanatory:210)
+    softening: float = 0.0
+
+    def derived_shortrange(self):
+        scale = self.shortrange_scale
+        if scale is None:
+            scale = 1.25 * self.boxsize / self.potential_gridsize
+        rng = self.shortrange_range
+        if rng is None:
+            rng = 4.5 * scale
+        return scale, rng
 
 
 class Simulation:
@@ -82,6 +98,22 @@ class Simulation:
         self.bg = bg
         self.lin = lin
         self.dist = dist
+        self._ewald_table = None
+        if config.method == "pp":
+            from concept_tpu.forces.pp import make_ewald_table
+
+            self._ewald_table = make_ewald_table(config.ewald_gridsize)
+        if config.method == "p3m":
+            from concept_tpu.forces.shortrange import cell_grid_shape
+
+            scale, rng = config.derived_shortrange()
+            self._sr_scale, self._sr_range = scale, rng
+            self._sr_ncells = cell_grid_shape(config.boxsize, rng)
+            cap = config.shortrange_capacity
+            if cap == 0 and spec.N:
+                mean_per_cell = spec.N / self._sr_ncells**3
+                cap = max(16, int(8 * mean_per_cell))
+            self._sr_capacity = cap
         self._step_jit = jax.jit(self._step)
 
     # ------------------------------------------------------------------ #
@@ -98,18 +130,41 @@ class Simulation:
     # ------------------------------------------------------------------ #
     def _kick(self, state: ParticleState, int_a1) -> ParticleState:
         cfg = self.config
-        (dmom,) = pm_force.pm_gravity_momentum_updates(
-            [state.pos], [self.spec.mass],
-            cfg.potential_gridsize, cfg.boxsize, cfg.G,
-            kick_integral=int_a1,
-            order=cfg.interpolation_order,
-            deconvolve=cfg.deconvolve,
-            dist=self.dist,
-            differentiation=cfg.differentiation,
-            deposit_method=cfg.deposit_method,
-            longrange_scale=cfg.shortrange_scale,
-            interlace=cfg.interlace,
-        )
+        method = cfg.method
+        if method in ("pm", "p3m"):
+            longrange_scale = self._sr_scale if method == "p3m" else None
+            (dmom,) = pm_force.pm_gravity_momentum_updates(
+                [state.pos], [self.spec.mass],
+                cfg.potential_gridsize, cfg.boxsize, cfg.G,
+                kick_integral=int_a1,
+                order=cfg.interpolation_order,
+                deconvolve=cfg.deconvolve,
+                dist=self.dist,
+                differentiation=cfg.differentiation,
+                deposit_method=cfg.deposit_method,
+                longrange_scale=longrange_scale,
+                interlace=cfg.interlace,
+            )
+            if method == "p3m":
+                from concept_tpu.forces.shortrange import shortrange_momentum_updates
+
+                dmom = dmom + shortrange_momentum_updates(
+                    state.pos, self.spec.mass, cfg.boxsize,
+                    self._sr_scale, self._sr_range, int_a1,
+                    n_cells=self._sr_ncells, capacity=self._sr_capacity,
+                    softening=cfg.softening, G=cfg.G,
+                )
+        elif method in ("pp", "ppnonperiodic"):
+            from concept_tpu.forces.pp import pp_momentum_updates
+
+            dmom = pp_momentum_updates(
+                state.pos, self.spec.mass, cfg.boxsize, int_a1, cfg.G,
+                softening=cfg.softening,
+                ewald_table=self._ewald_table,
+                periodic=(method == "pp"),
+            )
+        else:
+            raise ValueError(f"unknown gravity method {method!r}")
         return state._replace(mom=state.mom + dmom)
 
     def _drift(self, state: ParticleState, int_a2) -> ParticleState:

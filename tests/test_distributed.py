@@ -1,0 +1,47 @@
+"""Device-count invariance: the distributed (8-device) PM step must agree
+with the single-device step — the analogue of the reference's
+nprocs_pm/nprocs_p3m tests (tolerance 2e-2 there; here the computation is
+deterministic enough for much tighter agreement).
+Reference: test/nprocs_pm, test/nprocs_p3m/analyze.py:122."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from concept_tpu.grid.fft import GridDistribution
+import __graft_entry__ as ge
+
+
+def test_distributed_step_matches_single():
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("x",))
+    dist = GridDistribution(mesh=mesh, axis="x")
+    n_grid = 16
+    sim_d, state = ge._build(n_grid=n_grid, dist=dist)
+    sim_s, _ = ge._build(n_grid=n_grid, dist=None)
+
+    int1, int2 = jnp.float32(2e-3), jnp.float32(1e-3)
+    out_single = jax.jit(sim_s._step)(state, int1, int2)
+
+    pshard = NamedSharding(mesh, P("x", None))
+    state_sharded = state._replace(
+        pos=jax.device_put(state.pos, pshard),
+        mom=jax.device_put(state.mom, pshard),
+    )
+    out_dist = jax.jit(sim_d._step)(state_sharded, int1, int2)
+
+    np.testing.assert_allclose(
+        np.asarray(out_dist.pos), np.asarray(out_single.pos), atol=1e-4
+    )
+    mom_scale = float(jnp.max(jnp.abs(out_single.mom)))
+    np.testing.assert_allclose(
+        np.asarray(out_dist.mom) / mom_scale,
+        np.asarray(out_single.mom) / mom_scale,
+        atol=1e-5,
+    )
+
+
+def test_dryrun_multichip_runs():
+    ge.dryrun_multichip(4)
