@@ -1,0 +1,74 @@
+"""Command-line interface — the single entry point.
+
+TPU-native counterpart of the reference bash launcher `concept`
+(reference concept:854-1315 for the option surface, 2737-2747 for the
+run/logging behavior).  No mpiexec/Slurm layer is needed: a run is one
+JAX process driving the local chips; job logs are tee'd under
+job/<jobid>/log like the reference.
+
+Usage:
+  concept-tpu -p params.py [-c "extra=1"] [-u powerspec path ...]
+  python -m concept_tpu -p params.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def make_parser():
+    p = argparse.ArgumentParser(
+        prog="concept-tpu",
+        description="TPU-native cosmological N-body + fluid simulation framework",
+    )
+    p.add_argument("-p", "--param", help="parameter file (executable Python)")
+    p.add_argument(
+        "-c", "--command-line-params", action="append", default=[],
+        help="extra parameter statements, run after the parameter file",
+    )
+    p.add_argument(
+        "-u", "--utility", nargs=argparse.REMAINDER,
+        help="run a utility: powerspec|bispec|info|convert|render3D|class <args>",
+    )
+    p.add_argument("-n", "--nprocs", type=int, default=0,
+                   help="(virtual) device count; 0 = all available")
+    p.add_argument("--seed", type=int, default=None, help="override primordial seed")
+    p.add_argument("--version", action="store_true")
+    p.add_argument("--local", action="store_true",
+                   help="accepted for reference-CLI compatibility (no-op)")
+    p.add_argument("--pure-python", action="store_true",
+                   help="eager (non-jit) execution for debugging "
+                        "(reference --pure-python analogue)")
+    return p
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    if args.version:
+        from concept_tpu import __version__
+
+        print(f"concept_tpu {__version__}")
+        return 0
+    if args.utility:
+        from concept_tpu.utilities import delegate
+
+        return delegate(args.utility, args)
+    if not args.param and not args.command_line_params:
+        print("nothing to do (pass -p/--param or -u/--utility)", file=sys.stderr)
+        return 1
+    if args.pure_python:
+        import jax
+
+        jax.config.update("jax_disable_jit", True)
+    from concept_tpu.param import load_params
+    from concept_tpu.run import run
+
+    cfg = load_params(args.param, overrides=args.command_line_params)
+    run(cfg, seed=args.seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -98,6 +98,28 @@ def _corner_indices_weights(pos, gridsize: int, boxsize: float, order: int):
     return flat, w
 
 
+# Particles per compiled scatter/gather op.  The TPU compiler (and its
+# memory) struggle with single scatter ops beyond ~4M·order³ updates, so
+# larger particle counts are processed as a lax.scan over fixed-size
+# chunks — one compiled body, bounded op sizes, negligible overhead.
+CHUNK = 1 << 21  # 2,097,152
+
+
+def _deposit_chunk(grid_flat, pos, q, gridsize, boxsize, order, method):
+    n = gridsize
+    flat, w = _corner_indices_weights(pos, n, boxsize, order)
+    vals = (w * q[:, None]).reshape(-1)
+    flat = flat.reshape(-1)
+    if method == "sort":
+        sort_idx = jnp.argsort(flat)
+        flat = flat[sort_idx]
+        vals = vals[sort_idx]
+        return grid_flat + jax.ops.segment_sum(
+            vals, flat, num_segments=n * n * n, indices_are_sorted=True
+        )
+    return grid_flat.at[flat].add(vals)
+
+
 @partial(jax.jit, static_argnames=("gridsize", "order", "method"))
 def deposit(pos, quantity, gridsize: int, boxsize: float, order=2, method: str = "scatter"):
     """Deposit per-particle ``quantity`` onto a (n,n,n) grid.
@@ -112,20 +134,33 @@ def deposit(pos, quantity, gridsize: int, boxsize: float, order=2, method: str =
     """
     n = gridsize
     order = interpolation_order(order)
-    flat, w = _corner_indices_weights(pos, n, boxsize, order)
-    q = jnp.broadcast_to(jnp.asarray(quantity, dtype=w.dtype), (pos.shape[0],))
-    vals = (w * q[:, None]).reshape(-1)
-    flat = flat.reshape(-1)
-    if method == "sort":
-        sort_idx = jnp.argsort(flat)
-        flat = flat[sort_idx]
-        vals = vals[sort_idx]
-        grid = jax.ops.segment_sum(
-            vals, flat, num_segments=n * n * n, indices_are_sorted=True
-        )
-    else:
-        grid = jnp.zeros((n * n * n,), dtype=vals.dtype).at[flat].add(vals)
+    N = pos.shape[0]
+    dtype = pos.dtype
+    q = jnp.broadcast_to(jnp.asarray(quantity, dtype=dtype), (N,))
+    grid = jnp.zeros((n * n * n,), dtype=dtype)
+    if N <= CHUNK:
+        grid = _deposit_chunk(grid, pos, q, n, boxsize, order, method)
+        return grid.reshape(n, n, n)
+    npad = (-N) % CHUNK
+    pos_pad = jnp.concatenate([pos, jnp.zeros((npad, 3), dtype)], axis=0)
+    q_pad = jnp.concatenate([q, jnp.zeros((npad,), dtype)], axis=0)
+    n_chunks = (N + npad) // CHUNK
+    pos_c = pos_pad.reshape(n_chunks, CHUNK, 3)
+    q_c = q_pad.reshape(n_chunks, CHUNK)
+
+    def body(g, xs):
+        p, qq = xs
+        return _deposit_chunk(g, p, qq, n, boxsize, order, method), None
+
+    grid, _ = jax.lax.scan(body, grid, (pos_c, q_c))
+    # padded particles deposited q=0 at the origin cell — no effect
     return grid.reshape(n, n, n)
+
+
+def _gather_chunk(grid_flat, pos, n, boxsize, order):
+    flat, w = _corner_indices_weights(pos, n, boxsize, order)
+    vals = grid_flat[flat]
+    return jnp.sum(vals * w, axis=1)
 
 
 @partial(jax.jit, static_argnames=("order",))
@@ -137,9 +172,20 @@ def gather(grid, pos, boxsize: float, order=2):
     """
     n = grid.shape[0]
     order = interpolation_order(order)
-    flat, w = _corner_indices_weights(pos, n, boxsize, order)
-    vals = grid.reshape(-1)[flat]
-    return jnp.sum(vals * w, axis=1)
+    N = pos.shape[0]
+    grid_flat = grid.reshape(-1)
+    if N <= CHUNK:
+        return _gather_chunk(grid_flat, pos, n, boxsize, order)
+    npad = (-N) % CHUNK
+    pos_pad = jnp.concatenate([pos, jnp.zeros((npad, 3), pos.dtype)], axis=0)
+    n_chunks = (N + npad) // CHUNK
+    pos_c = pos_pad.reshape(n_chunks, CHUNK, 3)
+
+    def body(_, p):
+        return None, _gather_chunk(grid_flat, p, n, boxsize, order)
+
+    _, vals = jax.lax.scan(body, None, pos_c)
+    return vals.reshape(-1)[:N]
 
 
 def gather_vector(grids, pos, boxsize: float, order=2):

@@ -1,0 +1,276 @@
+"""Snapshot I/O: CONCEPT-HDF5 and GADGET-2 formats (TIPSY read planned).
+
+TPU-native counterpart of reference src/snapshot.py (ConceptSnapshot :53,
+GadgetSnapshot :639, type autodetect :3206, save/load :3045/3120).
+Host-side (NumPy/h5py); device arrays are pulled once per dump.  The
+CONCEPT-HDF5 layout is byte-compatible with the reference
+(snapshot.py:136-288): root attrs {'unit time','unit length','unit mass',
+'H0','a','boxsize','Ωb','Ωcdm'}, groups components/<name> with attrs
+{'species','mass','N'} and datasets pos/mom (N,3) float64, optional ids.
+
+Momentum conventions:
+  CONCEPT: mom = a²·m·ẋ (internal = file)
+  GADGET-2: file stores u with peculiar velocity v = u·√a
+            (reference snapshot.py:639-2642 handles the same factors)
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from concept_tpu.components import ComponentSpec, ParticleState
+
+
+@dataclass
+class SnapshotMeta:
+    a: float
+    boxsize: float
+    H0: float
+    Omega_b: float
+    Omega_cdm: float
+    unit_length: str = "Mpc"
+    unit_time: str = "Gyr"
+    unit_mass: str = "10*^10 m_sun"
+
+
+# --------------------------------------------------------------------- #
+# CONCEPT HDF5
+# --------------------------------------------------------------------- #
+def save_concept(filename: str, meta: SnapshotMeta, components: dict):
+    """components: {name: (ComponentSpec, ParticleState)} (fluids later)."""
+    import h5py
+
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    with h5py.File(filename, "w") as f:
+        f.attrs["unit time"] = meta.unit_time
+        f.attrs["unit length"] = meta.unit_length
+        f.attrs["unit mass"] = meta.unit_mass
+        f.attrs["H0"] = meta.H0
+        f.attrs["a"] = meta.a
+        f.attrs["boxsize"] = meta.boxsize
+        f.attrs["Ωb"] = meta.Omega_b
+        f.attrs["Ωcdm"] = meta.Omega_cdm
+        for name, (spec, state) in components.items():
+            g = f.create_group(f"components/{name}")
+            g.attrs["species"] = spec.species
+            g.attrs["mass"] = spec.mass
+            g.attrs["N"] = spec.N
+            g.create_dataset("pos", data=np.asarray(state.pos, dtype=np.float64))
+            g.create_dataset("mom", data=np.asarray(state.mom, dtype=np.float64))
+            if state.ids is not None:
+                g.create_dataset("ids", data=np.asarray(state.ids, dtype=np.int64))
+    return filename
+
+
+def load_concept(filename: str):
+    import h5py
+
+    components = {}
+    with h5py.File(filename, "r") as f:
+        meta = SnapshotMeta(
+            a=float(f.attrs["a"]),
+            boxsize=float(f.attrs["boxsize"]),
+            H0=float(f.attrs["H0"]),
+            Omega_b=float(f.attrs["Ωb"]),
+            Omega_cdm=float(f.attrs["Ωcdm"]),
+            unit_length=str(f.attrs.get("unit length", "Mpc")),
+            unit_time=str(f.attrs.get("unit time", "Gyr")),
+            unit_mass=str(f.attrs.get("unit mass", "10*^10 m_sun")),
+        )
+        for name, g in f["components"].items():
+            spec = ComponentSpec(
+                name=name,
+                species=str(g.attrs["species"]),
+                N=int(g.attrs["N"]),
+                mass=float(g.attrs["mass"]),
+            )
+            state = ParticleState(
+                pos=np.asarray(g["pos"], dtype=np.float64),
+                mom=np.asarray(g["mom"], dtype=np.float64),
+                ids=np.asarray(g["ids"]) if "ids" in g else None,
+            )
+            components[name] = (spec, state)
+    return meta, components
+
+
+def is_concept_snapshot(filename: str) -> bool:
+    try:
+        import h5py
+
+        with h5py.File(filename, "r") as f:
+            return "Ωcdm" in f.attrs
+    except Exception:
+        return False
+
+
+# --------------------------------------------------------------------- #
+# GADGET-2
+# --------------------------------------------------------------------- #
+_GADGET_HEADER = struct.Struct("<6I6dddii6Iiiddddii6Ii60x")  # 256 bytes
+
+
+def _gadget_header_bytes(npart, masses, time, redshift, boxsize,
+                         omega0, omega_lambda, hubble_param, num_files=1):
+    return _GADGET_HEADER.pack(
+        *npart, *masses, time, redshift, 0, 0, *npart, 0, num_files,
+        boxsize, omega0, omega_lambda, hubble_param, 0, 0, *([0] * 6), 0,
+    )
+
+
+def save_gadget(
+    filename: str,
+    meta: SnapshotMeta,
+    spec: ComponentSpec,
+    state: ParticleState,
+    units,
+    snapformat: int = 2,
+    single_precision: bool = True,
+):
+    """Write a GADGET-2 snapshot (particle type 1 = halo/cdm).
+
+    GADGET units: kpc/h (length), 1e10 m_sun/h (mass), km/s (velocity,
+    u = v_peculiar/√a).  Reference: snapshot.py:639-2642.
+    """
+    h = meta.H0 / (100 * units.km / (units.s * units.Mpc))
+    kpc_h = units.kpc / h
+    msun10_h = 1e10 * units.m_sun / h
+    kms = units.km / units.s
+    a = meta.a
+    dtype = np.float32 if single_precision else np.float64
+
+    pos = np.asarray(state.pos, np.float64) / kpc_h
+    # u = v_pec/√a = mom/(a^1.5 m)
+    vel = np.asarray(state.mom, np.float64) / (a**1.5 * spec.mass) / kms
+    ids = (
+        np.asarray(state.ids, np.uint32)
+        if state.ids is not None
+        else np.arange(spec.N, dtype=np.uint32)
+    )
+    npart = [0, spec.N, 0, 0, 0, 0]
+    masses = [0.0, spec.mass / msun10_h, 0.0, 0.0, 0.0, 0.0]
+    header = _gadget_header_bytes(
+        npart, masses, a, 1 / a - 1, meta.boxsize / kpc_h,
+        meta.Omega_b + meta.Omega_cdm,
+        1 - meta.Omega_b - meta.Omega_cdm, h,
+    )
+
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    with open(filename, "wb") as f:
+        def block(name, payload):
+            if snapformat == 2:
+                f.write(struct.pack("<I", 8))
+                f.write(name.encode().ljust(4))
+                f.write(struct.pack("<I", len(payload) + 8))
+                f.write(struct.pack("<I", 8))
+            f.write(struct.pack("<I", len(payload)))
+            f.write(payload)
+            f.write(struct.pack("<I", len(payload)))
+
+        block("HEAD", header)
+        block("POS ", pos.astype(dtype).tobytes())
+        block("VEL ", vel.astype(dtype).tobytes())
+        block("ID  ", ids.tobytes())
+    return filename
+
+
+def load_gadget(filename: str, units):
+    """Read a GADGET-2 snapshot (SnapFormat 1 or 2, single file)."""
+    with open(filename, "rb") as f:
+        raw = f.read()
+    off = 0
+
+    def read_block():
+        nonlocal off
+        size = struct.unpack_from("<I", raw, off)[0]
+        off += 4
+        name = None
+        if size == 8:  # SnapFormat 2 marker
+            name = raw[off : off + 4].decode().strip()
+            off += 8 + 4  # name + next-size + trailing marker size
+            size = struct.unpack_from("<I", raw, off)[0]
+            off += 4
+        payload = raw[off : off + size]
+        off += size
+        tail = struct.unpack_from("<I", raw, off)[0]
+        off += 4
+        assert tail == size, "corrupt GADGET block"
+        return name, payload
+
+    name, header = read_block()
+    vals = _GADGET_HEADER.unpack(header.ljust(256, b"\0")[:_GADGET_HEADER.size])
+    npart = vals[0:6]
+    masses = vals[6:12]
+    time_, redshift = vals[12], vals[13]
+    # layout: ...Nall(16-21) FlagCooling(22) NumFiles(23) BoxSize(24)
+    # Omega0(25) OmegaLambda(26) HubbleParam(27)
+    boxsize_g, omega0, omega_lambda, hubble = vals[24], vals[25], vals[26], vals[27]
+    N = int(sum(npart))
+    name, pos_raw = read_block()
+    name, vel_raw = read_block()
+    name, ids_raw = read_block()
+    per = len(pos_raw) // (3 * N)
+    fdtype = np.float32 if per == 4 else np.float64
+    pos = np.frombuffer(pos_raw, fdtype).reshape(N, 3).astype(np.float64)
+    vel = np.frombuffer(vel_raw, fdtype).reshape(N, 3).astype(np.float64)
+    ids = np.frombuffer(ids_raw, np.uint32 if len(ids_raw) == 4 * N else np.uint64)
+
+    h = hubble
+    kpc_h = units.kpc / h
+    msun10_h = 1e10 * units.m_sun / h
+    kms = units.km / units.s
+    a = time_
+    # find the (single) populated particle type
+    ptype = int(np.argmax(npart))
+    mass = masses[ptype] * msun10_h
+    H0 = 100 * h * units.km / (units.s * units.Mpc)
+    meta = SnapshotMeta(
+        a=a, boxsize=boxsize_g * kpc_h, H0=H0,
+        Omega_b=0.0, Omega_cdm=omega0,
+    )
+    spec = ComponentSpec(
+        name="GADGET halo", species="matter", N=N, mass=mass,
+    )
+    state = ParticleState(
+        pos=pos * kpc_h,
+        mom=vel * kms * (a**1.5) * mass,
+        ids=ids,
+    )
+    return meta, {spec.name: (spec, state)}
+
+
+def is_gadget_snapshot(filename: str) -> bool:
+    try:
+        with open(filename, "rb") as f:
+            head = f.read(8)
+        size = struct.unpack_from("<I", head, 0)[0]
+        return size == 8 and head[4:8] == b"HEAD" or size == 256
+    except Exception:
+        return False
+
+
+# --------------------------------------------------------------------- #
+# Dispatch (reference snapshot.py:3206 get_snapshot_type)
+# --------------------------------------------------------------------- #
+def snapshot_type(filename: str) -> str | None:
+    if is_concept_snapshot(filename):
+        return "concept"
+    if is_gadget_snapshot(filename):
+        return "gadget"
+    return None
+
+
+def load(filename: str, units=None):
+    kind = snapshot_type(filename)
+    if kind == "concept":
+        return load_concept(filename)
+    if kind == "gadget":
+        if units is None:
+            from concept_tpu.units import units as default_units
+
+            units = default_units
+        return load_gadget(filename, units)
+    raise ValueError(f"unrecognized snapshot format: {filename}")

@@ -1,0 +1,207 @@
+"""High-level run driver: from RunConfig to a finished simulation with
+output dumps — the counterpart of reference src/main.py timeloop +
+prepare_for_output/dump (main.py:1676-2188).
+
+Orchestration is host-side; all heavy work stays in the jitted step and
+jitted analysis kernels.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time as _time
+
+import numpy as np
+import jax.numpy as jnp
+
+from concept_tpu.param import RunConfig, is_selected
+from concept_tpu.units import UnitSystem
+from concept_tpu.components import ComponentSpec, particle_mass
+from concept_tpu.cosmology.background import Background
+from concept_tpu.cosmology.primordial import PrimordialSpectrum
+from concept_tpu.cosmology.linear import LinearCosmology
+from concept_tpu.sim import Simulation, SimConfig
+from concept_tpu.utils.terminal import masterprint
+
+
+def build_cosmology(cfg: RunConfig):
+    units = cfg.units or UnitSystem(cfg.unit_length, cfg.unit_time, cfg.unit_mass)
+    c = units.constants()
+    bg = Background(H0=cfg.H0, Omega_m=cfg.Omega_m, enable_Hubble=cfg.enable_Hubble)
+    prim = PrimordialSpectrum(
+        A_s=cfg.primordial["A_s"], n_s=cfg.primordial["n_s"],
+        alpha_s=cfg.primordial.get("alpha_s", 0.0),
+        pivot=cfg.primordial.get("pivot") or 0.05 / units.Mpc,
+    )
+    lin = LinearCosmology(
+        bg, prim, Omega_b=cfg.Omega_b, Omega_cdm=cfg.Omega_cdm,
+        light_speed=c.light_speed, Mpc=units.Mpc,
+    )
+    return units, c, bg, lin
+
+
+def build_components(cfg: RunConfig, bg, constants):
+    """From cfg.initial_conditions (dict / list of dicts / snapshot path)
+    to [(ComponentSpec, source)] where source is 'realize' or a path."""
+    ics = cfg.initial_conditions
+    if ics is None:
+        raise ValueError("no initial_conditions specified")
+    entries = ics if isinstance(ics, (list, tuple)) else [ics]
+    rho_crit = bg.rho_crit_of(constants.G_Newton)
+    out = []
+    for entry in entries:
+        if isinstance(entry, str):
+            out.append((None, entry))  # snapshot path; spec comes from file
+            continue
+        species = entry["species"]
+        name = entry.get("name", species)
+        N = entry.get("N")
+        gridsize = entry.get("gridsize")
+        if species in ("matter", "cdm", "baryon", "cold dark matter") and N:
+            Omega = cfg.Omega_m if species == "matter" else (
+                cfg.Omega_cdm if species in ("cdm", "cold dark matter") else cfg.Omega_b
+            )
+            mass = entry.get("mass", particle_mass(Omega, rho_crit, cfg.boxsize, N))
+            method = is_selected_force(cfg, name, species)
+            spec = ComponentSpec(
+                name=name, species=species, N=int(N), mass=float(mass),
+                forces=(("gravity", method),),
+            )
+            out.append((spec, "realize"))
+        else:
+            raise NotImplementedError(
+                f"component species {species!r} (fluid realization is the "
+                f"next build phase; reference ic.py:400 realize_fluid)"
+            )
+    return out
+
+
+def is_selected_force(cfg: RunConfig, name: str, species: str) -> str:
+    class _S:  # tiny adapter for is_selected
+        pass
+
+    s = _S()
+    s.name, s.species, s.representation = name, species, "particles"
+    sel = is_selected(s, cfg.select_forces, default={"gravity": "p3m"})
+    return sel.get("gravity", "p3m") if isinstance(sel, dict) else "p3m"
+
+
+def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
+        deposit_method: str | None = None):
+    """Run the simulation described by cfg; returns final (sim, state, a)."""
+    units, consts, bg, lin = build_cosmology(cfg)
+    comps = build_components(cfg, bg, consts)
+    if len(comps) != 1 or comps[0][1] != "realize":
+        raise NotImplementedError("multi-component / snapshot-start: next phase")
+    spec, _ = comps[0]
+    method = spec.force_method("gravity") or "p3m"
+
+    pot = cfg.potential_options
+    gridsize = pot.get("gridsize") or (
+        2 * round(spec.N ** (1 / 3)) if method == "p3m" else round(spec.N ** (1 / 3))
+    )
+    softening = 0.025 * cfg.boxsize / spec.N ** (1 / 3)
+    sim_config = SimConfig(
+        boxsize=cfg.boxsize,
+        potential_gridsize=int(gridsize),
+        interpolation_order=pot.get("interpolation", 2),
+        deconvolve=pot.get("deconvolve", (True, True)),
+        interlace=bool(pot.get("interlace", False)),
+        differentiation=pot.get("differentiation", "fourier"),
+        G=consts.G_Newton,
+        method=method,
+        softening=softening,
+        ewald_gridsize=cfg.ewald_gridsize,
+        deposit_method=deposit_method or "scatter",
+    )
+    sim = Simulation(spec, sim_config, bg, lin)
+    seed_val = seed if seed is not None else int(
+        cfg.random_seeds.get("primordial amplitudes", 0)
+    )
+    lpt = int(cfg.realization_options.get("lpt", 1))
+    masterprint(f"Realizing {spec.name} ({spec.N} particles, {lpt}LPT) ...")
+    state = sim.initial_state(
+        a_begin=cfg.a_begin, seed=seed_val, lpt_order=lpt,
+        fixed_amplitude=cfg.primordial_amplitude_fixed,
+        phase_shift=cfg.primordial_phase_shift,
+    )
+    masterprint("done")
+
+    # dump schedule: a-values across all kinds
+    events = []
+    for kind, times in cfg.output_times.get("a", {}).items():
+        for t in times:
+            events.append((float(t), kind))
+    for kind, times in cfg.output_times.get("t", {}).items():
+        for tt in times:
+            events.append((float(bg.a_of_t_np(tt)), kind))
+    events.sort()
+    a = cfg.a_begin
+    # dump anything scheduled exactly at the start
+    for a_dump, kind in [e for e in events if e[0] <= a + 1e-12]:
+        dump(cfg, sim, state, a, kind, units, lin)
+    events = [e for e in events if e[0] > a + 1e-12]
+
+    t_wall0 = _time.time()
+    step_total = 0
+    while events:
+        a_next = events[0][0]
+        masterprint(f"Evolving to a = {a_next:.4g} ...")
+
+        def cb(st, t, a_now, n):
+            nonlocal step_total
+            step_total = n
+
+        state, a = sim.evolve(state, a, a_next, callback=cb, max_steps=max_steps)
+        masterprint("done")
+        while events and events[0][0] <= a + 1e-9:
+            _, kind = events.pop(0)
+            dump(cfg, sim, state, a, kind, units, lin)
+    masterprint(
+        f"Simulation complete: a = {a:.6g}, wall time {_time.time()-t_wall0:.1f} s"
+    )
+    return sim, state, a
+
+
+def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
+    base = cfg.output_bases.get(kind, kind)
+    dirname = cfg.output_dirs.get(kind, "output")
+    tag = f"a={a:.4g}" if cfg.enable_Hubble else f"t={a:.4g}"
+    if kind == "powerspec":
+        from concept_tpu.analysis.powerspec import powerspec
+        from concept_tpu.analysis.output import save_powerspec_txt
+
+        opts = cfg.powerspec_options or {}
+        gridsize = int(opts.get("gridsize") or sim.config.potential_gridsize)
+        pk = powerspec(
+            [state.pos], [1.0], gridsize, cfg.boxsize, sim.spec.N,
+            order=opts.get("interpolation", 4),
+            interlace=bool(opts.get("interlace", True)),
+        )
+        lin_col = None
+        if lin is not None:
+            lin_col = np.asarray(lin.power_delta(jnp.asarray(pk["k"]), a))
+        R = 8 / cfg.h * units.Mpc
+        sigma = lin.sigma_R(R, a) if lin is not None else None
+        fn = os.path.join(dirname, f"{base}_{tag}.txt")
+        save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length, sigma, R, lin_col)
+        masterprint(f"Saved power spectrum: {fn}")
+    elif kind == "snapshot":
+        from concept_tpu.io import snapshot as snap
+
+        meta = snap.SnapshotMeta(
+            a=a, boxsize=cfg.boxsize, H0=cfg.H0,
+            Omega_b=cfg.Omega_b, Omega_cdm=cfg.Omega_cdm,
+            unit_length=cfg.unit_length, unit_time=cfg.unit_time,
+            unit_mass=cfg.unit_mass,
+        )
+        if cfg.snapshot_type == "gadget":
+            fn = os.path.join(dirname, f"{base}_{tag}")
+            snap.save_gadget(fn, meta, sim.spec, state, units)
+        else:
+            fn = os.path.join(dirname, f"{base}_{tag}.hdf5")
+            snap.save_concept(fn, meta, {sim.spec.name: (sim.spec, state)})
+        masterprint(f"Saved snapshot: {fn}")
+    elif kind in ("render2D", "render3D", "bispec"):
+        masterprint(f"[{kind} output: next build phase]")

@@ -1,0 +1,94 @@
+"""Parameter-file system and CLI end-to-end tests (analogue of reference
+test/basic: run with a param file, produce output).  Param surface:
+reference param/example_basic and commons.py:1757-2045."""
+
+import math
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from concept_tpu.param import load_params, is_selected
+from concept_tpu.units import UnitSystem
+
+
+EXAMPLE_BASIC = textwrap.dedent(
+    """
+    # matter-only ΛCDM, ICs generated on the fly (example_basic analogue)
+    initial_conditions = {
+        'species': 'matter',
+        'N'      : 16**3,
+    }
+    output_dirs = 'OUTDIR'
+    output_times = {'powerspec': 1.0}
+
+    boxsize = 256*Mpc/h
+    potential_options = 32
+
+    H0 = 67*km/(s*Mpc)
+    Ωb = 0.049
+    Ωcdm = 0.27
+    a_begin = 0.05
+    primordial_spectrum = {
+        'A_s': 2.1e-9,
+        'n_s': 0.96,
+    }
+    """
+)
+
+
+def test_load_example_basic(tmp_path):
+    path = tmp_path / "param_basic.py"
+    path.write_text(EXAMPLE_BASIC.replace("OUTDIR", str(tmp_path / "out")))
+    cfg = load_params(str(path))
+    u = cfg.units
+    assert math.isclose(cfg.h, 0.67, rel_tol=1e-12)
+    # boxsize given in Mpc/h resolves with the file's own H0
+    assert math.isclose(cfg.boxsize, 256 / 0.67 * u.Mpc, rel_tol=1e-12)
+    assert cfg.potential_options["gridsize"] == 32
+    assert cfg.initial_conditions["N"] == 4096
+    assert cfg.output_times["a"]["powerspec"] == (1.0,)
+    assert cfg.Omega_m == pytest.approx(0.319)
+
+
+def test_command_line_overrides(tmp_path):
+    path = tmp_path / "p.py"
+    path.write_text(EXAMPLE_BASIC.replace("OUTDIR", str(tmp_path)))
+    cfg = load_params(str(path), overrides=["Ωcdm = 0.30", "a_begin = 0.1"])
+    assert cfg.Omega_cdm == 0.30
+    assert cfg.a_begin == 0.1
+
+
+def test_selector_matching():
+    from concept_tpu.components import ComponentSpec
+
+    spec = ComponentSpec(name="my matter", species="matter")
+    sel = {"all": {"gravity": "p3m"}}
+    assert is_selected(spec, sel)["gravity"] == "p3m"
+    sel2 = {("my matter", "other"): 1, "all": 2}
+    assert is_selected(spec, sel2) == 1
+    sel3 = {"neutrino": 5}
+    assert is_selected(spec, sel3, default="x") == "x"
+
+
+def test_cli_end_to_end(tmp_path):
+    """Full mini simulation through the CLI: param file → run → powerspec
+    text output exists (analogue of reference test/basic)."""
+    from concept_tpu import cli
+
+    param = tmp_path / "run.py"
+    param.write_text(
+        EXAMPLE_BASIC.replace("OUTDIR", str(tmp_path / "out")).replace(
+            "output_times = {'powerspec': 1.0}",
+            "output_times = {'powerspec': 0.25}",
+        ).replace("a_begin = 0.05", "a_begin = 0.1")
+        + "\nselect_forces = {'all': {'gravity': 'pm'}}\n"
+    )
+    rc = cli.main(["-p", str(param)])
+    assert rc == 0
+    outs = list((tmp_path / "out").glob("powerspec*.txt"))
+    assert outs, "no powerspec output written"
+    data = np.loadtxt(outs[0])
+    assert data.shape[1] >= 4  # k, modes, P, corrected(, linear)
+    assert np.all(data[:, 0] > 0)
