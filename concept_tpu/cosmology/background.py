@@ -292,6 +292,25 @@ class Background:
             out[key] = half * jnp.sum(w * vals)
         return out
 
+    def integral_power(self, t1, t2, p: float):
+        """∫ a(t)^p dt (JAX) — covers the per-component integrand keys
+        'a**(3*w_eff-2)', 'a**(-3*w_eff)', etc. for constant-w species
+        (reference main.py:1002-1025 key set)."""
+        t1 = jnp.asarray(t1)
+        t2 = jnp.asarray(t2)
+        half = (t2 - t1) / 2
+        mid = (t2 + t1) / 2
+        tq = mid + half * jnp.asarray(_GL_NODES)
+        aq = self._a_of_t(tq) if self.enable_Hubble else jnp.ones_like(tq)
+        return half * jnp.sum(jnp.asarray(_GL_WEIGHTS) * aq**p)
+
+    def integral_power_np(self, t1, t2, p: float) -> float:
+        half = (t2 - t1) / 2
+        mid = (t2 + t1) / 2
+        tq = mid + half * _GL_NODES
+        aq = self.a_of_t_np(tq)
+        return float(half * np.sum(_GL_WEIGHTS * aq**p))
+
     def integrals_np(self, t1, t2, keys=("1", "a**2", "a**(-1)", "a**(-2)", "ȧ/a")):
         """Host-side float64 variant of :meth:`integrals`."""
         half = (t2 - t1) / 2

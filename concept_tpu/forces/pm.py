@@ -156,12 +156,28 @@ def pm_gravity_momentum_updates(
     phi = gravity_potential_slab(
         rho, gridsize, boxsize, G, deconv_order=deconv_order, longrange_scale=longrange_scale
     )
-    gradphi = potential_gradient_grids(phi, gridsize, boxsize, dist, differentiation)
-    if dist is not None and dist.mesh is not None:
-        # Replicate force grids so each device gathers for its own particle
-        # shard locally (all_gather over ICI; see parallel/step.py).
+    distributed = dist is not None and dist.mesh is not None
+    if distributed:
         from concept_tpu.parallel.step import replicate
 
+    if differentiation == "fourier" or differentiation == 0:
+        # One gradient dimension at a time: only a single real grid is live
+        # alongside φ(k), keeping peak HBM ≈ 2 grids instead of 4 — crucial
+        # for 512³ on a single chip.
+        updates = [jnp.zeros_like(p) for p in pos_list]
+        for d in range(3):
+            grad = irfft3(
+                fourier.fourier_diff(phi, gridsize, boxsize, d), gridsize, dist
+            )
+            if distributed:
+                grad = replicate(grad, dist)
+            for i, (p, m) in enumerate(zip(pos_list, mass_list)):
+                comp = gather(grad, p, boxsize, order=order)
+                updates[i] = updates[i].at[:, d].set((-m * kick_integral) * comp)
+        return updates
+
+    gradphi = potential_gradient_grids(phi, gridsize, boxsize, dist, differentiation)
+    if distributed:
         gradphi = replicate(gradphi, dist)
     updates = []
     for p, m in zip(pos_list, mass_list):

@@ -114,7 +114,9 @@ class Simulation:
                 mean_per_cell = spec.N / self._sr_ncells**3
                 cap = max(16, int(8 * mean_per_cell))
             self._sr_capacity = cap
-        self._step_jit = jax.jit(self._step)
+        # Donate the incoming state so XLA reuses pos/mom buffers in place
+        # (the update is element-wise) — halves particle-array HBM footprint.
+        self._step_jit = jax.jit(self._step, donate_argnums=0)
 
     # ------------------------------------------------------------------ #
     def initial_state(self, a_begin: float, seed: int = 0, lpt_order: int = 1,

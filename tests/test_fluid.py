@@ -1,0 +1,91 @@
+"""Fluid solver tests — analogues of reference test/fluid_drift_rigid
+(rigid advection), test/fluid_pressure (sound waves) and mass
+conservation."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from concept_tpu.fluid import kt_step, FLUX_LIMITERS
+
+
+N = 64
+BOX = 1.0
+DX = BOX / N
+
+
+def gaussian_bump(center, width=0.1, amp=0.5):
+    x = (np.arange(N) + 0.5) * DX
+    prof = 1.0 + amp * np.exp(-((x - center) % BOX - BOX / 2) ** 2 / (2 * width**2))
+    # make it periodic-smooth by construction around center: shift so bump mid-box
+    prof = 1.0 + amp * np.exp(-(((x - center + BOX / 2) % BOX) - BOX / 2) ** 2 / (2 * width**2))
+    return np.broadcast_to(prof[:, None, None], (N, N, N)).copy()
+
+
+def test_mass_conservation():
+    rho0 = jnp.asarray(gaussian_bump(0.5), jnp.float32)
+    u = 0.3
+    J = jnp.stack([rho0 * u, jnp.zeros_like(rho0), jnp.zeros_like(rho0)])
+    P = jnp.zeros_like(rho0)
+    rho, Jn, _ = kt_step(rho0, J, P, 0.005, 1.0, 1.0, BOX, 0.0, 0.0)
+    # conservative flux form: exact up to f32 summation roundoff
+    assert np.isclose(float(jnp.sum(rho)), float(jnp.sum(rho0)), rtol=1e-5)
+
+
+def test_rigid_advection():
+    """Pressureless fluid with uniform velocity: the profile advects
+    rigidly (reference test/fluid_drift_rigid)."""
+    u = 0.25  # box units per time
+    rho = jnp.asarray(gaussian_bump(0.5), jnp.float32)
+    J = jnp.stack([rho * u, jnp.zeros_like(rho), jnp.zeros_like(rho)])
+    P = jnp.zeros_like(rho)
+    t_total = 0.4  # advect 0.1 box lengths
+    n_steps = 160  # CFL: u dt/dx = 0.25*0.0025/0.015625 = 0.04
+    dt = t_total / n_steps
+    for _ in range(n_steps):
+        rho, J, P = kt_step(rho, J, P, dt, 1.0, 1.0, BOX, 0.0, 0.0)
+    expected = gaussian_bump(0.5 + u * t_total)
+    got = np.asarray(rho)
+    err = np.max(np.abs(got - expected)) / 0.5
+    assert err < 0.05, f"advection profile error {err}"
+    # velocity stays uniform
+    vel = np.asarray(J[0]) / got
+    assert np.allclose(vel, u, rtol=2e-2)
+
+
+def test_sound_wave_speed():
+    """Small density perturbation with P = c_s²ρ propagates at c_s
+    (reference test/fluid_pressure physics)."""
+    cs = 0.5
+    eps = 1e-4
+    x = (np.arange(N) + 0.5) * DX
+    k = 2 * math.pi / BOX
+    rho0 = 1.0 + eps * np.cos(k * x)
+    rho = jnp.asarray(np.broadcast_to(rho0[:, None, None], (N, N, N)).copy(), jnp.float32)
+    # standing wave: start at rest; δ(t) = ε cos(kx) cos(cs k t)
+    J = jnp.zeros((3, N, N, N), jnp.float32)
+    P = (cs**2) * rho
+    t_total = BOX / cs / 4  # quarter period of the fundamental: cos → 0
+    n_steps = 200
+    dt = t_total / n_steps
+    for _ in range(n_steps):
+        # P = cs² ρ maintained via approx_P_eq_wrho with w = cs²/c², c=1
+        rho, J, P = kt_step(
+            rho, J, P, dt, 1.0, 1.0, BOX, cs, 1.0,
+            approx_P_eq_wrho=True, w=cs**2, light_speed=1.0,
+        )
+    # amplitude of the fundamental mode ≈ 0 after a quarter period
+    amp = 2 * abs(np.fft.rfft(np.asarray(rho)[:, 0, 0])[1]) / N
+    assert amp < 0.25 * eps, f"standing wave amplitude {amp} vs initial {eps}"
+
+
+@pytest.mark.parametrize("name", sorted(FLUX_LIMITERS))
+def test_limiters_tvd_range(name):
+    """All limiters: φ(r) ≥ 0 and φ(1) = 1 (consistency)."""
+    lim = FLUX_LIMITERS[name]
+    r = jnp.linspace(-2, 4, 100)
+    vals = np.asarray(lim(r))
+    assert np.all(vals >= -1e-6)
+    assert np.isclose(float(lim(jnp.asarray(1.0))), 1.0, atol=1e-6)

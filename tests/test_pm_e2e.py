@@ -83,10 +83,11 @@ def test_momentum_conservation_one_step(simulation):
     state = simulation.initial_state(a_begin=0.02, seed=1)
     t0 = float(simulation.bg.t_of_a_np(0.02))
     ints = simulation.bg.integrals_np(t0, t0 * 1.01)
-    new = simulation.step(state, ints["a**(-1)"], ints["a**(-2)"])
+    # read out before stepping: the step donates (invalidates) its input
     p_tot_before = np.asarray(jnp.sum(state.mom, axis=0))
-    p_tot_after = np.asarray(jnp.sum(new.mom, axis=0))
     p_scale = float(jnp.mean(jnp.abs(state.mom))) * N
+    new = simulation.step(state, ints["a**(-1)"], ints["a**(-2)"])
+    p_tot_after = np.asarray(jnp.sum(new.mom, axis=0))
     assert np.all(np.abs(p_tot_after - p_tot_before) < 1e-4 * p_scale)
 
 
