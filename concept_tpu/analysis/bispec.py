@@ -1,0 +1,176 @@
+"""Bispectrum via the shell-FFT estimator.
+
+TPU-native redesign of reference analysis.py:929-3282 (bispec): named
+triangle configurations, shell binning, per-triangle products of three
+shell-filtered inverse FFTs, mode counting, reduced bispectrum and
+tree-level prediction.
+
+Estimator (Scoccimarro-style; matches the reference's method of three
+shell-grid products, analysis.py:3031-3194):
+    B̂(k1,k2,k3) = (V²/n⁹) · ⟨Πᵢ δᵢ(x)⟩ₓ / ⟨Πᵢ wᵢ(x)⟩ₓ
+with δᵢ = irfft(δ(k)·1_{|k|∈shell_i}), wᵢ = irfft(1_{shell_i}), and the
+triangle count N_tri = n⁶·mean(Πwᵢ).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from concept_tpu.grid.fft import rfft3, irfft3
+from concept_tpu.grid import fourier
+from concept_tpu.grid.interp import deposit
+
+
+def shell_field(delta_slab, gridsize: int, k_center: float, half_width: float,
+                boxsize: float):
+    """irfft of δ(k) restricted to |k| ∈ [k−Δ, k+Δ]."""
+    kfac = 2 * math.pi / boxsize
+    kmag = kfac * jnp.sqrt(fourier.k2_int_grid(gridsize).astype(jnp.float32))
+    mask = (kmag >= k_center - half_width) & (kmag < k_center + half_width)
+    return irfft3(jnp.where(mask, delta_slab, 0.0), gridsize), irfft3(
+        jnp.where(mask, 1.0 + 0.0j, 0.0), gridsize
+    )
+
+
+def triangle_configurations(configuration, k_min, k_max, n=10):
+    """Named configurations → list of (k1,k2,k3).  Reference shapes:
+    analysis.py:1459-2243 ('equilateral', 'squeezed', 'stretched',
+    'isosceles'/'L-isosceles'/'S-isosceles', 'right', 'elongated', 'all').
+    """
+    if isinstance(configuration, (list, tuple)) and configuration and isinstance(
+        configuration[0], (list, tuple)
+    ):
+        return [tuple(c) for c in configuration]
+    if isinstance(configuration, str):
+        parts = configuration.split()
+        name = parts[0].lower()
+        if len(parts) > 1:
+            n = int(parts[1])
+        ks = np.exp(np.linspace(math.log(k_min), math.log(k_max), n))
+        if name == "equilateral":
+            return [(k, k, k) for k in ks]
+        if name == "squeezed":
+            return [(k, k, k_min) for k in ks if k >= 2 * k_min]
+        if name == "stretched":
+            return [(k, k / 2, k / 2) for k in ks]
+        if name == "right":
+            return [(k, k, k * math.sqrt(2)) for k in ks if k * math.sqrt(2) <= k_max]
+        if name in ("l-isosceles", "isosceles"):
+            return [(k, k, k / 2) for k in ks]
+        if name == "s-isosceles":
+            return [(k, k / 2, k / 2) for k in ks]
+        if name == "elongated":
+            return [(k, k / 2, k / 2) for k in ks]
+        if name == "all":
+            out = []
+            for k1 in ks:
+                for k2 in ks:
+                    for k3 in ks:
+                        if k1 >= k2 >= k3 and k3 >= k1 - k2:  # triangle ineq
+                            out.append((k1, k2, k3))
+            return out
+        raise ValueError(f"unknown bispectrum configuration {name!r}")
+    raise ValueError(f"bad bispectrum configuration {configuration!r}")
+
+
+def bispec(
+    pos_list,
+    weight_list,
+    gridsize: int,
+    boxsize: float,
+    configuration="equilateral 10",
+    order: int = 4,
+    interlace: bool = True,
+    shell_fac: float = 0.05,
+    deposit_method: str = "scatter",
+):
+    """Measure B(k1,k2,k3).  Returns dict with per-triangle arrays.
+
+    shell_fac: shell half-width = max(k_fundamental, shell_fac·k).
+    """
+    n = gridsize
+    V = boxsize**3
+    kf = 2 * math.pi / boxsize
+    grid = None
+    for p, w in zip(pos_list, weight_list):
+        g = deposit(p, w, n, boxsize, order=order, method=deposit_method)
+        grid = g if grid is None else grid + g
+    mean = jnp.mean(grid)
+    slab = rfft3(grid / mean - 1.0)
+    if interlace:
+        h = boxsize / n
+        grid2 = None
+        for p, w in zip(pos_list, weight_list):
+            g = deposit(jnp.mod(p + 0.5 * h, boxsize), w, n, boxsize, order=order,
+                        method=deposit_method)
+            grid2 = g if grid2 is None else grid2 + g
+        slab2 = rfft3(grid2 / mean - 1.0)
+        phase = fourier.interlace_phase(n, boxsize, (-0.5, -0.5, -0.5))
+        slab = 0.5 * (slab + slab2 * phase)
+    slab = slab * fourier.deconvolution_factor(n, order)
+
+    k_nyq = kf * (n // 2)
+    triangles = triangle_configurations(configuration, 2 * kf, 0.8 * k_nyq)
+    # cache shell fields by k center (shared between triangles)
+    cache = {}
+
+    def get_shell(k):
+        key = round(float(k) / kf, 3)
+        if key not in cache:
+            hw = max(kf, shell_fac * k)
+            cache[key] = shell_field(slab, n, k, hw, boxsize)
+        return cache[key]
+
+    out_B, out_T = [], []
+    for (k1, k2, k3) in triangles:
+        d1, w1 = get_shell(k1)
+        d2, w2 = get_shell(k2)
+        d3, w3 = get_shell(k3)
+        num = float(jnp.mean(d1 * d2 * d3))
+        den = float(jnp.mean(w1 * w2 * w3))
+        if den <= 0:
+            out_B.append(np.nan)
+            out_T.append(0.0)
+            continue
+        # Each irfft carries 1/n³; with means over x:
+        #   num/den = ⟨δ_dft δ_dft δ_dft⟩ per closed triangle,
+        # and B = (V²/n⁹)·⟨δδδ⟩ (DFT normalisation, see powerspec.py).
+        B = (V**2 / float(n) ** 9) * (num / den)
+        out_B.append(B)
+        out_T.append(den * float(n) ** 9)
+    return {
+        "triangles": np.asarray(triangles),
+        "B": np.asarray(out_B),
+        "n_triangles": np.asarray(out_T),
+    }
+
+
+def bispec_treelevel(lin, triangles, a):
+    """Tree-level prediction: B = 2F₂(k1,k2)P(k1)P(k2) + cyclic
+    (reference analysis.py:3195; F₂ with the cosine from the closed
+    triangle)."""
+    out = []
+    for (k1, k2, k3) in np.asarray(triangles):
+        P = {k: float(lin.power_delta(jnp.asarray(k, jnp.float32), a)) for k in (k1, k2, k3)}
+
+        def F2(ka, kb, kc):
+            # angle between ka,kb from closure: kc² = ka²+kb²+2 ka·kb·μ
+            mu = (kc**2 - ka**2 - kb**2) / (2 * ka * kb)
+            return (
+                5.0 / 7.0
+                + 0.5 * mu * (ka / kb + kb / ka)
+                + 2.0 / 7.0 * mu * mu
+            )
+
+        B = (
+            2 * F2(k1, k2, k3) * P[k1] * P[k2]
+            + 2 * F2(k2, k3, k1) * P[k2] * P[k3]
+            + 2 * F2(k3, k1, k2) * P[k3] * P[k1]
+        )
+        out.append(B)
+    return np.asarray(out)
