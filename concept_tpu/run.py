@@ -87,6 +87,58 @@ def is_selected_force(cfg: RunConfig, name: str, species: str) -> str:
     return sel.get("gravity", "p3m") if isinstance(sel, dict) else "p3m"
 
 
+def autosave_path(cfg: RunConfig) -> str:
+    d = cfg.output_dirs.get("autosave", "output/autosave")
+    return os.path.join(d, cfg.param_name)
+
+
+def write_autosave(cfg: RunConfig, sim, state, a, events, units):
+    """Autosave = standard snapshot + auxiliary metadata
+    (reference main.py:1821-1927)."""
+    import json
+    from concept_tpu.io import snapshot as snap
+
+    d = autosave_path(cfg)
+    os.makedirs(d, exist_ok=True)
+    meta = snap.SnapshotMeta(
+        a=a, boxsize=cfg.boxsize, H0=cfg.H0,
+        Omega_b=cfg.Omega_b, Omega_cdm=cfg.Omega_cdm,
+        unit_length=cfg.unit_length, unit_time=cfg.unit_time,
+        unit_mass=cfg.unit_mass,
+    )
+    fn = os.path.join(d, "snapshot.hdf5")
+    snap.save_concept(fn, meta, {sim.spec.name: (sim.spec, state)})
+    with open(os.path.join(d, "auxiliary.json"), "w") as f:
+        json.dump({"a": a, "events": events}, f)
+    masterprint(f"Autosaved at a = {a:.6g} → {d}")
+
+
+def check_autosave(cfg: RunConfig):
+    """Detect a previous autosave to resume from (reference main.py:1928).
+    Returns (state_arrays, a, remaining_events) or None."""
+    import json
+    from concept_tpu.io import snapshot as snap
+
+    d = autosave_path(cfg)
+    fn = os.path.join(d, "snapshot.hdf5")
+    aux = os.path.join(d, "auxiliary.json")
+    if not (os.path.exists(fn) and os.path.exists(aux)):
+        return None
+    with open(aux) as f:
+        info = json.load(f)
+    meta, comps = snap.load_concept(fn)
+    (name, (spec, state)), = comps.items()
+    return state, info["a"], [tuple(e) for e in info["events"]]
+
+
+def clear_autosave(cfg: RunConfig):
+    import shutil
+
+    d = autosave_path(cfg)
+    if os.path.isdir(d):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         deposit_method: str | None = None):
     """Run the simulation described by cfg; returns final (sim, state, a)."""
@@ -116,34 +168,50 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         deposit_method=deposit_method or "scatter",
     )
     sim = Simulation(spec, sim_config, bg, lin)
-    seed_val = seed if seed is not None else int(
-        cfg.random_seeds.get("primordial amplitudes", 0)
-    )
-    lpt = int(cfg.realization_options.get("lpt", 1))
-    masterprint(f"Realizing {spec.name} ({spec.N} particles, {lpt}LPT) ...")
-    state = sim.initial_state(
-        a_begin=cfg.a_begin, seed=seed_val, lpt_order=lpt,
-        fixed_amplitude=cfg.primordial_amplitude_fixed,
-        phase_shift=cfg.primordial_phase_shift,
-    )
-    masterprint("done")
 
-    # dump schedule: a-values across all kinds
-    events = []
-    for kind, times in cfg.output_times.get("a", {}).items():
-        for t in times:
-            events.append((float(t), kind))
-    for kind, times in cfg.output_times.get("t", {}).items():
-        for tt in times:
-            events.append((float(bg.a_of_t_np(tt)), kind))
-    events.sort()
-    a = cfg.a_begin
-    # dump anything scheduled exactly at the start
-    for a_dump, kind in [e for e in events if e[0] <= a + 1e-12]:
-        dump(cfg, sim, state, a, kind, units, lin)
-    events = [e for e in events if e[0] > a + 1e-12]
+    # resume from autosave if present (reference check_autosave,
+    # main.py:1928-2010)
+    resume = check_autosave(cfg)
+    if resume is not None:
+        import jax.numpy as _jnp
+        from concept_tpu.components import ParticleState
+
+        st0, a, events = resume
+        state = ParticleState(
+            pos=_jnp.asarray(st0.pos, sim_config.dtype),
+            mom=_jnp.asarray(st0.mom, sim_config.dtype),
+            ids=None if st0.ids is None else _jnp.asarray(st0.ids),
+        )
+        masterprint(f"Resumed from autosave at a = {a:.6g}")
+    else:
+        seed_val = seed if seed is not None else int(
+            cfg.random_seeds.get("primordial amplitudes", 0)
+        )
+        lpt = int(cfg.realization_options.get("lpt", 1))
+        masterprint(f"Realizing {spec.name} ({spec.N} particles, {lpt}LPT) ...")
+        state = sim.initial_state(
+            a_begin=cfg.a_begin, seed=seed_val, lpt_order=lpt,
+            fixed_amplitude=cfg.primordial_amplitude_fixed,
+            phase_shift=cfg.primordial_phase_shift,
+        )
+        masterprint("done")
+        # dump schedule: a-values across all kinds
+        events = []
+        for kind, times in cfg.output_times.get("a", {}).items():
+            for t in times:
+                events.append((float(t), kind))
+        for kind, times in cfg.output_times.get("t", {}).items():
+            for tt in times:
+                events.append((float(bg.a_of_t_np(tt)), kind))
+        events.sort()
+        a = cfg.a_begin
+        # dump anything scheduled exactly at the start
+        for a_dump, kind in [e for e in events if e[0] <= a + 1e-12]:
+            dump(cfg, sim, state, a, kind, units, lin)
+        events = [e for e in events if e[0] > a + 1e-12]
 
     t_wall0 = _time.time()
+    last_autosave = t_wall0
     step_total = 0
     while events:
         a_next = events[0][0]
@@ -158,6 +226,10 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         while events and events[0][0] <= a + 1e-9:
             _, kind = events.pop(0)
             dump(cfg, sim, state, a, kind, units, lin)
+        if _time.time() - last_autosave > cfg.autosave_interval and events:
+            write_autosave(cfg, sim, state, a, events, units)
+            last_autosave = _time.time()
+    clear_autosave(cfg)  # reference removes the autosave on success
     masterprint(
         f"Simulation complete: a = {a:.6g}, wall time {_time.time()-t_wall0:.1f} s"
     )
