@@ -39,18 +39,32 @@ class LinearCosmology:
         light_speed: float,
         Mpc: float = 1.0,
         transfer_kind: str = "eisenstein_hu",
+        Omega_nu: float = 0.0,
+        N_nu: int = 3,
     ):
         self.bg = bg
         self.primordial = primordial
         self.Omega_b = float(Omega_b)
         self.Omega_cdm = float(Omega_cdm)
+        self.Omega_nu = float(Omega_nu)
+        self.N_nu = int(N_nu)
         self.light_speed = float(light_speed)
         self.Mpc = float(Mpc)
         self.transfer_kind = transfer_kind
-        self._transfer = make_transfer(
-            transfer_kind, self.Omega_b + self.Omega_cdm, self.Omega_b,
-            h=self._infer_h(), Mpc=self.Mpc,
-        )
+        if self.Omega_nu > 0:
+            from concept_tpu.cosmology.transfer import EisensteinHuNuTransfer
+
+            self._transfer_nu = EisensteinHuNuTransfer(
+                self.Omega_m, self.Omega_b, self.Omega_nu,
+                h=self._infer_h(), N_nu=N_nu, Mpc=self.Mpc,
+            )
+            self._transfer = self._transfer_nu.master
+        else:
+            self._transfer_nu = None
+            self._transfer = make_transfer(
+                transfer_kind, self.Omega_b + self.Omega_cdm, self.Omega_b,
+                h=self._infer_h(), Mpc=self.Mpc,
+            )
 
     def _infer_h(self) -> float:
         """h = H0 / (100 km/s/Mpc).  100 km/s/Mpc in internal units equals
@@ -63,33 +77,52 @@ class LinearCosmology:
     # ------------------------------------------------------------------ #
     @property
     def Omega_m(self) -> float:
-        return self.Omega_b + self.Omega_cdm
+        return self.Omega_b + self.Omega_cdm + self.Omega_nu
 
     def transfer_T(self, k):
         """Shape transfer function T(k) → 1 at low k."""
         return self._transfer(k)
 
-    def transfer_delta(self, k, a):
-        """δ(k,a) per unit primordial curvature ζ (the 'transfer function'
-        in the reference's sense, linear.py:1481)."""
+    def transfer_delta(self, k, a, species: str = "matter"):
+        """δ_species(k,a) per unit primordial curvature ζ (the 'transfer
+        function' in the reference's sense, linear.py:1481).
+
+        species: 'matter' (total, = cb+ν), 'cb' (CDM+baryons — what
+        particles represent in a ν simulation), 'nu' (massive neutrinos).
+        Massive-ν scale-dependent growth via EH99
+        (transfer.EisensteinHuNuTransfer).
+        """
         k = jnp.asarray(k)
         c = self.light_speed
         D_md = self.bg.growth("D1", a) * self.bg.D_md_today
-        return (
+        base = (
             (2.0 / 5.0)
             * (k * k * c * c / (self.Omega_m * self.bg.H0**2))
             * self.transfer_T(k)
             * D_md
         )
+        if self._transfer_nu is None or species == "matter" and self.Omega_nu == 0:
+            return base
+        tnu = self._transfer_nu
+        if species in ("matter", "m", "cbnu"):
+            return base * tnu.growth_ratio(k, D_md, "cbnu")
+        if species == "cb":
+            return base * tnu.growth_ratio(k, D_md, "cb")
+        if species in ("nu", "neutrino", "massive neutrino"):
+            f_nu, f_cb = tnu.f_nu, tnu.f_cb
+            d_m = base * tnu.growth_ratio(k, D_md, "cbnu")
+            d_cb = base * tnu.growth_ratio(k, D_md, "cb")
+            return (d_m - f_cb * d_cb) / f_nu
+        raise ValueError(f"unknown species {species!r}")
 
     def transfer_theta(self, k, a):
         """θ(k,a) per unit ζ: θ = -a H f1 δ (linear continuity equation)."""
         aHf = jnp.asarray(a) * self.bg.hubble(a) * self.bg.growth("f1", a)
         return -aHf * self.transfer_delta(k, a)
 
-    def power_delta(self, k, a):
-        """Linear matter power spectrum P(k, a) (internal units³)."""
-        T = self.transfer_delta(k, a)
+    def power_delta(self, k, a, species: str = "matter"):
+        """Linear power spectrum P(k, a) (internal units³)."""
+        T = self.transfer_delta(k, a, species)
         return T * T * self.primordial.zeta_power(k)
 
     def delta_amplitude(self, k, a):
