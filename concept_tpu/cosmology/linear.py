@@ -125,9 +125,9 @@ class LinearCosmology:
         T = self.transfer_delta(k, a, species)
         return T * T * self.primordial.zeta_power(k)
 
-    def delta_amplitude(self, k, a):
+    def delta_amplitude(self, k, a, species: str = "matter"):
         """√P_δ — the realization amplitude (reference ic.py:542)."""
-        return jnp.abs(self.transfer_delta(k, a)) * self.primordial.zeta_amplitude(k)
+        return jnp.abs(self.transfer_delta(k, a, species)) * self.primordial.zeta_amplitude(k)
 
     # ------------------------------------------------------------------ #
     def sigma_R(self, R, a=1.0, nk: int = 1024):

@@ -83,13 +83,15 @@ def realize_delta_slab(
     dist: GridDistribution | None = None,
     dtype=jnp.float32,
     nongaussianity: float = 0.0,
+    species: str = "matter",
 ):
     """δ(k) in DFT normalisation at scale factor a.
 
     Reference: ic.py:542 (get_amplitudes = √P_prim·T) + ic.py:670
     (realize_grid).  Optional local-type non-Gaussianity f_NL applied to
     the primordial potential (reference realization_options
-    'nongaussianity').
+    'nongaussianity').  species selects the transfer function (matter /
+    cb / nu — reference TransferFunction species, linear.py:3517).
     """
     n = gridsize
     V = boxsize**3
@@ -106,10 +108,10 @@ def realize_delta_slab(
         zeta_x = irfft3(zeta_k, n, dist)
         fnl_term = (3.0 / 5.0) * nongaussianity * (zeta_x**2 - jnp.mean(zeta_x**2))
         zeta_k = zeta_k + rfft3(fnl_term.astype(dtype), dist)
-        Tdelta = lin.transfer_delta(kmag_safe, a)
+        Tdelta = lin.transfer_delta(kmag_safe, a, species)
         delta = jnp.where(kmag > 0, zeta_k * Tdelta, 0.0)
         return delta
-    amp = lin.delta_amplitude(kmag_safe, a) * math.sqrt(n**3 / V)
+    amp = lin.delta_amplitude(kmag_safe, a, species) * math.sqrt(n**3 / V)
     delta = jnp.where(kmag > 0, R * amp, 0.0)
     return delta
 
