@@ -192,9 +192,11 @@ class Simulation:
         )
 
     # ------------------------------------------------------------------ #
-    def timestep_size(self, a: float) -> float:
-        """Base Δt from background limiters (reference main.py:697-996 and
-        2345-2433).  Matter-only subset: dynamical, Hubble, Δa_max."""
+    def timestep_size(self, a: float, v_max: float | None = None) -> float:
+        """Base Δt from limiters (reference main.py:697-996, 2345-2433):
+        dynamical time, Hubble time, Δa_max, and — when the maximum
+        particle speed is supplied — the PM/P³M displacement bounds
+        fac_pm·cell / fac_p3m·split-scale per step."""
         bg = self.bg
         H = float(bg.hubble_np(a))
         rho_m_proper = (
@@ -210,6 +212,15 @@ class Simulation:
             # Δa limiters: Δt ≈ Δa/(aH)
             da_max = DELTA_A_MAX_EARLY if a < 0.1 else DELTA_A_MAX_LATE
             limits.append(da_max / (a * H))
+        if v_max is not None and v_max > 0:
+            # comoving drift speed ẋ = v_pec/a; displacement per step bounded
+            # by a fraction of the mesh cell (PM) or the split scale (P³M)
+            xdot = v_max / a
+            if self.config.method == "p3m":
+                limits.append(FAC_P3M * self._sr_scale / xdot)
+            else:
+                cell = self.config.boxsize / self.config.potential_gridsize
+                limits.append(FAC_PM * cell / xdot)
         return min(limits) if limits else float("inf")
 
     def evolve(
@@ -231,10 +242,16 @@ class Simulation:
         t_end = float(bg.t_of_a_np(a_end))
         a = a_begin
         step_count = 0
+        v_max = None
         # momentum currently synchronized at t
         t_mom = t
         while t < t_end - 1e-12 * abs(t_end):
-            dt = self.timestep_size(a)
+            if step_count % DT_PERIOD == 0 and self.spec.mass:
+                # refresh the velocity-based limiters every Δt_period steps
+                # (reference Δt re-evaluation cadence, main.py:2380)
+                v2 = jnp.max(jnp.sum(state.mom * state.mom, axis=1))
+                v_max = float(jnp.sqrt(v2)) / (a * self.spec.mass)
+            dt = self.timestep_size(a, v_max=v_max)
             dt = min(dt, t_end - t)
             # kick target: midpoint of upcoming drift (or t_end at last step)
             t_mid = min(t + 0.5 * dt, t_end)
