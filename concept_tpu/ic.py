@@ -163,11 +163,14 @@ def realize_particles(
     dtype=jnp.float32,
     with_ids: bool = False,
     nongaussianity: float = 0.0,
+    species: str = "matter",
+    delta_k=None,
 ) -> ParticleState:
     """Generate particle ICs for a matter-like component at scale factor a.
 
     Reference: ic.py:1199-1446 (realize_particles) + LPT grids
-    (ic.py:1447-2058).
+    (ic.py:1447-2058).  ``delta_k`` overrides the realized density (used
+    for deterministic closed-form tests).
     """
     n_per_lattice = {"sc": 1, "bcc": 2, "fcc": 4}[lattice]
     gridsize = round((spec.N // n_per_lattice) ** (1 / 3))
@@ -178,10 +181,11 @@ def realize_particles(
         )
     H = lin.bg.hubble(a)
     f1 = lin.bg.growth("f1", a)
-    delta_k = realize_delta_slab(
-        lin, gridsize, boxsize, a, seed, fixed_amplitude, phase_shift, dist,
-        dtype, nongaussianity,
-    )
+    if delta_k is None:
+        delta_k = realize_delta_slab(
+            lin, gridsize, boxsize, a, seed, fixed_amplitude, phase_shift, dist,
+            dtype, nongaussianity, species,
+        )
     kfac = 2 * math.pi / boxsize
     k2 = fourier.k2_int_grid(gridsize).astype(dtype) * kfac**2
     inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
@@ -202,15 +206,15 @@ def realize_particles(
         f2 = lin.bg.growth("f2", a)
         S = lpt2_source(psi_k, gridsize, boxsize, dist)
         S_k = rfft3(S.astype(dtype), dist)
-        # ψ²(k) = -(D2/D1²) ik/k² S(k); ∇·ψ² = -(D2/D1²) S.
-        # Sign: with reference growth convention (D2>0 in EdS), the
-        # second-order displacement opposes the linear one along
-        # overdense directions; validated against the crossed-plane-wave
-        # analytic solution in tests/test_ic.py.
+        # Ψ²(k) = +(D2/D1²)·ik/k²·S(k)  (so ∇·Ψ² = −(D2/D1²)S), with the
+        # reference growth convention D2 = +3/7 a² in EdS — equivalent to
+        # the standard 2LPT Ψ² = −(3/7)D1²∇φ⁽²⁾, ∇²φ⁽²⁾ = S₀.
+        # Validated non-circularly in tests/test_ic.py via the second-order
+        # PT kernel F2(k1⊥k2) = 5/7 on crossed plane waves.
         fac2 = D2 / (D1 * D1)
         for d in range(3):
             kd = fourier.k_int_vectors(gridsize)[d].astype(dtype) * kfac
-            psi2_k = -(1j * kd) * inv_k2 * (fac2 * S_k)
+            psi2_k = (1j * kd) * inv_k2 * (fac2 * S_k)
             psi2 = irfft3(psi2_k, gridsize, dist)
             psi = psi.at[d].add(psi2)
             dpsi_dt = dpsi_dt.at[d].add(H * f2 * psi2)

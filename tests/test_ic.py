@@ -1,0 +1,124 @@
+"""IC generator tests — the analogue of reference test/lpt: LPT orders
+validated against closed-form perturbation theory.
+
+The 2LPT check is non-circular: for two orthogonal plane waves
+δ₁ = d₁cos(k₁x) + d₂cos(k₂y), second-order PT gives the cross mode
+δ₂(k₁±k₂) with the standard F2 kernel, F2(k⊥k', |k|=|k'|) = 5/7 in EdS
+— so the measured (k₁,k₂,0) mode amplitude of the displaced particles
+must be (5/7)d₁d₂ (it would be d₁d₂/2 for 1LPT-only and (2/7)d₁d₂ for a
+sign-flipped Ψ²)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from concept_tpu.units import units, constants
+from concept_tpu.cosmology.background import Background
+from concept_tpu.cosmology.primordial import PrimordialSpectrum
+from concept_tpu.cosmology.linear import LinearCosmology
+from concept_tpu.components import ComponentSpec
+from concept_tpu.ic import realize_particles, generate_primordial_noise
+
+H0 = 67 * units.km / (units.s * units.Mpc)
+BOX = 100 * units.Mpc
+NG = 32
+N = NG**3
+
+
+@pytest.fixture(scope="module")
+def lin_eds():
+    # EdS: D2/D1² = 3/7 exactly
+    bg = Background(H0=H0, Omega_m=1.0)
+    prim = PrimordialSpectrum(pivot=0.05 / units.Mpc)
+    return LinearCosmology(bg, prim, Omega_b=0.049, Omega_cdm=0.951,
+                           light_speed=constants.light_speed, Mpc=units.Mpc)
+
+
+def crossed_wave_delta_k(d1, d2, m1=2, m2=3):
+    """δ(k) (DFT normalisation) of d1·cos(k1·x)+d2·cos(k2·y) sampled at
+    cell centers."""
+    n = NG
+    slab = np.zeros((n, n, n // 2 + 1), dtype=np.complex64)
+    # cos(k x) at cell centers x=(i+½)h: DFT coefficient at mode m is
+    # (N/2)·e^{i·π·m/n} per full-axis pair; with our index↔cell-center
+    # labeling the realize machinery treats index i as the sample point, so
+    # a pure cos in 'index space' is what displacement_from_delta expects.
+    slab[m1, 0, 0] = 0.5 * d1 * n**3
+    slab[-m1, 0, 0] = 0.0  # not stored in rfft layout (kk=0, ki>0 row holds it)
+    slab[0, m2, 0] = 0.5 * d2 * n**3
+    # Hermitian counterparts on the kk=0 plane:
+    slab[n - m1, 0, 0] = 0.5 * d1 * n**3
+    slab[0, n - m2, 0] = 0.5 * d2 * n**3
+    return jnp.asarray(slab)
+
+
+def mode_amplitude(pos, kvec):
+    x = np.asarray(pos, dtype=np.float64)
+    phase = x @ np.asarray(kvec)
+    return 2 * abs(np.exp(-1j * phase).sum()) / len(x)
+
+
+@pytest.mark.parametrize("lpt_order,expected_frac", [(1, 0.5), (2, 5 / 7)])
+def test_lpt_cross_mode(lin_eds, lpt_order, expected_frac):
+    d1, d2 = 0.01, 0.012
+    m1, m2 = 2, 3
+    delta_k = crossed_wave_delta_k(d1, d2, m1, m2)
+    spec = ComponentSpec(name="m", species="matter", N=N, mass=1.0)
+    a = 0.1
+    state = realize_particles(
+        lin_eds, spec, BOX, a, lpt_order=lpt_order, delta_k=delta_k,
+    )
+    k1 = 2 * math.pi * m1 / BOX
+    k2 = 2 * math.pi * m2 / BOX
+    # fundamental modes present at right amplitude
+    assert math.isclose(
+        mode_amplitude(state.pos, [k1, 0, 0]), d1, rel_tol=2e-2
+    )
+    # cross mode (k1, k2, 0)
+    amp = mode_amplitude(state.pos, [k1, k2, 0])
+    assert math.isclose(amp, expected_frac * d1 * d2, rel_tol=8e-2), (
+        lpt_order, amp / (d1 * d2)
+    )
+
+
+def test_noise_statistics():
+    """White primordial noise: ⟨|R(k)|²⟩ = N_cells (reference deterministic
+    PRNG streams, ic.py:928-1198)."""
+    R = generate_primordial_noise(32, seed=3)
+    power = float(jnp.mean(jnp.abs(R[1:, 1:, 1:]) ** 2))
+    assert abs(power / 32**3 - 1) < 0.05
+
+
+def test_noise_deterministic():
+    R1 = generate_primordial_noise(16, seed=5)
+    R2 = generate_primordial_noise(16, seed=5)
+    np.testing.assert_array_equal(np.asarray(R1), np.asarray(R2))
+    R3 = generate_primordial_noise(16, seed=6)
+    assert not np.allclose(np.asarray(R1), np.asarray(R3))
+
+
+def test_fixed_amplitude():
+    R = generate_primordial_noise(16, seed=1, fixed_amplitude=True)
+    mags = np.abs(np.asarray(R))
+    inner = mags[1:8, 1:8, 1:7]
+    np.testing.assert_allclose(inner, math.sqrt(16**3), rtol=1e-5)
+
+
+def test_paired_phase_shift():
+    R1 = generate_primordial_noise(16, seed=1, fixed_amplitude=True)
+    R2 = generate_primordial_noise(16, seed=1, fixed_amplitude=True,
+                                   phase_shift=math.pi)
+    np.testing.assert_allclose(
+        np.asarray(R1[2, 3, 4]), -np.asarray(R2[2, 3, 4]), rtol=1e-4
+    )
+
+
+def test_bcc_lattice_count():
+    from concept_tpu.components import lattice_positions
+
+    pos = lattice_positions(8, BOX, "bcc")
+    assert pos.shape == (2 * 8**3, 3)
+    pos_fcc = lattice_positions(8, BOX, "fcc")
+    assert pos_fcc.shape == (4 * 8**3, 3)
