@@ -1,11 +1,12 @@
 """Benchmark: PM-gravity particle updates per second per chip.
 
 North-star target (BASELINE.json): ≥ 1e8 particle-updates/s/chip at 512³
-on TPU v5p.  This script times the full jitted KDK step (deposit → FFT →
-Poisson → gradient → gather → kick → drift) on the available chip and
-prints ONE JSON line.
+on TPU v5p.  Times the full jitted KDK step (deposit → FFT → Poisson →
+gradient → gather → kick → drift) and prints ONE JSON line.
 
-Grid/particle count auto-scales down if the chip runs out of memory.
+Timing uses a hard host-readback sync (scalar device→host pull): on the
+axon tunnel backend, block_until_ready alone does not synchronize.
+Grid/particle count auto-scales down on OOM / compiler limits.
 """
 
 import json
@@ -16,21 +17,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(state):
+    return float(state.pos[0, 0])
+
+
 def bench_once(n_grid):
     import __graft_entry__ as ge
 
     sim, state = ge._build(n_grid=n_grid)
-    step = jax.jit(sim._step)
+    step = jax.jit(sim._step, donate_argnums=0)
     int1 = jnp.float32(1e-3)
     int2 = jnp.float32(1e-3)
     # warmup/compile
     state = step(state, int1, int2)
-    jax.block_until_ready(state)
+    _sync(state)
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
         state = step(state, int1, int2)
-    jax.block_until_ready(state)
+    _sync(state)
     dt = (time.perf_counter() - t0) / n_iter
     return dt
 
@@ -54,7 +59,7 @@ def main():
             )
             return
         except Exception as e:  # noqa: BLE001 — OOM or backend limits: scale down
-            print(f"# gridsize {n_grid} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"# gridsize {n_grid} failed: {type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
     print(json.dumps({"metric": "pm_step", "value": 0, "unit": "updates/s/chip", "vs_baseline": 0}))
 
 

@@ -105,6 +105,107 @@ def _corner_indices_weights(pos, gridsize: int, boxsize: float, order: int):
 CHUNK = 1 << 21  # 2,097,152
 
 
+# How far below the particle's cell the lowest interpolation corner sits
+# (NGP: at round(u); CIC: floor(u); TSC: round(u)−1; PCS: floor(u)−1) —
+# the lowest reachable index is −_LO[order] and the highest n−1+order−1−_LO.
+_LO = {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def _fold_axis(arr, axis: int, n: int, lo: int, order: int):
+    """Fold the unwrapped borders of one axis (extent n+order) back into
+    the periodic [0, n) range: unwrapped index iu holds true index iu−lo,
+    wrapping mod n."""
+    m = n + order
+    hi_size = m - (lo + n)
+
+    def take(a, start, size):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(start, start + size)
+        return a[tuple(idx)]
+
+    main = take(arr, lo, n)
+    if hi_size > 0:
+        idx = [slice(None)] * main.ndim
+        idx[axis] = slice(0, hi_size)
+        main = main.at[tuple(idx)].add(take(arr, lo + n, hi_size))
+    if lo > 0:
+        idx = [slice(None)] * main.ndim
+        idx[axis] = slice(n - lo, n)
+        main = main.at[tuple(idx)].add(take(arr, 0, lo))
+    return main
+
+
+def _deposit_sorted(pos, q, gridsize: int, boxsize: float, order: int):
+    """Scatter-free deposit: sort by cell + segment sums via cumsum.
+
+    TPU rationale: scatter-add with DUPLICATE indices serializes on TPU,
+    but sorts, cumsums, gathers and UNIQUE-index scatters are fast.
+      1. one multi-operand lax.sort keyed by the base-cell index on an
+         UNWRAPPED (n+order)³ grid (no modulo → corner index = base +
+         constant shift stays sorted for every corner)
+      2. per corner: inclusive cumsum of weights; the per-cell total is
+         cumsum@(own last entry) − cumsum@(previous occupied cell's last
+         entry), realized with one unique-index scatter and a cummax
+         gap-fill
+      3. fold the unwrapped border planes back periodically
+    Replaces the per-particle scatter of the reference's interpolation
+    loops (mesh.py:5052-5413) with O(N log N) vectorized primitives.
+    """
+    n = gridsize
+    h = boxsize / n
+    N = pos.shape[0]
+    dtype = pos.dtype
+    u = pos / h - 0.5
+    ix, wx = _offsets_and_weights(u[:, 0], order)
+    iy, wy = _offsets_and_weights(u[:, 1], order)
+    iz, wz = _offsets_and_weights(u[:, 2], order)
+    lo = _LO[order]
+    m = n + order
+    bx = jnp.clip(ix[:, 0] + lo, 0, m - order)
+    by = jnp.clip(iy[:, 0] + lo, 0, m - order)
+    bz = jnp.clip(iz[:, 0] + lo, 0, m - order)
+    key = (bx.astype(jnp.int32) * m + by) * m + bz
+    sort_ops = [key, jnp.broadcast_to(q, (N,)).astype(dtype)]
+    for w in (wx, wy, wz):
+        for c in range(order):
+            sort_ops.append(w[:, c].astype(dtype))
+    sorted_ops = jax.lax.sort(sort_ops, num_keys=1)
+    key_s, q_s = sorted_ops[:2]
+    ws = sorted_ops[2:]
+
+    M = m * m * m
+    is_end = jnp.concatenate([key_s[1:] != key_s[:-1], jnp.ones((1,), bool)])
+    is_start = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    end_keys = jnp.where(is_end, key_s, M)
+
+    def seg_combine(a, b):
+        # segmented-scan monoid: restart the running sum at segment starts
+        va, sa = a
+        vb, sb = b
+        return jnp.where(sb, vb, va + vb), sa | sb
+
+    grid_u = jnp.zeros((m, m, m), dtype)
+    for cx in range(order):
+        for cy in range(order):
+            for cz in range(order):
+                vals = q_s * ws[cx] * ws[order + cy] * ws[2 * order + cz]
+                # exact per-segment inclusive sums (no cross-segment
+                # cancellation — unlike a global cumsum difference)
+                segsum, _ = jax.lax.associative_scan(
+                    seg_combine, (vals, is_start)
+                )
+                seg = jnp.zeros((M + 1,), dtype).at[end_keys].set(
+                    segsum, unique_indices=True
+                )[:M].reshape(m, m, m)
+                # corner (cx,cy,cz): dense shifted add on the unwrapped grid
+                grid_u = grid_u.at[cx:, cy:, cz:].add(
+                    seg[: m - cx, : m - cy, : m - cz]
+                )
+    for axis in range(3):
+        grid_u = _fold_axis(grid_u, axis, n, lo, order)
+    return grid_u
+
+
 def _deposit_chunk(grid_flat, pos, q, gridsize, boxsize, order, method):
     n = gridsize
     flat, w = _corner_indices_weights(pos, n, boxsize, order)
@@ -129,14 +230,17 @@ def deposit(pos, quantity, gridsize: int, boxsize: float, order=2, method: str =
     the grid equals sum(quantity) exactly (mass conservation).
 
     method='scatter': XLA scatter-add.
-    method='sort': sort by flat cell index + segment-sum (TPU-friendlier
-    for highly clustered particles).
+    method='sort': sort by flat cell index + segment-sum.
+    method='sorted': scatter-free sort+cumsum segment deposit
+    (_deposit_sorted) — the TPU production path.
     """
     n = gridsize
     order = interpolation_order(order)
     N = pos.shape[0]
     dtype = pos.dtype
     q = jnp.broadcast_to(jnp.asarray(quantity, dtype=dtype), (N,))
+    if method == "sorted":
+        return _deposit_sorted(pos, q, n, boxsize, order)
     grid = jnp.zeros((n * n * n,), dtype=dtype)
     if N <= CHUNK:
         grid = _deposit_chunk(grid, pos, q, n, boxsize, order, method)

@@ -97,7 +97,7 @@ def test_hermitian_multiplicity_counts_all_modes():
 
 
 @pytest.mark.parametrize("order", [1, 2, 3, 4])
-@pytest.mark.parametrize("method", ["scatter", "sort"])
+@pytest.mark.parametrize("method", ["scatter", "sort", "sorted"])
 def test_deposit_mass_conservation(order, method):
     n, box = 16, 100.0
     rng = np.random.default_rng(2)
@@ -118,6 +118,23 @@ def test_gather_exact_for_linear_field(order):
     pos = jnp.asarray(rng.uniform(0.2 * box, 0.8 * box, (200, 3)).astype(np.float32))
     vals = gather(grid, pos, box, order=order)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(pos[:, 0]), atol=2e-4)
+
+
+@pytest.mark.parametrize("order", [1, 2, 3, 4])
+def test_deposit_sorted_matches_scatter(order):
+    """The scatter-free sorted-segment deposit must agree with the XLA
+    scatter-add path to f32 roundoff for clustered particles too."""
+    n, box = 16, 30.0
+    rng = np.random.default_rng(9)
+    # clustered: half uniform, half in one corner cell region
+    pos = np.concatenate([
+        rng.uniform(0, box, (3000, 3)),
+        rng.normal(5.0, 0.3, (3000, 3)) % box,
+    ]).astype(np.float32)
+    q = rng.uniform(0.5, 2.0, (6000,)).astype(np.float32)
+    g1 = np.asarray(deposit(jnp.asarray(pos), jnp.asarray(q), n, box, order=order, method="scatter"))
+    g2 = np.asarray(deposit(jnp.asarray(pos), jnp.asarray(q), n, box, order=order, method="sorted"))
+    np.testing.assert_allclose(g2, g1, atol=3e-3 * g1.max())
 
 
 def test_deposit_gather_adjoint():
