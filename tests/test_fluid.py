@@ -89,3 +89,37 @@ def test_limiters_tvd_range(name):
     vals = np.asarray(lim(r))
     assert np.all(vals >= -1e-6)
     assert np.isclose(float(lim(jnp.asarray(1.0))), 1.0, atol=1e-6)
+
+
+def test_maccormack_rigid_advection():
+    """MacCormack scheme: same rigid-advection check as KT
+    (reference test/fluid_drift_rigid runs under both schemes)."""
+    from concept_tpu.fluid import maccormack_step
+
+    u = 0.25
+    rho = jnp.asarray(gaussian_bump(0.5), jnp.float32)
+    J = jnp.stack([rho * u, jnp.zeros_like(rho), jnp.zeros_like(rho)])
+    P = jnp.zeros_like(rho)
+    t_total = 0.4
+    n_steps = 160
+    dt = t_total / n_steps
+    for i in range(n_steps):
+        rho, J, P = maccormack_step(rho, J, P, dt, 1.0, 1.0, BOX, 0.0,
+                                    step_parity=i & 1)
+    expected = gaussian_bump(0.5 + u * t_total)
+    err = np.max(np.abs(np.asarray(rho) - expected)) / 0.5
+    assert err < 0.05, f"MacCormack advection error {err}"
+
+
+def test_maccormack_mass_conserved():
+    from concept_tpu.fluid import maccormack_step
+
+    rho = jnp.asarray(gaussian_bump(0.3), jnp.float32)
+    J = jnp.stack([rho * 0.1, rho * 0.05, jnp.zeros_like(rho)])
+    P = jnp.zeros_like(rho)
+    tot0 = float(jnp.sum(rho))
+    for i in range(20):
+        rho, J, P = maccormack_step(rho, J, P, 0.002, 1.0, 1.0, BOX, 0.0,
+                                    step_parity=i & 1)
+    # conservative form; residual is f32 rounding over 20 steps
+    assert np.isclose(float(jnp.sum(rho)), tot0, rtol=1e-4)
