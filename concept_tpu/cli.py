@@ -66,8 +66,51 @@ def main(argv=None):
     from concept_tpu.run import run
 
     cfg = load_params(args.param, overrides=args.command_line_params)
-    run(cfg, seed=args.seed)
+    with job_logging() as jobid:
+        print(f"concept_tpu run, job {jobid}")
+        run(cfg, seed=args.seed)
     return 0
+
+
+class _Tee:
+    def __init__(self, *streams):
+        self.streams = streams
+
+    def write(self, data):
+        for s in self.streams:
+            s.write(data)
+
+    def flush(self):
+        for s in self.streams:
+            s.flush()
+
+    def isatty(self):
+        return self.streams[0].isatty()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def job_logging(job_dir: str = "job"):
+    """Tee stdout/stderr to job/<jobid>/{log,log_err}
+    (reference concept:2737-2747; jobid allocation concept:2703-2719)."""
+    os.makedirs(job_dir, exist_ok=True)
+    existing = [int(d) for d in os.listdir(job_dir) if d.isdigit()]
+    jobid = max(existing, default=-1) + 1
+    d = os.path.join(job_dir, str(jobid))
+    os.makedirs(d, exist_ok=True)
+    out = open(os.path.join(d, "log"), "w")
+    err = open(os.path.join(d, "log_err"), "w")
+    so, se = sys.stdout, sys.stderr
+    sys.stdout = _Tee(so, out)
+    sys.stderr = _Tee(se, err)
+    try:
+        yield jobid
+    finally:
+        sys.stdout, sys.stderr = so, se
+        out.close()
+        err.close()
 
 
 if __name__ == "__main__":

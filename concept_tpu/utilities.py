@@ -19,11 +19,19 @@ def delegate(util_args: list[str], cli_args) -> int:
     name, *rest = util_args
     fn = {
         "powerspec": util_powerspec,
+        "bispec": util_bispec,
         "info": util_info,
         "convert": util_convert,
+        "render2D": util_render2d,
+        "render3D": util_render3d,
+        "class": util_class,
+        "play": util_play,
     }.get(name)
     if fn is None:
-        abort(f"unknown utility {name!r} (have: powerspec, info, convert)")
+        abort(
+            f"unknown utility {name!r} (have: powerspec, bispec, info, "
+            f"convert, render2D, render3D, class, play)"
+        )
     return fn(rest, cli_args)
 
 
@@ -63,6 +71,135 @@ def util_powerspec(paths: list[str], cli_args) -> int:
             out = path + f"_powerspec_{name}.txt"
             save_powerspec_txt(out, pk, meta.a, meta.boxsize)
             masterprint(f"Saved {out}")
+    return 0
+
+
+def util_bispec(paths: list[str], cli_args) -> int:
+    """Measure B(k1,k2,k3) of existing snapshots (reference
+    utilities.py:511)."""
+    import jax.numpy as jnp
+    from concept_tpu.io import snapshot as snap
+    from concept_tpu.analysis.bispec import bispec
+
+    for path in paths:
+        meta, comps = snap.load(path)
+        for name, (spec, state) in comps.items():
+            gridsize = 2 * round(spec.N ** (1 / 3))
+            out = bispec(
+                [jnp.asarray(state.pos, jnp.float32)], [1.0],
+                gridsize, meta.boxsize, configuration="equilateral 10",
+            )
+            fn = path + f"_bispec_{name}.txt"
+            data = np.column_stack(
+                [out["triangles"], out["n_triangles"], out["B"]]
+            )
+            np.savetxt(fn, data, header="k1 k2 k3 triangles B")
+            masterprint(f"Saved {fn}")
+    return 0
+
+
+def util_render2d(paths: list[str], cli_args) -> int:
+    import jax.numpy as jnp
+    from concept_tpu.io import snapshot as snap
+    from concept_tpu.graphics.render import render2D
+
+    for path in paths:
+        meta, comps = snap.load(path)
+        for name, (spec, state) in comps.items():
+            gridsize = round(spec.N ** (1 / 3))
+            render2D(
+                jnp.asarray(state.pos, jnp.float32), gridsize, meta.boxsize,
+                filename=path + f"_render2D_{name}.png", save_data=True,
+            )
+            masterprint(f"Saved {path}_render2D_{name}.png")
+    return 0
+
+
+def util_render3d(paths: list[str], cli_args) -> int:
+    """Render snapshots as 3D scatter PNGs (reference utilities.py:557)."""
+    from concept_tpu.io import snapshot as snap
+    from concept_tpu.graphics.render import render3D
+
+    for path in paths:
+        meta, comps = snap.load(path)
+        for name, (spec, state) in comps.items():
+            fn = render3D(state.pos, meta.boxsize, path + f"_render3D_{name}.png")
+            masterprint(f"Saved {fn}")
+    return 0
+
+
+def util_class(args: list[str], cli_args) -> int:
+    """Dump the processed background + linear perturbations to HDF5
+    (reference utilities.py:923 'class' utility).  Uses the internal
+    Boltzmann layer (EH transfer); classy when installed."""
+    import h5py
+    import jax.numpy as jnp
+    from concept_tpu.param import load_params
+    from concept_tpu.run import build_cosmology
+
+    cfg = load_params(cli_args.param) if cli_args.param else load_params(
+        text="H0 = 67*km/(s*Mpc)\nΩb = 0.049\nΩcdm = 0.27\n"
+    )
+    units_, consts, bg, lin = build_cosmology(cfg)
+    out = (args[0] if args else "class_processed.hdf5")
+    kmin, kmax, nk = 1e-4 / units_.Mpc, 10 / units_.Mpc, 256
+    k = np.exp(np.linspace(np.log(kmin), np.log(kmax), nk))
+    with h5py.File(out, "w") as f:
+        f.attrs["H0"] = cfg.H0
+        f.attrs["Ωb"] = cfg.Omega_b
+        f.attrs["Ωcdm"] = cfg.Omega_cdm
+        bgrp = f.create_group("background")
+        a_tab = np.exp(np.linspace(np.log(1e-6), 0, 512))
+        bgrp.create_dataset("a", data=a_tab)
+        bgrp.create_dataset("t", data=bg.t_of_a_np(a_tab))
+        bgrp.create_dataset("H", data=bg.hubble_np(a_tab))
+        bgrp.create_dataset("D1", data=bg.growth_np("D1", a_tab))
+        bgrp.create_dataset("f1", data=bg.growth_np("f1", a_tab))
+        pgrp = f.create_group("perturbations")
+        pgrp.create_dataset("k", data=k)
+        for a_out in (0.01, 0.1, 0.5, 1.0):
+            g = pgrp.create_group(f"a={a_out}")
+            g.create_dataset(
+                "delta_m",
+                data=np.asarray(lin.transfer_delta(jnp.asarray(k, jnp.float32), a_out)),
+            )
+            g.create_dataset(
+                "theta_m",
+                data=np.asarray(lin.transfer_theta(jnp.asarray(k, jnp.float32), a_out)),
+            )
+    masterprint(f"Saved {out}")
+    return 0
+
+
+def util_play(args: list[str], cli_args) -> int:
+    """Replay ANSI terminal renders from a log file (reference util/play)."""
+    import re
+    import time as _time
+
+    path = args[0]
+    fps = 5.0
+    for a in args[1:]:
+        if a.startswith("--fps="):
+            fps = float(a.split("=", 1)[1])
+    with open(path, errors="replace") as f:
+        content = f.read()
+    # frames = consecutive blocks of lines containing ANSI color escapes
+    lines = content.splitlines()
+    frames, current = [], []
+    for ln in lines:
+        if "\033[38;2;" in ln or "\x1b[38;2;" in ln:
+            current.append(ln)
+        elif current:
+            frames.append("\n".join(current))
+            current = []
+    if current:
+        frames.append("\n".join(current))
+    if not frames:
+        masterprint("no terminal renders found in log")
+        return 1
+    for frame in frames:
+        print("\033[2J\033[H" + frame)
+        _time.sleep(1.0 / fps)
     return 0
 
 
