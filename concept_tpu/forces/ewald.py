@@ -83,11 +83,16 @@ def tabulate_ewald_correction(gridsize: int = 64) -> np.ndarray:
     coords = np.linspace(0.0, 0.5, g + 1)
     X, Y, Z = np.meshgrid(coords, coords, coords, indexing="ij")
     pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
-    acc = np.zeros_like(pts)
-    # Chunked evaluation (the tabulation is one-time + cached)
-    chunk = 4096
-    for i in range(0, len(pts), chunk):
-        acc[i : i + chunk] = ewald_acceleration_np(pts[i : i + chunk])
+    from concept_tpu.native import have_native, ewald_acceleration
+
+    if have_native():
+        # OpenMP tabulator (csrc/ewald.cpp)
+        acc = ewald_acceleration(pts, ALPHA, 4, 40)
+    else:
+        acc = np.zeros_like(pts)
+        chunk = 4096
+        for i in range(0, len(pts), chunk):
+            acc[i : i + chunk] = ewald_acceleration_np(pts[i : i + chunk])
     r2 = np.sum(pts * pts, axis=-1)
     r1 = np.sqrt(np.maximum(r2, 1e-30))
     direct = -pts / np.maximum(r1, 1e-30)[:, None] ** 3

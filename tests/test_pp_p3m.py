@@ -109,3 +109,17 @@ def test_shortrange_newton3():
     total = np.asarray(jnp.sum(dmom, axis=0))
     scale_f = float(jnp.mean(jnp.abs(dmom))) * N
     assert np.all(np.abs(total) < 1e-3 * scale_f)
+
+
+def test_native_ewald_matches_numpy():
+    """Native (C++/OpenMP) Ewald tabulator agrees with the NumPy reference
+    implementation when built (csrc/ewald.cpp)."""
+    from concept_tpu.native import have_native, ewald_acceleration
+    from concept_tpu.forces.ewald import ewald_acceleration_np
+
+    if not have_native():
+        pytest.skip("native library not built (run `make native`)")
+    pts = np.random.default_rng(1).uniform(-0.5, 0.5, (64, 3))
+    a1 = ewald_acceleration(pts, 2.0, 4, 40)
+    a2 = ewald_acceleration_np(pts, 2.0, 4, 40)
+    np.testing.assert_allclose(a1, a2, rtol=1e-10)
