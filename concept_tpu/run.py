@@ -275,5 +275,53 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
             fn = os.path.join(dirname, f"{base}_{tag}.hdf5")
             snap.save_concept(fn, meta, {sim.spec.name: (sim.spec, state)})
         masterprint(f"Saved snapshot: {fn}")
-    elif kind in ("render2D", "render3D", "bispec"):
-        masterprint(f"[{kind} output: next build phase]")
+    elif kind == "render2D":
+        from concept_tpu.graphics.render import render2D
+
+        opts = cfg.render2D_options or {}
+        gridsize = int(opts.get("gridsize") or sim.config.potential_gridsize)
+        fn = os.path.join(dirname, f"{base}_{tag}.png")
+        render2D(
+            state.pos, gridsize, cfg.boxsize, filename=fn,
+            axis={"x": 0, "y": 1, "z": 2}.get(opts.get("axis", "z"), 2),
+            colormap=opts.get("colormap", "inferno"),
+            terminal=bool(opts.get("terminal image", opts.get("terminal", False))),
+            terminal_resolution=int(opts.get("terminal resolution", 80)),
+            save_data=bool(opts.get("data", False)),
+            extent=opts.get("extent"),
+        )
+        masterprint(f"Saved render2D: {fn}")
+    elif kind == "render3D":
+        from concept_tpu.graphics.render import render3D
+
+        opts = cfg.render3D_options or {}
+        fn = os.path.join(dirname, f"{base}_{tag}.png")
+        render3D(
+            state.pos, cfg.boxsize, fn,
+            resolution=int(opts.get("resolution", 1080)),
+            elevation=float(opts.get("elevation", 20.0)),
+            azimuth=float(opts.get("azimuth", -60.0)),
+            color=opts.get("color", "lime"),
+            background=opts.get("background", "black"),
+        )
+        masterprint(f"Saved render3D: {fn}")
+    elif kind == "bispec":
+        from concept_tpu.analysis.bispec import bispec, bispec_treelevel
+
+        opts = cfg.bispec_options or {}
+        gridsize = int(opts.get("gridsize") or sim.config.potential_gridsize)
+        configuration = opts.get("configuration", "equilateral 10")
+        out = bispec(
+            [state.pos], [1.0], gridsize, cfg.boxsize,
+            configuration=configuration,
+        )
+        cols = [out["triangles"], out["n_triangles"][:, None], out["B"][:, None]]
+        header = "k1 k2 k3 triangles B"
+        if lin is not None:
+            tree = bispec_treelevel(lin, out["triangles"], a)
+            cols.append(tree[:, None])
+            header += " B_treelevel"
+        fn = os.path.join(dirname, f"{base}_{tag}.txt")
+        os.makedirs(dirname, exist_ok=True)
+        np.savetxt(fn, np.column_stack(cols), header=header)
+        masterprint(f"Saved bispectrum: {fn}")

@@ -92,3 +92,28 @@ def test_cli_end_to_end(tmp_path):
     data = np.loadtxt(outs[0])
     assert data.shape[1] >= 4  # k, modes, P, corrected(, linear)
     assert np.all(data[:, 0] > 0)
+
+
+def test_cli_all_output_kinds(tmp_path):
+    """Run with every output kind scheduled — snapshot, powerspec, bispec,
+    render2D, render3D must all be produced (analogue of the reference's
+    multi-output runs)."""
+    from concept_tpu import cli
+
+    param = tmp_path / "allout.py"
+    param.write_text(
+        EXAMPLE_BASIC.replace("OUTDIR", str(tmp_path / "out")).replace(
+            "output_times = {'powerspec': 1.0}",
+            "output_times = {'powerspec': 0.12, 'snapshot': 0.12, "
+            "'bispec': 0.12, 'render2D': 0.12, 'render3D': 0.12}",
+        ).replace("a_begin = 0.05", "a_begin = 0.1")
+        + "\nselect_forces = {'all': {'gravity': 'pm'}}\n"
+    )
+    rc = cli.main(["-p", str(param)])
+    assert rc == 0
+    out = tmp_path / "out"
+    assert list(out.glob("powerspec*.txt"))
+    assert list(out.glob("snapshot*.hdf5"))
+    assert list(out.glob("bispec*.txt"))
+    assert list(out.glob("render2D*.png"))
+    assert list(out.glob("render3D*.png"))
