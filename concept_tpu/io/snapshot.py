@@ -114,9 +114,13 @@ _GADGET_HEADER = struct.Struct("<6I6dddii6Iiiddddii6Ii60x")  # 256 bytes
 
 
 def _gadget_header_bytes(npart, masses, time, redshift, boxsize,
-                         omega0, omega_lambda, hubble_param, num_files=1):
+                         omega0, omega_lambda, hubble_param, num_files=1,
+                         nall=None):
+    nall_arr = list(npart)
+    if nall is not None:
+        nall_arr = [0, int(nall), 0, 0, 0, 0]
     return _GADGET_HEADER.pack(
-        *npart, *masses, time, redshift, 0, 0, *npart, 0, num_files,
+        *npart, *masses, time, redshift, 0, 0, *nall_arr, 0, num_files,
         boxsize, omega0, omega_lambda, hubble_param, 0, 0, *([0] * 6), 0,
     )
 
@@ -129,6 +133,8 @@ def save_gadget(
     units,
     snapformat: int = 2,
     single_precision: bool = True,
+    num_files: int = 1,
+    nall: int | None = None,
 ):
     """Write a GADGET-2 snapshot (particle type 1 = halo/cdm).
 
@@ -156,6 +162,7 @@ def save_gadget(
         npart, masses, a, 1 / a - 1, meta.boxsize / kpc_h,
         meta.Omega_b + meta.Omega_cdm,
         1 - meta.Omega_b - meta.Omega_cdm, h,
+        num_files=num_files, nall=nall if nall is not None else spec.N,
     )
 
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
@@ -175,6 +182,67 @@ def save_gadget(
         block("VEL ", vel.astype(dtype).tobytes())
         block("ID  ", ids.tobytes())
     return filename
+
+
+def save_gadget_multifile(filename_base: str, meta: SnapshotMeta,
+                          spec: ComponentSpec, state: ParticleState, units,
+                          particles_per_file: int, snapformat: int = 2,
+                          single_precision: bool = True):
+    """Split a component over snapshot.0, snapshot.1, ... files
+    (reference multi-file GADGET snapshots, snapshot.py:639-2642;
+    gadget_snapshot_params['particles per file'])."""
+    import numpy as np
+
+    N = spec.N
+    n_files = max(1, -(-N // particles_per_file))
+    pos = np.asarray(state.pos)
+    mom = np.asarray(state.mom)
+    ids = np.asarray(state.ids) if state.ids is not None else np.arange(N)
+    files = []
+    for i in range(n_files):
+        sl = slice(i * particles_per_file, min((i + 1) * particles_per_file, N))
+        n_i = sl.stop - sl.start
+        sub_spec = ComponentSpec(
+            name=spec.name, species=spec.species, N=n_i, mass=spec.mass,
+        )
+        sub_state = ParticleState(pos=pos[sl], mom=mom[sl], ids=ids[sl])
+        fn = f"{filename_base}.{i}" if n_files > 1 else filename_base
+        save_gadget(fn, meta, sub_spec, sub_state, units,
+                    snapformat=snapformat, single_precision=single_precision,
+                    num_files=n_files, nall=N)
+        files.append(fn)
+    return files
+
+
+def load_gadget_multifile(filename_base: str, units):
+    """Load snapshot.0, .1, ... and concatenate."""
+    import numpy as np
+
+    files = []
+    i = 0
+    while os.path.exists(f"{filename_base}.{i}"):
+        files.append(f"{filename_base}.{i}")
+        i += 1
+    if not files:
+        return load_gadget(filename_base, units)
+    metas, poss, moms, idss = None, [], [], []
+    spec0 = None
+    for fn in files:
+        meta, comps = load_gadget(fn, units)
+        (name, (spec, state)), = comps.items()
+        metas = meta
+        spec0 = spec
+        poss.append(np.asarray(state.pos))
+        moms.append(np.asarray(state.mom))
+        idss.append(np.asarray(state.ids))
+    N = sum(len(p) for p in poss)
+    spec = ComponentSpec(name=spec0.name, species=spec0.species, N=N,
+                         mass=spec0.mass)
+    state = ParticleState(
+        pos=np.concatenate(poss), mom=np.concatenate(moms),
+        ids=np.concatenate(idss),
+    )
+    return metas, {spec.name: (spec, state)}
 
 
 def load_gadget(filename: str, units):
@@ -253,24 +321,81 @@ def is_gadget_snapshot(filename: str) -> bool:
 
 
 # --------------------------------------------------------------------- #
+# TIPSY (read-only, like the reference: snapshot.py:2643-3044)
+# --------------------------------------------------------------------- #
+_TIPSY_HEADER = struct.Struct(">d i i i i i 4x")  # big-endian, padded to 32
+
+
+def is_tipsy_snapshot(filename: str) -> bool:
+    try:
+        with open(filename, "rb") as f:
+            head = f.read(_TIPSY_HEADER.size)
+        t, nbodies, ndim, nsph, ndark, nstar = _TIPSY_HEADER.unpack(head)
+        return ndim == 3 and 0 < nbodies < 2**40 and nsph + ndark + nstar == nbodies
+    except Exception:
+        return False
+
+
+def load_tipsy(filename: str, units, boxsize: float | None = None):
+    """Read a TIPSY snapshot (dark-matter particles; big-endian standard
+    format).  TIPSY uses dimensionless units; positions in [-0.5, 0.5] are
+    mapped onto [0, boxsize) (caller supplies boxsize, else unit box).
+
+    Dark particle struct: mass, pos[3], vel[3], eps, phi (f32, big-endian).
+    """
+    with open(filename, "rb") as f:
+        raw = f.read()
+    t, nbodies, ndim, nsph, ndark, nstar = _TIPSY_HEADER.unpack(
+        raw[: _TIPSY_HEADER.size]
+    )
+    off = _TIPSY_HEADER.size
+    gas_size = 12 * 4
+    off += nsph * gas_size
+    dark = np.frombuffer(
+        raw, dtype=np.dtype(">f4"), count=ndark * 9, offset=off
+    ).reshape(ndark, 9).astype(np.float64)
+    mass = float(dark[0, 0])
+    pos = dark[:, 1:4]
+    vel = dark[:, 4:7]
+    L = boxsize if boxsize is not None else 1.0
+    meta = SnapshotMeta(a=t, boxsize=L, H0=0.0, Omega_b=0.0, Omega_cdm=0.0)
+    spec = ComponentSpec(name="TIPSY dark", species="matter", N=ndark, mass=mass)
+    state = ParticleState(
+        pos=(pos + 0.5) * L,
+        mom=vel * t * t * mass,  # TIPSY velocity conventions vary; comoving ẋ assumed
+        ids=np.arange(ndark),
+    )
+    return meta, {spec.name: (spec, state)}
+
+
+# --------------------------------------------------------------------- #
 # Dispatch (reference snapshot.py:3206 get_snapshot_type)
 # --------------------------------------------------------------------- #
 def snapshot_type(filename: str) -> str | None:
-    if is_concept_snapshot(filename):
+    probe = filename if os.path.exists(filename) else filename + ".0"
+    if not os.path.exists(probe):
+        return None
+    if is_concept_snapshot(probe):
         return "concept"
-    if is_gadget_snapshot(filename):
+    if is_gadget_snapshot(probe):
         return "gadget"
+    if is_tipsy_snapshot(probe):
+        return "tipsy"
     return None
 
 
 def load(filename: str, units=None):
+    if units is None:
+        from concept_tpu.units import units as default_units
+
+        units = default_units
     kind = snapshot_type(filename)
     if kind == "concept":
         return load_concept(filename)
     if kind == "gadget":
-        if units is None:
-            from concept_tpu.units import units as default_units
-
-            units = default_units
+        if not os.path.exists(filename) or os.path.exists(filename + ".0"):
+            return load_gadget_multifile(filename, units)
         return load_gadget(filename, units)
+    if kind == "tipsy":
+        return load_tipsy(filename, units)
     raise ValueError(f"unrecognized snapshot format: {filename}")
