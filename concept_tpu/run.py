@@ -144,9 +144,31 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
     """Run the simulation described by cfg; returns final (sim, state, a)."""
     units, consts, bg, lin = build_cosmology(cfg)
     comps = build_components(cfg, bg, consts)
-    if len(comps) != 1 or comps[0][1] != "realize":
-        raise NotImplementedError("multi-component / snapshot-start: next phase")
-    spec, _ = comps[0]
+    if len(comps) != 1:
+        raise NotImplementedError("multi-component runs: next phase")
+    spec, source = comps[0]
+    loaded_state = None
+    if source != "realize":
+        # start from a snapshot (reference get_initial_conditions,
+        # snapshot.py:3425)
+        from concept_tpu.io import snapshot as snap
+        import jax.numpy as _jnp
+
+        meta, loaded = snap.load(source, units)
+        (name, (spec, st)), = loaded.items()
+        method = is_selected_force(cfg, name, spec.species)
+        spec = ComponentSpec(
+            name=spec.name, species=spec.species, N=spec.N, mass=spec.mass,
+            forces=(("gravity", method),),
+        )
+        cfg.a_begin = meta.a
+        if abs(meta.boxsize - cfg.boxsize) > 1e-6 * cfg.boxsize:
+            masterprint(
+                f"Note: boxsize from snapshot ({meta.boxsize}) overrides "
+                f"parameter file ({cfg.boxsize})"
+            )
+            cfg.boxsize = meta.boxsize
+        loaded_state = st
     method = spec.force_method("gravity") or "p3m"
 
     pot = cfg.potential_options
@@ -183,6 +205,18 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
             ids=None if st0.ids is None else _jnp.asarray(st0.ids),
         )
         masterprint(f"Resumed from autosave at a = {a:.6g}")
+    elif loaded_state is not None:
+        import jax.numpy as _jnp
+        from concept_tpu.components import ParticleState
+
+        state = ParticleState(
+            pos=_jnp.asarray(loaded_state.pos, sim_config.dtype),
+            mom=_jnp.asarray(loaded_state.mom, sim_config.dtype),
+            ids=None if loaded_state.ids is None else _jnp.asarray(
+                np.asarray(loaded_state.ids).astype(np.int32)
+            ),
+        )
+        masterprint(f"Loaded initial conditions from snapshot at a = {cfg.a_begin:.6g}")
     else:
         seed_val = seed if seed is not None else int(
             cfg.random_seeds.get("primordial amplitudes", 0)
@@ -195,6 +229,8 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
             phase_shift=cfg.primordial_phase_shift,
         )
         masterprint("done")
+
+    if resume is None:
         # dump schedule: a-values across all kinds
         events = []
         for kind, times in cfg.output_times.get("a", {}).items():

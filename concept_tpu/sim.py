@@ -230,6 +230,7 @@ class Simulation:
         a_end: float,
         callback: Callable | None = None,
         max_steps: int = 100000,
+        print_interval: int = 0,
     ):
         """Evolve from a_begin to a_end with leapfrog KDK.
 
@@ -264,6 +265,16 @@ class Simulation:
             t += dt
             a = float(bg.a_of_t_np(t))
             step_count += 1
+            if print_interval and step_count % print_interval == 0:
+                # step heading (reference main.py:2016: step number, t, a,
+                # z, Δt, limiting bottleneck)
+                from concept_tpu.utils.terminal import masterprint
+
+                z = 1 / a - 1 if a > 0 else float("inf")
+                masterprint(
+                    f"step {step_count}: t = {t:.6g}, a = {a:.6g}, "
+                    f"z = {z:.4g}, Δt = {dt:.4g}"
+                )
             if callback is not None:
                 callback(state, t, a, step_count)
             if step_count >= max_steps:

@@ -117,3 +117,35 @@ def test_cli_all_output_kinds(tmp_path):
     assert list(out.glob("bispec*.txt"))
     assert list(out.glob("render2D*.png"))
     assert list(out.glob("render3D*.png"))
+
+
+def test_run_from_snapshot(tmp_path):
+    """initial_conditions = '<snapshot path>' starts the run from the file
+    (reference get_initial_conditions, snapshot.py:3425)."""
+    from concept_tpu import cli
+
+    # 1) produce a snapshot at a=0.1
+    p1 = tmp_path / "make_ic.py"
+    p1.write_text(
+        EXAMPLE_BASIC.replace("OUTDIR", str(tmp_path / "out1")).replace(
+            "output_times = {'powerspec': 1.0}",
+            "output_times = {'snapshot': 0.1}",
+        ).replace("a_begin = 0.05", "a_begin = 0.1")
+        + "\nselect_forces = {'all': {'gravity': 'pm'}}\n"
+    )
+    assert cli.main(["-p", str(p1)]) == 0
+    snap_file = next((tmp_path / "out1").glob("snapshot*.hdf5"))
+    # 2) continue from it to a=0.15
+    p2 = tmp_path / "continue.py"
+    p2.write_text(
+        EXAMPLE_BASIC.replace("OUTDIR", str(tmp_path / "out2")).replace(
+            "initial_conditions = {\n    'species': 'matter',\n    'N'      : 16**3,\n}",
+            f"initial_conditions = {str(str(snap_file))!r}",
+        ).replace(
+            "output_times = {'powerspec': 1.0}",
+            "output_times = {'powerspec': 0.15}",
+        )
+        + "\nselect_forces = {'all': {'gravity': 'pm'}}\n"
+    )
+    assert cli.main(["-p", str(p2)]) == 0
+    assert list((tmp_path / "out2").glob("powerspec*.txt"))
