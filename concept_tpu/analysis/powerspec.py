@@ -36,13 +36,36 @@ class PowerspecOptions:
     shotnoise_correction: bool = True
 
 
-def bin_indices_and_k(gridsize: int, boxsize: float):
-    """Per-mode bin index (round(|k_int|)) and physical |k| grid."""
+def bin_indices_and_k(gridsize: int, boxsize: float,
+                      k_linear_max: int = 16, bins_per_decade: int = 40):
+    """Per-mode bin index and physical |k| grid.
+
+    Hybrid binning like the reference (analysis.py:235-441): linear bins of
+    width k_fundamental up to ``k_linear_max``·k_f, logarithmic with
+    ``bins_per_decade`` above.  Returns (bins, k_phys, n_bins).
+    """
     k2 = fourier.k2_int_grid(gridsize)
     kmag_int = jnp.sqrt(k2.astype(jnp.float32))
-    bins = jnp.round(kmag_int).astype(jnp.int32)
+    lin_bins = jnp.round(kmag_int).astype(jnp.int32)
+    # log bins above the threshold
+    safe = jnp.maximum(kmag_int, 1e-3)
+    log_bins = (
+        k_linear_max
+        + jnp.floor(
+            bins_per_decade * (jnp.log10(safe) - math.log10(max(k_linear_max, 1)))
+        ).astype(jnp.int32)
+        + 1
+    )
+    bins = jnp.where(lin_bins <= k_linear_max, lin_bins, jnp.maximum(log_bins, k_linear_max + 1))
+    # total bin count: linear part + log range up to sqrt(3)·n/2
+    k_max_int = math.sqrt(3) * (gridsize // 2)
+    n_log = (
+        int(bins_per_decade * (math.log10(max(k_max_int, k_linear_max + 1)) - math.log10(max(k_linear_max, 1))))
+        + 2
+    )
+    n_bins = k_linear_max + 1 + n_log
     k_phys = (2 * math.pi / boxsize) * kmag_int
-    return bins, k_phys
+    return bins, k_phys, n_bins
 
 
 @partial(jax.jit, static_argnames=("gridsize", "order", "deconvolve", "interlace", "deposit_method"))
@@ -108,11 +131,9 @@ def powerspec(
     p2 = delta_power_grid(
         tuple(pos_list), tuple(weight_list), n, boxsize, order, deconvolve, interlace, deposit_method
     )
-    bins, k_phys = bin_indices_and_k(n, boxsize)
+    bins, k_phys, nbins = bin_indices_and_k(n, boxsize)
     mult = jnp.broadcast_to(fourier.hermitian_multiplicity(n), p2.shape)
-    nbins = n // 2 + 1  # bins 0..nyquist (bin 0 = k=0, dropped below)
-    valid = bins < nbins
-    bflat = jnp.where(valid, bins, nbins).reshape(-1)
+    bflat = jnp.clip(bins, 0, nbins).reshape(-1)
     wsum = jax.ops.segment_sum(
         (mult * p2).reshape(-1), bflat, num_segments=nbins + 1
     )[:nbins]
@@ -122,10 +143,13 @@ def powerspec(
     )[:nbins]
     power = (V / n**6) * wsum / jnp.maximum(counts, 1)
     k_mean = ksum / jnp.maximum(counts, 1)
+    counts_np = np.asarray(counts)
+    sel = counts_np > 0
+    sel[0] = False  # drop the k=0 bin
     out = {
-        "k": np.asarray(k_mean)[1:],
-        "modes": np.asarray(counts)[1:],
-        "power": np.asarray(power)[1:],
+        "k": np.asarray(k_mean)[sel],
+        "modes": counts_np[sel],
+        "power": np.asarray(power)[sel],
     }
     if shotnoise_correction:
         out["power_corrected"] = out["power"] - V / n_particles

@@ -45,3 +45,30 @@ def test_distributed_step_matches_single():
 
 def test_dryrun_multichip_runs():
     ge.dryrun_multichip(4)
+
+
+def test_distributed_evolution_matches_single():
+    """Multi-step evolution on an 8-device mesh vs single device — the
+    full nprocs-invariance analogue (reference test/nprocs_pm, tolerance
+    2e-2; deterministic collectives allow much tighter here)."""
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("x",))
+    dist = GridDistribution(mesh=mesh, axis="x")
+    n_grid = 16
+    sim_d, state = ge._build(n_grid=n_grid, dist=dist)
+    sim_s, _ = ge._build(n_grid=n_grid, dist=None)
+    state_s = jax.tree.map(jnp.copy, state)
+
+    pshard = NamedSharding(mesh, P("x", None))
+    state_d = state._replace(
+        pos=jax.device_put(state.pos, pshard),
+        mom=jax.device_put(state.mom, pshard),
+    )
+    a0, a1 = 0.1, 0.2
+    out_s, _ = sim_s.evolve(state_s, a0, a1)
+    out_d, _ = sim_d.evolve(state_d, a0, a1)
+    box = sim_s.config.boxsize
+    d = np.abs(np.asarray(out_d.pos) - np.asarray(out_s.pos))
+    d = np.minimum(d, box - d)
+    cell = box / n_grid
+    assert np.max(d) < 1e-3 * cell, f"max pos diff {np.max(d)/cell} cells"
