@@ -151,6 +151,29 @@ def render3D(
     return filename
 
 
+def plot_bispec(out: dict, filename: str, treelevel=None, a: float = 1.0):
+    """B(k) plot for a 1-parameter triangle family (reference
+    graphics.py:179 plot_bispec)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    k1 = out["triangles"][:, 0]
+    fig, ax = plt.subplots(figsize=(7, 5))
+    ax.loglog(k1, np.abs(out["B"]), "o-", label="simulation |B|")
+    if treelevel is not None:
+        ax.loglog(k1, np.abs(treelevel), ":", label="tree level")
+    ax.set_xlabel("k₁")
+    ax.set_ylabel("B(k₁,k₂,k₃)")
+    ax.set_title(f"a = {a:.4g}")
+    ax.legend()
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    fig.savefig(filename, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return filename
+
+
 def plot_powerspec(pk: dict, filename: str, linear=None, a: float = 1.0):
     """P(k) plot (reference graphics.py:45 plot_powerspec)."""
     import matplotlib

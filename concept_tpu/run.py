@@ -295,6 +295,10 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
         fn = os.path.join(dirname, f"{base}_{tag}.txt")
         save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length, sigma, R, lin_col)
         masterprint(f"Saved power spectrum: {fn}")
+        if opts.get("plot", False):
+            from concept_tpu.graphics.render import plot_powerspec
+
+            plot_powerspec(pk, fn.replace(".txt", ".png"), linear=lin_col, a=a)
     elif kind == "snapshot":
         from concept_tpu.io import snapshot as snap
 
@@ -361,3 +365,8 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
         os.makedirs(dirname, exist_ok=True)
         np.savetxt(fn, np.column_stack(cols), header=header)
         masterprint(f"Saved bispectrum: {fn}")
+        if opts.get("plot", False):
+            from concept_tpu.graphics.render import plot_bispec
+
+            plot_bispec(out, fn.replace(".txt", ".png"),
+                        treelevel=tree if lin is not None else None, a=a)
