@@ -44,27 +44,116 @@ def generate_primordial_noise(
     phase_shift: float = 0.0,
     dist: GridDistribution | None = None,
     dtype=jnp.float32,
+    scheme: str = "simple",
 ):
     """Unit white noise in Fourier (rfft) layout with exact Hermitian
-    symmetry: generated as real-space i.i.d. N(0,1) and transformed.
-    ⟨|R(k)|²⟩ = N_cells.
+    symmetry; ⟨|R(k)|²⟩ = N_cells.
+
+    scheme='simple': real-space i.i.d. N(0,1) transformed — deterministic
+    and device-count invariant, but ties mode values to the grid size.
+    scheme='distributed': mode-indexed counter-based RNG — each integer
+    mode (ki,kj,kk) derives its value from a hash of its own coordinates,
+    making the noise gridsize- AND device-count-invariant (the reference's
+    'distributed' primordial_noise_imprinting, ic.py:928-1198, which needs
+    a Fourier space-filling curve under MPI; counter-based RNG achieves the
+    same invariance directly).
 
     fixed_amplitude: |R(k)| := √N_cells, keeping only the phase
     (paired-and-fixed simulations, reference ic.py:1058-1105);
     phase_shift is added to every mode's phase (π for the pair partner).
     """
     n = gridsize
-    key = jax.random.key(seed)
-    white = jax.random.normal(key, (n, n, n), dtype=dtype)
-    if dist is not None and dist.mesh is not None:
-        white = jax.device_put(white, dist.real_sharding())
-    R = rfft3(white, dist)
+    if scheme == "simple":
+        key = jax.random.key(seed)
+        white = jax.random.normal(key, (n, n, n), dtype=dtype)
+        if dist is not None and dist.mesh is not None:
+            white = jax.device_put(white, dist.real_sharding())
+        R = rfft3(white, dist)
+    elif scheme == "distributed":
+        R = _modewise_noise(n, seed, dtype)
+    else:
+        raise ValueError(f"unknown noise scheme {scheme!r}")
     if fixed_amplitude or phase_shift != 0.0:
         mag = jnp.abs(R)
         phase = jnp.angle(R) + phase_shift
         amp = jnp.where(fixed_amplitude, math.sqrt(n**3), mag)
         R = amp * jnp.exp(1j * phase)
+        # self-conjugate modes (origin handled by amplitude code later)
     return R
+
+
+def _modewise_noise(gridsize: int, seed: int, dtype=jnp.float32):
+    """Mode-indexed Gaussian noise over the rfft layout.
+
+    Each mode's complex value is a pure function of (seed, ki, kj, kk)
+    with ki,kj signed integers — identical for every grid size that
+    contains the mode.  Hermitian symmetry: modes on the kk ∈ {0, n/2}
+    self-conjugate planes take the value of their canonical representative
+    (lexicographically positive) with conjugation; purely real on
+    self-conjugate points.  Normalised to ⟨|R|²⟩ = n³.
+    """
+    n = gridsize
+    ki, kj, kk = fourier.k_int_vectors(n)
+    ki = jnp.broadcast_to(ki, (n, n, n // 2 + 1))
+    kj = jnp.broadcast_to(kj, (n, n, n // 2 + 1))
+    kk = jnp.broadcast_to(kk, (n, n, n // 2 + 1))
+    # canonical representative for self-conjugate planes (kk = 0 or n/2
+    # in integer mode space — kk = n/2 occurs only at this grid size's
+    # Nyquist, which is nulled in realizations anyway)
+    on_plane = (kk == 0) | (kk == n // 2)
+    # conjugate partner with Nyquist aliasing: −(−n/2) ≡ −n/2
+    def _alias_neg(k):
+        mk = -k
+        return jnp.where(mk == n // 2, -(n // 2), mk)
+
+    pi = _alias_neg(ki)
+    pj = _alias_neg(kj)
+    # canonical representative = lexicographic max of ((kj,ki),(pj,pi))
+    flip = on_plane & ((kj < pj) | ((kj == pj) & (ki < pi)))
+    ki_c = jnp.where(flip, pi, ki)
+    kj_c = jnp.where(flip, pj, kj)
+    kk_c = kk  # kk ∈ {0, n/2} on the flip plane; -0 = 0 and Nyq ≡ -Nyq
+
+    # counter-based bits: hash the packed mode coordinates with threefry
+    base = jax.random.key_data(jax.random.key(seed)).astype(jnp.uint32)
+    OFF = jnp.uint32(1 << 15)
+
+    def bits(salt):
+        cnt = (
+            (ki_c.astype(jnp.uint32) + OFF)
+            ^ ((kj_c.astype(jnp.uint32) + OFF) << 11)
+            ^ ((kk_c.astype(jnp.uint32) + OFF) << 22)
+            ^ jnp.uint32(salt)
+        )
+        # two threefry-style mixing rounds via JAX's random_bits on a
+        # folded key would be per-mode keys (expensive); a Philox-like
+        # integer hash gives high-quality bits for this purpose:
+        x = cnt * jnp.uint32(0x9E3779B9) + base[0]
+        x ^= x >> 16
+        x = x * jnp.uint32(0x85EBCA6B) + base[1]
+        x ^= x >> 13
+        x = x * jnp.uint32(0xC2B2AE35)
+        x ^= x >> 16
+        return x
+
+    def uniform(salt):
+        return (bits(salt).astype(jnp.float32) + 0.5) / jnp.float32(2**32)
+
+    # Box-Muller → complex standard normal (variance 1/2 per part)
+    u1 = jnp.clip(uniform(0x1234ABCD), 1e-7, 1 - 1e-7)
+    u2 = uniform(0x5678EF01)
+    r = jnp.sqrt(-jnp.log(u1))
+    theta = (2 * math.pi) * u2
+    re = r * jnp.cos(theta)
+    im = r * jnp.sin(theta)
+    # conjugate for flipped (non-canonical) plane entries
+    im = jnp.where(flip, -im, im)
+    # self-conjugate points must be real with variance 1
+    selfconj = on_plane & (ki == pi) & (kj == pj)
+    re = jnp.where(selfconj, re * math.sqrt(2), re)
+    im = jnp.where(selfconj, 0.0, im)
+    R = (re + 1j * im) * math.sqrt(n**3)
+    return R.astype(jnp.complex64 if dtype == jnp.float32 else jnp.complex128)
 
 
 def _k_magnitude_grid(gridsize: int, boxsize: float, dtype=jnp.float32):
