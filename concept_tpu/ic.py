@@ -173,6 +173,7 @@ def realize_delta_slab(
     dtype=jnp.float32,
     nongaussianity: float = 0.0,
     species: str = "matter",
+    scheme: str = "simple",
 ):
     """δ(k) in DFT normalisation at scale factor a.
 
@@ -185,7 +186,7 @@ def realize_delta_slab(
     n = gridsize
     V = boxsize**3
     R = generate_primordial_noise(
-        n, seed, fixed_amplitude, phase_shift, dist, dtype
+        n, seed, fixed_amplitude, phase_shift, dist, dtype, scheme
     )
     kmag = _k_magnitude_grid(n, boxsize, dtype)
     kmag_safe = jnp.where(kmag > 0, kmag, 1.0)
@@ -254,6 +255,7 @@ def realize_particles(
     nongaussianity: float = 0.0,
     species: str = "matter",
     delta_k=None,
+    scheme: str = "simple",
 ) -> ParticleState:
     """Generate particle ICs for a matter-like component at scale factor a.
 
@@ -273,7 +275,7 @@ def realize_particles(
     if delta_k is None:
         delta_k = realize_delta_slab(
             lin, gridsize, boxsize, a, seed, fixed_amplitude, phase_shift, dist,
-            dtype, nongaussianity, species,
+            dtype, nongaussianity, species, scheme,
         )
     kfac = 2 * math.pi / boxsize
     k2 = fourier.k2_int_grid(gridsize).astype(dtype) * kfac**2

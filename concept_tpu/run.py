@@ -227,6 +227,10 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
             a_begin=cfg.a_begin, seed=seed_val, lpt_order=lpt,
             fixed_amplitude=cfg.primordial_amplitude_fixed,
             phase_shift=cfg.primordial_phase_shift,
+            scheme=cfg.primordial_noise_imprinting,
+            nongaussianity=float(
+                cfg.realization_options.get("nongaussianity", 0.0)
+            ),
         )
         masterprint("done")
 
