@@ -34,7 +34,7 @@ from concept_tpu.sim import SimConfig, FAC_DYNAMICAL, FAC_HUBBLE, DELTA_A_MAX_EA
 
 
 class MultiState(NamedTuple):
-    particles: ParticleState | None
+    particles: dict  # name -> ParticleState (may be empty)
     fluids: dict  # name -> FluidState
 
 
@@ -43,7 +43,7 @@ class MultiSimulation:
 
     def __init__(
         self,
-        particle_spec: ComponentSpec | None,
+        particle_specs,
         fluid_specs: list[ComponentSpec],
         config: SimConfig,
         bg: Background,
@@ -52,7 +52,11 @@ class MultiSimulation:
         fluid_Omegas: dict | None = None,
         rho_crit: float | None = None,
     ):
-        self.pspec = particle_spec
+        if particle_specs is None:
+            particle_specs = []
+        elif isinstance(particle_specs, ComponentSpec):
+            particle_specs = [particle_specs]
+        self.pspecs = {s.name: s for s in particle_specs}
         self.fspecs = {s.name: s for s in fluid_specs}
         self.config = config
         self.bg = bg
@@ -70,12 +74,15 @@ class MultiSimulation:
         n = cfg.potential_gridsize
         cell_volume = (cfg.boxsize / n) ** 3
         slab = None
-        if state.particles is not None:
-            g = deposit(state.particles.pos, self.pspec.mass, n, cfg.boxsize,
+        grid_p = None
+        for name, pstate in state.particles.items():
+            g = deposit(pstate.pos, self.pspecs[name].mass, n, cfg.boxsize,
                         order=cfg.interpolation_order, method=cfg.deposit_method)
-            # upstream deconvolution applies to the particle deposit only
+            grid_p = g if grid_p is None else grid_p + g
+        if grid_p is not None:
+            # upstream deconvolution applies to the particle deposits only
             # (reference interactions.py:2060-2080 promotion rules)
-            slab = rfft3(g / cell_volume) * fourier.deconvolution_factor(
+            slab = rfft3(grid_p / cell_volume) * fourier.deconvolution_factor(
                 n, cfg.interpolation_order
             )
         for name, f in state.fluids.items():
@@ -97,24 +104,25 @@ class MultiSimulation:
         # force interpolation (reference deconvolve=(up, down) semantics)
         phi_p = (
             phi * fourier.deconvolution_factor(n, cfg.interpolation_order)
-            if state.particles is not None
+            if state.particles
             else None
         )
-        particles = state.particles
         new_fluids = dict(state.fluids)
         # gradient grids one dim at a time
-        dmom = None
+        dmom = {name: None for name in state.particles}
         fluid_dJ = {name: [] for name in state.fluids}
         for d in range(3):
-            if particles is not None:
+            if state.particles:
                 grad_p = irfft3(fourier.fourier_diff(phi_p, n, cfg.boxsize, d), n)
-                comp = gather(
-                    grad_p, particles.pos, cfg.boxsize, order=cfg.interpolation_order
-                )
-                upd = (-self.pspec.mass * int_kick) * comp
-                dmom = upd[:, None] if dmom is None else jnp.concatenate(
-                    [dmom, upd[:, None]], axis=1
-                )
+                for name, pstate in state.particles.items():
+                    comp = gather(
+                        grad_p, pstate.pos, cfg.boxsize, order=cfg.interpolation_order
+                    )
+                    upd = (-self.pspecs[name].mass * int_kick) * comp
+                    dmom[name] = (
+                        upd[:, None] if dmom[name] is None
+                        else jnp.concatenate([dmom[name], upd[:, None]], axis=1)
+                    )
             for name, f in state.fluids.items():
                 spec = self.fspecs[name]
                 nf = f.varrho.shape[0]
@@ -124,23 +132,25 @@ class MultiSimulation:
                 P = f.P if f.P is not None else (spec.w * self.light_speed**2) * f.varrho
                 dJ = -(f.varrho + c2inv * P) * gradf * int_kick
                 fluid_dJ[name].append(dJ)
-        if particles is not None:
-            particles = particles._replace(mom=particles.mom + dmom)
+        new_particles = {
+            name: pstate._replace(mom=pstate.mom + dmom[name])
+            for name, pstate in state.particles.items()
+        }
         for name, f in state.fluids.items():
             if f.J is not None:
                 new_fluids[name] = f._replace(
                     J=f.J + jnp.stack(fluid_dJ[name])
                 )
-        return MultiState(particles=particles, fluids=new_fluids)
+        return MultiState(particles=new_particles, fluids=new_fluids)
 
     def _drift(self, state: MultiState, int_a2, dt, coef_flux, coef_pressure,
                a) -> MultiState:
         cfg = self.config
-        particles = state.particles
-        if particles is not None:
-            fac = int_a2 / self.pspec.mass
-            particles = particles._replace(
-                pos=jnp.mod(particles.pos + particles.mom * fac, cfg.boxsize)
+        particles = {}
+        for name, pstate in state.particles.items():
+            fac = int_a2 / self.pspecs[name].mass
+            particles[name] = pstate._replace(
+                pos=jnp.mod(pstate.pos + pstate.mom * fac, cfg.boxsize)
             )
         new_fluids = {}
         for name, f in state.fluids.items():
@@ -168,9 +178,12 @@ class MultiSimulation:
         bg = self.bg
         H = float(bg.hubble_np(a))
         limits = []
-        if self.pspec is not None and self.pspec.N:
-            rho = self.pspec.mass * self.pspec.N / self.config.boxsize**3 / a**3
-            limits.append(FAC_DYNAMICAL / math.sqrt(self.config.G * rho))
+        rho_tot = sum(
+            sp.mass * sp.N / self.config.boxsize**3 / a**3
+            for sp in self.pspecs.values() if sp.N
+        )
+        if rho_tot > 0:
+            limits.append(FAC_DYNAMICAL / math.sqrt(self.config.G * rho_tot))
         if H > 0:
             limits.append(FAC_HUBBLE / H)
             da_max = DELTA_A_MAX_EARLY if a < 0.1 else DELTA_A_MAX_LATE

@@ -67,7 +67,7 @@ def test_fluid_planewave_growth(setup):
     a0, a1 = 0.02, 0.3
     eps = 0.005
     fl, kx = make_planewave_fluid(bg, rho_mean, a0, eps=eps)
-    state = MultiState(particles=None, fluids={"dust": fl})
+    state = MultiState(particles={}, fluids={"dust": fl})
     assert math.isclose(mode_amp(fl.varrho, kx), eps, rel_tol=1e-3)
     state, a = sim.evolve(state, a0, a1)
     D = float(bg.growth_np("D1", a1) / bg.growth_np("D1", a0))
@@ -79,10 +79,60 @@ def test_fluid_mass_conserved_under_gravity(setup):
     bg, sim, spec, rho_mean = setup
     a0, a1 = 0.02, 0.1
     fl, kx = make_planewave_fluid(bg, rho_mean, a0)
-    state = MultiState(particles=None, fluids={"dust": fl})
+    state = MultiState(particles={}, fluids={"dust": fl})
     total0 = float(jnp.sum(fl.varrho))
     state, _ = sim.evolve(state, a0, a1)
     total1 = float(jnp.sum(state.fluids["dust"].varrho))
     # flux-form scheme is exactly conservative; the residual is f32
     # per-cell rounding accumulated over ~40 steps (reference runs f64)
     assert np.isclose(total0, total1, rtol=1e-3)
+
+
+def test_two_particle_components_match_one(setup):
+    """Two particle components (half mass each) must evolve identically to
+    one combined component — the analogue of reference
+    test/multicomponent."""
+    import jax
+    from concept_tpu.components import ParticleState, lattice_positions, particle_mass
+    from concept_tpu.sim_multi import MultiSimulation, MultiState
+    from concept_tpu.sim import SimConfig
+    from concept_tpu.units import constants
+
+    bg, _, _, rho_mean = setup
+    G = constants.G_Newton
+    NGp = 16
+    N = NGp**3
+    mass = rho_mean * BOX**3 / N
+    config = SimConfig(boxsize=BOX, potential_gridsize=NGp, G=G)
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(
+        (np.asarray(lattice_positions(NGp, BOX))
+         + rng.normal(0, 0.05 * BOX / NGp, (N, 3))) % BOX, jnp.float32)
+    mom = jnp.zeros((N, 3), jnp.float32)
+
+    spec1 = ComponentSpec(name="all", species="matter", N=N, mass=mass)
+    sim1 = MultiSimulation([spec1], [], config, bg)
+    st1 = MultiState(particles={"all": ParticleState(pos=pos, mom=mom)}, fluids={})
+    out1, _ = sim1.evolve(st1, 0.05, 0.1)
+
+    # same particles split into two half-mass components at the same
+    # positions (each particle duplicated with mass/2)
+    specA = ComponentSpec(name="A", species="cdm", N=N, mass=mass / 2)
+    specB = ComponentSpec(name="B", species="baryon", N=N, mass=mass / 2)
+    sim2 = MultiSimulation([specA, specB], [], config, bg)
+    st2 = MultiState(
+        particles={
+            "A": ParticleState(pos=jnp.copy(pos), mom=jnp.copy(mom)),
+            "B": ParticleState(pos=jnp.copy(pos), mom=jnp.copy(mom)),
+        },
+        fluids={},
+    )
+    out2, _ = sim2.evolve(st2, 0.05, 0.1)
+    np.testing.assert_allclose(
+        np.asarray(out2.particles["A"].pos), np.asarray(out1.particles["all"].pos),
+        atol=1e-4 * BOX / NGp,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2.particles["B"].pos), np.asarray(out2.particles["A"].pos),
+        atol=1e-6 * BOX,
+    )
