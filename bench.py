@@ -10,10 +10,19 @@ Grid/particle count auto-scales down on OOM / compiler limits.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compilation cache: first-run compiles through the remote
+# helper are slow; cache them next to the repo
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 

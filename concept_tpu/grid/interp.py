@@ -177,6 +177,7 @@ def _deposit_sorted(pos, q, gridsize: int, boxsize: float, order: int):
     is_end = jnp.concatenate([key_s[1:] != key_s[:-1], jnp.ones((1,), bool)])
     is_start = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
     end_keys = jnp.where(is_end, key_s, M)
+    ws_stacked = jnp.stack(ws)  # (3·order, N)
 
     def seg_combine(a, b):
         # segmented-scan monoid: restart the running sum at segment starts
@@ -184,23 +185,26 @@ def _deposit_sorted(pos, q, gridsize: int, boxsize: float, order: int):
         vb, sb = b
         return jnp.where(sb, vb, va + vb), sa | sb
 
-    grid_u = jnp.zeros((m, m, m), dtype)
-    for cx in range(order):
-        for cy in range(order):
-            for cz in range(order):
-                vals = q_s * ws[cx] * ws[order + cy] * ws[2 * order + cz]
-                # exact per-segment inclusive sums (no cross-segment
-                # cancellation — unlike a global cumsum difference)
-                segsum, _ = jax.lax.associative_scan(
-                    seg_combine, (vals, is_start)
-                )
-                seg = jnp.zeros((M + 1,), dtype).at[end_keys].set(
-                    segsum, unique_indices=True
-                )[:M].reshape(m, m, m)
-                # corner (cx,cy,cz): dense shifted add on the unwrapped grid
-                grid_u = grid_u.at[cx:, cy:, cz:].add(
-                    seg[: m - cx, : m - cy, : m - cz]
-                )
+    corners = jnp.asarray(
+        [(cx, cy, cz) for cx in range(order) for cy in range(order) for cz in range(order)],
+        dtype=jnp.int32,
+    )
+
+    def corner_body(grid_u, corner):
+        cx, cy, cz = corner[0], corner[1], corner[2]
+        vals = q_s * ws_stacked[cx] * ws_stacked[order + cy] * ws_stacked[2 * order + cz]
+        # exact per-segment inclusive sums (no cross-segment cancellation
+        # — unlike a global cumsum difference)
+        segsum, _ = jax.lax.associative_scan(seg_combine, (vals, is_start))
+        seg = jnp.zeros((M + 1,), dtype).at[end_keys].set(
+            segsum, unique_indices=True
+        )[:M].reshape(m, m, m)
+        # corner (cx,cy,cz): shifted dense add — base cells sit ≤ m−order
+        # per dim, so a roll by < order never wraps a nonzero entry
+        grid_u = grid_u + jnp.roll(seg, (cx, cy, cz), axis=(0, 1, 2))
+        return grid_u, None
+
+    grid_u, _ = jax.lax.scan(corner_body, jnp.zeros((m, m, m), dtype), corners)
     for axis in range(3):
         grid_u = _fold_axis(grid_u, axis, n, lo, order)
     return grid_u

@@ -58,7 +58,7 @@ def build_components(cfg: RunConfig, bg, constants):
         name = entry.get("name", species)
         N = entry.get("N")
         gridsize = entry.get("gridsize")
-        if species in ("matter", "cdm", "baryon", "cold dark matter") and N:
+        if N:
             Omega = cfg.Omega_m if species == "matter" else (
                 cfg.Omega_cdm if species in ("cdm", "cold dark matter") else cfg.Omega_b
             )
@@ -69,11 +69,21 @@ def build_components(cfg: RunConfig, bg, constants):
                 forces=(("gravity", method),),
             )
             out.append((spec, "realize"))
-        else:
-            raise NotImplementedError(
-                f"component species {species!r} (fluid realization is the "
-                f"next build phase; reference ic.py:400 realize_fluid)"
+        elif gridsize:
+            # fluid component (reference initial_conditions gridsize form,
+            # param/example_explanatory:18-25)
+            w = float(entry.get("w", 0.0))
+            spec = ComponentSpec(
+                name=name, species=species, representation="fluid",
+                gridsize=int(gridsize), w=w,
+                boltzmann_order=int(entry.get("boltzmann order",
+                                              entry.get("boltzmann_order", 1))),
+                boltzmann_closure=entry.get("boltzmann closure",
+                                            entry.get("boltzmann_closure", "truncate")),
             )
+            out.append((spec, "realize-fluid"))
+        else:
+            raise ValueError(f"component entry needs N or gridsize: {entry}")
     return out
 
 
@@ -144,8 +154,9 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
     """Run the simulation described by cfg; returns final (sim, state, a)."""
     units, consts, bg, lin = build_cosmology(cfg)
     comps = build_components(cfg, bg, consts)
-    if len(comps) != 1:
-        raise NotImplementedError("multi-component runs: next phase")
+    if any(src == "realize-fluid" for _, src in comps) or len(comps) > 1:
+        return run_multi(cfg, comps, units, consts, bg, lin,
+                         max_steps=max_steps, seed=seed)
     spec, source = comps[0]
     loaded_state = None
     if source != "realize":
@@ -274,6 +285,143 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         f"Simulation complete: a = {a:.6g}, wall time {_time.time()-t_wall0:.1f} s"
     )
     return sim, state, a
+
+
+def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
+              max_steps: int = 100000, seed: int | None = None):
+    """Multi-component run: particles + fluids coupled through the PM
+    potential (reference general component loop, main.py:214-461)."""
+    import jax.numpy as jnp
+    from concept_tpu.sim_multi import (
+        MultiSimulation, MultiState, realize_fluid_from_linear,
+    )
+
+    pspecs = [s for s, src in comps if src == "realize" and s.representation == "particles"]
+    fspecs = [s for s, src in comps if src == "realize-fluid"]
+    pot = cfg.potential_options
+    gridsize = pot.get("gridsize") or max(
+        [2 * round(s.N ** (1 / 3)) for s in pspecs]
+        + [s.gridsize for s in fspecs]
+    )
+    sim_config = SimConfig(
+        boxsize=cfg.boxsize, potential_gridsize=int(gridsize),
+        interpolation_order=pot.get("interpolation", 2),
+        interlace=bool(pot.get("interlace", False)),
+        G=consts.G_Newton,
+    )
+    rho_crit = bg.rho_crit_of(consts.G_Newton)
+    sim = MultiSimulation(pspecs, fspecs, sim_config, bg, lin,
+                          light_speed=consts.light_speed)
+    seed_val = seed if seed is not None else int(
+        cfg.random_seeds.get("primordial amplitudes", 0)
+    )
+    lpt = int(cfg.realization_options.get("lpt", 1))
+    particles = {}
+    for pspec in pspecs:
+        from concept_tpu.ic import realize_particles
+
+        masterprint(f"Realizing {pspec.name} ({pspec.N} particles) ...")
+        particles[pspec.name] = realize_particles(
+            lin, pspec, cfg.boxsize, cfg.a_begin, seed=seed_val,
+            lpt_order=lpt, scheme=cfg.primordial_noise_imprinting,
+        )
+        masterprint("done")
+    fluids = {}
+    for fspec in fspecs:
+        Omega = {
+            "matter": cfg.Omega_m, "neutrino": getattr(cfg, "Omega_nu", 0.0) or 0.01,
+        }.get(fspec.species, cfg.Omega_m)
+        rho_mean = Omega * rho_crit
+        masterprint(f"Realizing fluid {fspec.name} (gridsize {fspec.gridsize}) ...")
+        fluids[fspec.name] = realize_fluid_from_linear(
+            lin, fspec, cfg.boxsize, cfg.a_begin, rho_mean, seed=seed_val,
+        )
+        masterprint("done")
+    state = MultiState(particles=particles, fluids=fluids)
+
+    events = []
+    for kind, times in cfg.output_times.get("a", {}).items():
+        for t in times:
+            events.append((float(t), kind))
+    events.sort()
+    a = cfg.a_begin
+    for a_dump, kind in [e for e in events if e[0] <= a + 1e-12]:
+        dump_multi(cfg, sim, state, a, kind, units, lin)
+    events = [e for e in events if e[0] > a + 1e-12]
+    while events:
+        a_next = events[0][0]
+        masterprint(f"Evolving to a = {a_next:.4g} ...")
+        state, a = sim.evolve(state, a, a_next, max_steps=max_steps)
+        masterprint("done")
+        while events and events[0][0] <= a + 1e-9:
+            _, kind = events.pop(0)
+            dump_multi(cfg, sim, state, a, kind, units, lin)
+    masterprint(f"Simulation complete: a = {a:.6g}")
+    return sim, state, a
+
+
+def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
+    """Outputs for multi-component runs: per-particle-component spectra and
+    fluid δ-spectra."""
+    import jax.numpy as jnp
+
+    base = cfg.output_bases.get(kind, kind)
+    dirname = cfg.output_dirs.get(kind, "output")
+    tag = f"a={a:.4g}"
+    if kind == "powerspec":
+        from concept_tpu.analysis.powerspec import powerspec
+        from concept_tpu.analysis.output import save_powerspec_txt
+
+        for name, pstate in state.particles.items():
+            spec = sim.pspecs[name]
+            gridsize = sim.config.potential_gridsize
+            pk = powerspec([pstate.pos], [1.0], gridsize, cfg.boxsize, spec.N)
+            fn = os.path.join(dirname, f"{base}_{name}_{tag}.txt")
+            save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length)
+            masterprint(f"Saved power spectrum ({name}): {fn}")
+        for name, f in state.fluids.items():
+            # fluid δ power directly from the grid
+            from concept_tpu.grid.fft import rfft3
+            from concept_tpu.grid import fourier as _fourier
+            import jax
+
+            delta = f.varrho / jnp.mean(f.varrho) - 1.0
+            slab = rfft3(delta)
+            n = delta.shape[0]
+            from concept_tpu.analysis.powerspec import bin_indices_and_k
+
+            bins, k_phys, nbins = bin_indices_and_k(n, cfg.boxsize)
+            mult = jnp.broadcast_to(_fourier.hermitian_multiplicity(n), slab.shape)
+            p2 = jnp.abs(slab) ** 2
+            bflat = jnp.clip(bins, 0, nbins).reshape(-1)
+            wsum = jax.ops.segment_sum((mult * p2).reshape(-1), bflat, num_segments=nbins + 1)[:nbins]
+            counts = jax.ops.segment_sum(mult.reshape(-1), bflat, num_segments=nbins + 1)[:nbins]
+            ksum = jax.ops.segment_sum((mult * k_phys).reshape(-1), bflat, num_segments=nbins + 1)[:nbins]
+            sel = np.asarray(counts) > 0
+            sel[0] = False
+            pk = {
+                "k": np.asarray(ksum / jnp.maximum(counts, 1))[sel],
+                "modes": np.asarray(counts)[sel],
+                "power": (cfg.boxsize**3 / n**6) * np.asarray(wsum / jnp.maximum(counts, 1))[sel],
+            }
+            fn = os.path.join(dirname, f"{base}_{name}_{tag}.txt")
+            save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length)
+            masterprint(f"Saved fluid power spectrum ({name}): {fn}")
+    elif kind == "snapshot":
+        from concept_tpu.io import snapshot as snap
+
+        meta = snap.SnapshotMeta(
+            a=a, boxsize=cfg.boxsize, H0=cfg.H0,
+            Omega_b=cfg.Omega_b, Omega_cdm=cfg.Omega_cdm,
+            unit_length=cfg.unit_length, unit_time=cfg.unit_time,
+            unit_mass=cfg.unit_mass,
+        )
+        fn = os.path.join(dirname, f"{base}_{tag}.hdf5")
+        snap.save_concept(
+            fn, meta,
+            {name: (sim.pspecs[name], pstate) for name, pstate in state.particles.items()},
+        )
+        masterprint(f"Saved snapshot: {fn}")
 
 
 def dump(cfg: RunConfig, sim, state, a, kind, units, lin):

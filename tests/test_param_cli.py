@@ -149,3 +149,37 @@ def test_run_from_snapshot(tmp_path):
     )
     assert cli.main(["-p", str(p2)]) == 0
     assert list((tmp_path / "out2").glob("powerspec*.txt"))
+
+
+def test_multi_component_run_with_fluid(tmp_path):
+    """Particles + a dust fluid coupled through PM gravity, configured
+    entirely from a parameter file (example_nonlinnu structure,
+    reference param/example_explanatory:11-25)."""
+    from concept_tpu import cli
+
+    param = tmp_path / "multi.py"
+    param.write_text(
+        """
+initial_conditions = [
+    {'species': 'matter', 'N': 16**3},
+    {'species': 'matter', 'name': 'dust fluid', 'gridsize': 16,
+     'boltzmann order': 1},
+]
+output_dirs = 'OUT'
+output_times = {'powerspec': 0.15, 'snapshot': 0.15}
+boxsize = 512*Mpc
+potential_options = 16
+H0 = 67*km/(s*Mpc)
+Ωb = 0.049
+Ωcdm = 0.27
+a_begin = 0.1
+primordial_spectrum = {'A_s': 2.1e-9, 'n_s': 0.96}
+""".replace("OUT", str(tmp_path / "out"))
+    )
+    rc = cli.main(["-p", str(param)])
+    assert rc == 0
+    outs = list((tmp_path / "out").glob("powerspec*matter*.txt"))
+    assert outs, "particle spectrum missing"
+    fl = list((tmp_path / "out").glob("powerspec*dust fluid*.txt"))
+    assert fl, "fluid spectrum missing"
+    assert list((tmp_path / "out").glob("snapshot*.hdf5"))
