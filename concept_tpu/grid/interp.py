@@ -156,28 +156,52 @@ def _deposit_sorted(pos, q, gridsize: int, boxsize: float, order: int):
     N = pos.shape[0]
     dtype = pos.dtype
     u = pos / h - 0.5
-    ix, wx = _offsets_and_weights(u[:, 0], order)
-    iy, wy = _offsets_and_weights(u[:, 1], order)
-    iz, wz = _offsets_and_weights(u[:, 2], order)
+    # anchor index and fractional offset per dim (weights are pure
+    # functions of f — carried through the sort instead of all `order`
+    # weight columns, minimizing the sort payload)
+    if order in (1, 3):  # NGP/TSC anchor at round(u), f ∈ [-1/2, 1/2]
+        anchor = jnp.round(u).astype(jnp.int32)
+    else:  # CIC/PCS anchor at floor(u), f ∈ [0, 1)
+        anchor = jnp.floor(u).astype(jnp.int32)
+    f = (u - anchor).astype(dtype)
+    first = {1: 0, 2: 0, 3: -1, 4: -1}[order]  # lowest corner rel. anchor
     lo = _LO[order]
     m = n + order
-    bx = jnp.clip(ix[:, 0] + lo, 0, m - order)
-    by = jnp.clip(iy[:, 0] + lo, 0, m - order)
-    bz = jnp.clip(iz[:, 0] + lo, 0, m - order)
-    key = (bx.astype(jnp.int32) * m + by) * m + bz
-    sort_ops = [key, jnp.broadcast_to(q, (N,)).astype(dtype)]
-    for w in (wx, wy, wz):
-        for c in range(order):
-            sort_ops.append(w[:, c].astype(dtype))
-    sorted_ops = jax.lax.sort(sort_ops, num_keys=1)
-    key_s, q_s = sorted_ops[:2]
-    ws = sorted_ops[2:]
+    bx = jnp.clip(anchor[:, 0] + first + lo, 0, m - order)
+    by = jnp.clip(anchor[:, 1] + first + lo, 0, m - order)
+    bz = jnp.clip(anchor[:, 2] + first + lo, 0, m - order)
+    key = (bx * m + by) * m + bz
+    sorted_ops = jax.lax.sort(
+        [key, jnp.broadcast_to(q, (N,)).astype(dtype), f[:, 0], f[:, 1], f[:, 2]],
+        num_keys=1,
+    )
+    key_s, q_s, fx_s, fy_s, fz_s = sorted_ops
+
+    def corner_weights(fc, c):
+        """Weight of corner index c (0..order-1 from the lowest) at
+        fractional offset fc (same B-splines as _offsets_and_weights)."""
+        if order == 1:
+            return jnp.ones_like(fc)
+        if order == 2:
+            return 1 - fc if c == 0 else fc
+        if order == 3:
+            return (
+                0.5 * (0.5 - fc) ** 2,
+                0.75 - fc**2,
+                0.5 * (0.5 + fc) ** 2,
+            )[c]
+        return (
+            (1 - fc) ** 3 / 6,
+            (4 - 6 * fc**2 + 3 * fc**3) / 6,
+            (4 - 6 * (1 - fc) ** 2 + 3 * (1 - fc) ** 3) / 6,
+            fc**3 / 6,
+        )[c]
+
 
     M = m * m * m
     is_end = jnp.concatenate([key_s[1:] != key_s[:-1], jnp.ones((1,), bool)])
     is_start = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
     end_keys = jnp.where(is_end, key_s, M)
-    ws_stacked = jnp.stack(ws)  # (3·order, N)
 
     def seg_combine(a, b):
         # segmented-scan monoid: restart the running sum at segment starts
@@ -190,9 +214,14 @@ def _deposit_sorted(pos, q, gridsize: int, boxsize: float, order: int):
         dtype=jnp.int32,
     )
 
+    def _w_switch(c, fc):
+        return jax.lax.switch(
+            c, [lambda fc=fc, cc=cc: corner_weights(fc, cc) for cc in range(order)]
+        )
+
     def corner_body(grid_u, corner):
         cx, cy, cz = corner[0], corner[1], corner[2]
-        vals = q_s * ws_stacked[cx] * ws_stacked[order + cy] * ws_stacked[2 * order + cz]
+        vals = q_s * _w_switch(cx, fx_s) * _w_switch(cy, fy_s) * _w_switch(cz, fz_s)
         # exact per-segment inclusive sums (no cross-segment cancellation
         # — unlike a global cumsum difference)
         segsum, _ = jax.lax.associative_scan(seg_combine, (vals, is_start))
