@@ -29,6 +29,12 @@ import jax.numpy as jnp
 ORDER_NAMES = {"NGP": 1, "CIC": 2, "TSC": 3, "PCS": 4}
 
 
+def default_deposit_method() -> str:
+    """'sorted' on TPU (duplicate-index scatter serializes there),
+    'scatter' elsewhere (CPU/GPU scatter-add is fine and compiles faster)."""
+    return "sorted" if jax.default_backend() == "tpu" else "scatter"
+
+
 def interpolation_order(order) -> int:
     if isinstance(order, str):
         return ORDER_NAMES[order.upper()]
@@ -272,6 +278,8 @@ def deposit(pos, quantity, gridsize: int, boxsize: float, order=2, method: str =
     N = pos.shape[0]
     dtype = pos.dtype
     q = jnp.broadcast_to(jnp.asarray(quantity, dtype=dtype), (N,))
+    if method == "auto":
+        method = default_deposit_method()
     if method == "sorted":
         return _deposit_sorted(pos, q, n, boxsize, order)
     grid = jnp.zeros((n * n * n,), dtype=dtype)

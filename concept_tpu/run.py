@@ -198,7 +198,7 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         method=method,
         softening=softening,
         ewald_gridsize=cfg.ewald_gridsize,
-        deposit_method=deposit_method or "scatter",
+        deposit_method=deposit_method or "auto",
     )
     sim = Simulation(spec, sim_config, bg, lin)
 

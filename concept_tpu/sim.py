@@ -57,7 +57,7 @@ class SimConfig:
     interpolation_order: int = 2  # CIC (reference potential default)
     deconvolve: tuple = (True, True)  # (upstream/deposit, downstream/gather)
     differentiation: object = "fourier"  # 'fourier' or 2/4/6/8
-    deposit_method: str = "scatter"
+    deposit_method: str = "auto"  # 'auto' | 'scatter' | 'sort' | 'sorted'
     interlace: bool = False
     dtype: object = jnp.float32
     G: float = 1.0
