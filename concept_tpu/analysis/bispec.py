@@ -15,9 +15,7 @@ triangle count N_tri = n⁶·mean(Πwᵢ).
 from __future__ import annotations
 
 import math
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from concept_tpu.grid.fft import GridDistribution, rfft3
+from concept_tpu.grid.fft import rfft3
 from concept_tpu.grid import fourier
 from concept_tpu.grid.interp import deposit
 

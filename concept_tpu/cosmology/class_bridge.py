@@ -11,7 +11,6 @@ Eisenstein-Hu layer is used.
 
 from __future__ import annotations
 
-import numpy as np
 
 
 def available() -> bool:

@@ -16,7 +16,6 @@ non-relativistic.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 

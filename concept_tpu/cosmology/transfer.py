@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import math
 
-import numpy as np
 import jax.numpy as jnp
 
 T_CMB = 2.7255  # K

@@ -26,14 +26,11 @@ the analogue of communicate_ghosts (reference communication.py:563).
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from concept_tpu.components import FluidState
 
 
 # ----------------------------------------------------------------------- #

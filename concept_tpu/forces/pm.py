@@ -19,9 +19,7 @@ leapfrog order, but exactly integrable.
 from __future__ import annotations
 
 import math
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 
 from concept_tpu.grid.fft import GridDistribution, rfft3, irfft3

@@ -11,7 +11,6 @@ P³M covers production scales.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

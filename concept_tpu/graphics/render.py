@@ -88,7 +88,6 @@ def terminal_render(enhanced: np.ndarray, resolution: int = 80,
     import matplotlib
 
     matplotlib.use("Agg")
-    import matplotlib.cm as cm
 
     n = enhanced.shape[0]
     res = min(resolution, n)
