@@ -1,0 +1,87 @@
+"""Utility CLI tests (reference util/* + utilities.py surface)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from concept_tpu.units import units
+from concept_tpu.components import ComponentSpec, ParticleState
+from concept_tpu.io import snapshot as snap
+from concept_tpu import cli
+
+
+@pytest.fixture
+def snap_file(tmp_path):
+    rng = np.random.default_rng(0)
+    N = 64
+    spec = ComponentSpec(name="matter", species="matter", N=N, mass=2.0)
+    state = ParticleState(
+        pos=jnp.asarray(rng.uniform(0, 10.0, (N, 3)).astype(np.float32)),
+        mom=jnp.asarray(rng.standard_normal((N, 3)).astype(np.float32)),
+    )
+    meta = snap.SnapshotMeta(
+        a=1.0, boxsize=10.0, H0=67 * units.km / (units.s * units.Mpc),
+        Omega_b=0.049, Omega_cdm=0.27,
+    )
+    return snap.save_concept(str(tmp_path / "s.hdf5"), meta, {"matter": (spec, state)})
+
+
+def test_util_info(snap_file, capsys):
+    rc = cli.main(["-u", "info", snap_file])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "concept snapshot" in out
+    assert "N=64" in out
+
+
+def test_util_powerspec(snap_file, tmp_path):
+    rc = cli.main(["-u", "powerspec", snap_file])
+    assert rc == 0
+    import glob
+
+    assert glob.glob(snap_file + "_powerspec*")
+
+
+def test_util_convert_gadget(snap_file):
+    rc = cli.main(["-u", "convert", snap_file, "snapshot_type=gadget"])
+    assert rc == 0
+    out = snap_file + ".gadget"
+    assert snap.snapshot_type(out) == "gadget"
+    meta, comps = snap.load(out)
+    (spec, state), = comps.values()
+    assert spec.N == 64
+
+
+def test_util_render2d(snap_file):
+    rc = cli.main(["-u", "render2D", snap_file])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(snap_file + "_render2D_matter.png")
+
+
+def test_util_class(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["-u", "class", str(tmp_path / "out.hdf5")])
+    assert rc == 0
+    import h5py
+
+    with h5py.File(tmp_path / "out.hdf5") as f:
+        assert "background" in f
+        assert "perturbations" in f
+
+
+def test_util_play(tmp_path, capsys):
+    log = tmp_path / "log"
+    frame = "\033[38;2;1;2;3m\033[48;2;4;5;6m▀\033[0m"
+    log.write_text(f"header\n{frame}\n{frame}\nfooter\n{frame}\n")
+    rc = cli.main(["-u", "play", str(log), "--fps=100"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "\033[38;2;1;2;3m" in out
+
+
+def test_cli_version(capsys):
+    rc = cli.main(["--version"])
+    assert rc == 0
+    assert "concept_tpu" in capsys.readouterr().out
