@@ -96,7 +96,6 @@ def bucketize_blocks(pos, q, gridsize: int, boxsize: float, capacity: int):
         "slot": slot,            # per sorted particle
         "overflow": ~in_bucket,  # in sorted order
         "key_sorted": key_s,
-        "nb": nb,
     }
     return out
 
@@ -175,7 +174,7 @@ def deposit_bucketed(bk, gridsize: int, pos=None, boxsize: float = 1.0,
     """Dense deposit from block buckets; overflow handled by the exact
     scatter path.  Returns (n,n,n)."""
     n = gridsize
-    nb = bk["nb"]
+    nb = _block_count(n)
     lidx = _local_onehot(bk, None)  # (C,K)
     iota = jnp.arange(L, dtype=jnp.int32)
     local = jnp.zeros((nb**3, L), bk["q"].dtype)
@@ -214,7 +213,7 @@ def gather_bucketed(bk, grids, gridsize: int, pos=None, boxsize: float = 1.0):
     contraction).  Returns (N, D) in ORIGINAL particle order.
     """
     n = gridsize
-    nb = bk["nb"]
+    nb = _block_count(n)
     D = grids.shape[0]
     local = jnp.stack(
         [_extract_local(grids[d], nb, n) for d in range(D)], axis=-1
