@@ -64,6 +64,8 @@ class RunConfig:
     select_boltzmann_order: dict = field(default_factory=dict)
     select_boltzmann_closure: dict = field(default_factory=dict)
     realization_options: dict = field(default_factory=dict)
+    select_lives: dict = field(default_factory=dict)
+    select_approximations: dict = field(default_factory=dict)
     softening_kernel: str = "spline"
     # simulation
     N_rungs: int = 8
@@ -226,6 +228,8 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.select_boltzmann_order = raw.get("select_boltzmann_order", {})
     cfg.select_boltzmann_closure = raw.get("select_boltzmann_closure", {})
     cfg.realization_options = raw.get("realization_options", {})
+    cfg.select_lives = raw.get("select_lives", {})
+    cfg.select_approximations = raw.get("select_approximations", {})
     cfg.softening_kernel = raw.get("softening_kernel", "spline")
     # simulation
     cfg.N_rungs = int(raw.get("N_rungs", 8))

@@ -296,8 +296,13 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
         MultiSimulation, MultiState, realize_fluid_from_linear,
     )
 
-    pspecs = [s for s, src in comps if src == "realize" and s.representation == "particles"]
-    fspecs = [s for s, src in comps if src == "realize-fluid"]
+    def with_life(spec):
+        life = is_selected(spec, cfg.select_lives, default=(0.0, float("inf")))
+        return ComponentSpec(**{**spec.__dict__, "life": tuple(life)})
+
+    pspecs = [with_life(s) for s, src in comps
+              if src == "realize" and s.representation == "particles"]
+    fspecs = [with_life(s) for s, src in comps if src == "realize-fluid"]
     pot = cfg.potential_options
     gridsize = pot.get("gridsize") or max(
         [2 * round(s.N ** (1 / 3)) for s in pspecs]
@@ -316,38 +321,57 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
         cfg.random_seeds.get("primordial amplitudes", 0)
     )
     lpt = int(cfg.realization_options.get("lpt", 1))
-    particles = {}
-    for pspec in pspecs:
+
+    def realize_p(pspec, a_at):
         from concept_tpu.ic import realize_particles
 
-        masterprint(f"Realizing {pspec.name} ({pspec.N} particles) ...")
-        particles[pspec.name] = realize_particles(
-            lin, pspec, cfg.boxsize, cfg.a_begin, seed=seed_val,
+        masterprint(f"Realizing {pspec.name} ({pspec.N} particles) at a = {a_at:.4g} ...")
+        st = realize_particles(
+            lin, pspec, cfg.boxsize, a_at, seed=seed_val,
             lpt_order=lpt, scheme=cfg.primordial_noise_imprinting,
         )
         masterprint("done")
-    fluids = {}
-    for fspec in fspecs:
+        return st
+
+    def realize_f(fspec, a_at):
         Omega = {
             "matter": cfg.Omega_m, "neutrino": getattr(cfg, "Omega_nu", 0.0) or 0.01,
         }.get(fspec.species, cfg.Omega_m)
-        rho_mean = Omega * rho_crit
-        masterprint(f"Realizing fluid {fspec.name} (gridsize {fspec.gridsize}) ...")
-        fluids[fspec.name] = realize_fluid_from_linear(
-            lin, fspec, cfg.boxsize, cfg.a_begin, rho_mean, seed=seed_val,
+        masterprint(f"Realizing fluid {fspec.name} (gridsize {fspec.gridsize}) at a = {a_at:.4g} ...")
+        st = realize_fluid_from_linear(
+            lin, fspec, cfg.boxsize, a_at, Omega * rho_crit, seed=seed_val,
         )
         masterprint("done")
+        return st
+
+    particles = {
+        s.name: realize_p(s, cfg.a_begin) for s in pspecs
+        if s.life[0] <= cfg.a_begin
+    }
+    fluids = {
+        s.name: realize_f(s, cfg.a_begin) for s in fspecs
+        if s.life[0] <= cfg.a_begin
+    }
     state = MultiState(particles=particles, fluids=fluids)
 
+    # events: output dumps + component activation/termination (the
+    # reference's activate_terminate, main.py:1726-1803, Appendix D)
     events = []
     for kind, times in cfg.output_times.get("a", {}).items():
         for t in times:
             events.append((float(t), kind))
-    events.sort()
+    for s in pspecs + fspecs:
+        if cfg.a_begin < s.life[0] < float("inf"):
+            events.append((float(s.life[0]), ("__activate__", s.name)))
+        if s.life[1] < float("inf"):
+            events.append((float(s.life[1]), ("__terminate__", s.name)))
+    events.sort(key=lambda e: e[0])
     a = cfg.a_begin
     for a_dump, kind in [e for e in events if e[0] <= a + 1e-12]:
-        dump_multi(cfg, sim, state, a, kind, units, lin)
+        if isinstance(kind, str):
+            dump_multi(cfg, sim, state, a, kind, units, lin)
     events = [e for e in events if e[0] > a + 1e-12]
+    all_specs = {s.name: s for s in pspecs + fspecs}
     while events:
         a_next = events[0][0]
         masterprint(f"Evolving to a = {a_next:.4g} ...")
@@ -355,7 +379,27 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
         masterprint("done")
         while events and events[0][0] <= a + 1e-9:
             _, kind = events.pop(0)
-            dump_multi(cfg, sim, state, a, kind, units, lin)
+            if isinstance(kind, tuple):
+                action, name = kind
+                s = all_specs[name]
+                if action == "__activate__":
+                    if s.representation == "particles":
+                        state = state._replace(
+                            particles={**state.particles, name: realize_p(s, a)}
+                        )
+                    else:
+                        state = state._replace(
+                            fluids={**state.fluids, name: realize_f(s, a)}
+                        )
+                else:
+                    masterprint(f"Terminating component {name} at a = {a:.4g}")
+                    parts = dict(state.particles)
+                    fls = dict(state.fluids)
+                    parts.pop(name, None)
+                    fls.pop(name, None)
+                    state = MultiState(particles=parts, fluids=fls)
+            else:
+                dump_multi(cfg, sim, state, a, kind, units, lin)
     masterprint(f"Simulation complete: a = {a:.6g}")
     return sim, state, a
 

@@ -53,3 +53,25 @@ def main(n=128):
 
 if __name__ == "__main__":
     main()
+
+
+def main_pallas(n=128):
+    box = 512.0
+    N = n**3
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
+    K = 32
+    from concept_tpu.grid.pallas_pm import deposit_pallas, gather_pallas
+
+    bk = bucketize_blocks(pos, 1.0, n, box, capacity=K)
+    f_dep = jax.jit(lambda b: deposit_pallas(b, n))
+    print(f"deposit pallas:  {timeit(lambda: f_dep(bk))*1000:.1f} ms", flush=True)
+    grids = jnp.asarray(rng.standard_normal((3, n, n, n)).astype(np.float32))
+    f_gat = jax.jit(lambda b, g: gather_pallas(b, g, n))
+    print(f"gather pallas:   {timeit(lambda: f_gat(bk, grids))*1000:.1f} ms", flush=True)
+
+
+import sys
+if len(sys.argv) > 1 and sys.argv[1] == "pallas":
+    main_pallas()
+    sys.exit(0)

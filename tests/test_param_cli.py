@@ -183,3 +183,38 @@ primordial_spectrum = {'A_s': 2.1e-9, 'n_s': 0.96}
     fl = list((tmp_path / "out").glob("powerspec*dust fluid*.txt"))
     assert fl, "fluid spectrum missing"
     assert list((tmp_path / "out").glob("snapshot*.hdf5"))
+
+
+def test_component_lives(tmp_path):
+    """select_lives: a component activating mid-run (reference
+    activate_terminate, main.py:1726-1803, Appendix D)."""
+    from concept_tpu import cli
+
+    param = tmp_path / "lives.py"
+    param.write_text(
+        """
+initial_conditions = [
+    {'species': 'matter', 'N': 12**3},
+    {'species': 'matter', 'name': 'late fluid', 'gridsize': 12},
+]
+select_lives = {'late fluid': (0.2, 0.28), 'all': (0, float('inf'))}
+output_dirs = 'OUT'
+output_times = {'powerspec': [0.15, 0.25, 0.3]}
+boxsize = 512*Mpc
+potential_options = 12
+H0 = 67*km/(s*Mpc)
+Ωb = 0.049
+Ωcdm = 0.27
+a_begin = 0.1
+primordial_spectrum = {'A_s': 2.1e-9, 'n_s': 0.96}
+""".replace("OUT", str(tmp_path / "out"))
+    )
+    rc = cli.main(["-p", str(param)])
+    assert rc == 0
+    out = tmp_path / "out"
+    # fluid spectrum exists at a=0.25 (active) but not at 0.15 (pre-birth)
+    # nor 0.3 (terminated)
+    assert list(out.glob("powerspec_late fluid_a=0.25*"))
+    assert not list(out.glob("powerspec_late fluid_a=0.15*"))
+    assert not list(out.glob("powerspec_late fluid_a=0.3*"))
+    assert list(out.glob("powerspec_matter_a=0.3*"))
