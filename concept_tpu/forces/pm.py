@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import math
 
+import jax
+
 import jax.numpy as jnp
 
 from concept_tpu.grid.fft import GridDistribution, rfft3, irfft3
@@ -147,6 +149,13 @@ def pm_gravity_momentum_updates(
     force-interpolation window (reference potential_options['deconvolve'],
     promotion to a global factor at interactions.py:2060-2080).
     """
+    if deposit_method == "pallas" and order == 2 and not interlace and (
+        dist is None or dist.mesh is None
+    ):
+        return _pm_updates_pallas(
+            pos_list, mass_list, gridsize, boxsize, G, kick_integral,
+            deconvolve, longrange_scale,
+        )
     rho = density_slab(
         pos_list, mass_list, gridsize, boxsize, order, dist, deposit_method, interlace
     )
@@ -182,5 +191,62 @@ def pm_gravity_momentum_updates(
         force = jnp.stack(
             [gather(gradphi[d], p, boxsize, order=order) for d in range(3)], axis=1
         )
+        updates.append((-m * kick_integral) * force)
+    return updates
+
+
+def _pm_updates_pallas(
+    pos_list, mass_list, gridsize: int, boxsize: float, G: float,
+    kick_integral, deconvolve, longrange_scale,
+):
+    """PM force via the Pallas deposit/gather kernels (CIC, single device).
+
+    The bucket structure (one sort) is shared between the deposit and the
+    force gather; block-capacity overflow falls back to the exact plain
+    paths.  Interpret mode on non-TPU backends keeps semantics identical
+    everywhere (the analogue of the reference's pure-Python mode).
+    """
+    from concept_tpu.grid.bucketed import bucketize_blocks
+    from concept_tpu.grid.pallas_pm import deposit_pallas, gather_pallas
+
+    n = gridsize
+    interpret = jax.default_backend() != "tpu"
+    cell_volume = (boxsize / n) ** 3
+    mean_per_block = sum(p.shape[0] for p in pos_list) * 8 / n**3
+    capacity = max(16, int(4 * mean_per_block))
+    bks = []
+    grid = None
+    for p, m in zip(pos_list, mass_list):
+        bk = bucketize_blocks(p, m, n, boxsize, capacity=capacity)
+        bks.append(bk)
+        g = deposit_pallas(bk, n, interpret=interpret)
+        # exact overflow fallback
+        over = jnp.zeros((p.shape[0],), bool).at[bk["order"]].set(bk["overflow"])
+        q_over = jnp.where(over, jnp.broadcast_to(m, (p.shape[0],)), 0.0)
+        g = g + deposit(p, q_over.astype(p.dtype), n, boxsize, order=2)
+        grid = g if grid is None else grid + g
+    slab = rfft3(grid / cell_volume)
+    deconv_order = 2 * (int(deconvolve[0]) + int(deconvolve[1]))
+    phi = gravity_potential_slab(
+        slab, n, boxsize, G, deconv_order=deconv_order,
+        longrange_scale=longrange_scale,
+    )
+    grads = jnp.stack([
+        irfft3(fourier.fourier_diff(phi, n, boxsize, d), n) for d in range(3)
+    ])
+    updates = []
+    for (p, m), bk in zip(zip(pos_list, mass_list), bks):
+        vals = gather_pallas(bk, grads, n, interpret=interpret)  # (C,K,3)
+        flat = vals.reshape(-1, 3)
+        N = p.shape[0]
+        sorted_vals = jnp.concatenate(
+            [flat, jnp.zeros((1, 3), flat.dtype)]
+        )[jnp.minimum(bk["slot"], flat.shape[0])]
+        force = jnp.zeros((N, 3), flat.dtype).at[bk["order"]].set(sorted_vals)
+        over = jnp.zeros((N,), bool).at[bk["order"]].set(bk["overflow"])
+        plain = jnp.stack(
+            [gather(grads[d], p, boxsize, order=2) for d in range(3)], axis=1
+        )
+        force = jnp.where(over[:, None], plain, force)
         updates.append((-m * kick_integral) * force)
     return updates

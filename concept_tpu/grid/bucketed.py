@@ -70,10 +70,10 @@ def bucketize_blocks(pos, q, gridsize: int, boxsize: float, capacity: int):
     lx = anchor[:, 0] - block[:, 0] * B + 1
     ly = anchor[:, 1] - block[:, 1] * B + 1
     lz = anchor[:, 2] - block[:, 2] * B + 1
+    lidx = ((lx * LDIM + ly) * LDIM + lz).astype(jnp.int32)
     iota = jnp.arange(N, dtype=jnp.int32)
-    (key_s, order, lx_s, ly_s, lz_s, fx_s, fy_s, fz_s, q_s) = jax.lax.sort(
-        [bkey, iota, lx.astype(jnp.int32), ly.astype(jnp.int32),
-         lz.astype(jnp.int32), f[:, 0], f[:, 1], f[:, 2],
+    (key_s, order, lidx_s, fx_s, fy_s, fz_s, q_s) = jax.lax.sort(
+        [bkey, iota, lidx, f[:, 0], f[:, 1], f[:, 2],
          jnp.broadcast_to(q, (N,)).astype(dtype)],
         num_keys=1,
     )
@@ -87,8 +87,11 @@ def bucketize_blocks(pos, q, gridsize: int, boxsize: float, capacity: int):
         out = jnp.full((C * capacity + 1,), fill, vals.dtype)
         return out.at[slot].set(vals, unique_indices=True)[:-1].reshape(C, capacity)
 
+    lidx_b = scat(lidx_s, 0)
     out = {
-        "lx": scat(lx_s, 0), "ly": scat(ly_s, 0), "lz": scat(lz_s, 0),
+        "lx": lidx_b // (LDIM * LDIM),
+        "ly": (lidx_b // LDIM) % LDIM,
+        "lz": lidx_b % LDIM,
         "fx": scat(fx_s, 0.0), "fy": scat(fy_s, 0.0), "fz": scat(fz_s, 0.0),
         "q": scat(q_s, 0.0),
         "valid": scat(jnp.ones((N,), jnp.int8), 0).astype(bool),

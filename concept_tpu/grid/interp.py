@@ -278,7 +278,10 @@ def deposit(pos, quantity, gridsize: int, boxsize: float, order=2, method: str =
     N = pos.shape[0]
     dtype = pos.dtype
     q = jnp.broadcast_to(jnp.asarray(quantity, dtype=dtype), (N,))
-    if method == "auto":
+    if method in ("auto", "pallas"):
+        # 'pallas' reaches here only when the kernel path's preconditions
+        # failed (non-CIC order, interlacing, distribution) — use the best
+        # generic method instead
         method = default_deposit_method()
     if method == "sorted":
         return _deposit_sorted(pos, q, n, boxsize, order)

@@ -43,41 +43,51 @@ def _corner_w(f, c):
     return jnp.where(c == 0, 1.0 - f, f)
 
 
-def _gather_kernel(lidx_ref, fx_ref, fy_ref, fz_ref, valid_ref, mini_ref, out_ref):
-    """One batch: lidx/f*/valid (1, K, LANES); mini (1, L, LANES, D);
-    out (1, K, LANES, D)."""
+def _gather_kernel(lidx_ref, fx_ref, fy_ref, fz_ref, valid_ref, *refs):
+    """One batch: lidx/f*/valid (1, K, LANES); then D mini refs
+    (1, L, LANES) followed by D out refs (1, K, LANES).
+
+    The D field components are separate operands: a trailing size-3 axis
+    would be padded to a full 128-lane tile by the TPU layout, blowing the
+    VMEM budget."""
+    D = len(refs) // 2
+    mini_refs = refs[:D]
+    out_refs = refs[D:]
     K = lidx_ref.shape[1]
-    D = mini_ref.shape[3]
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
-    mini = mini_ref[0]  # (L, LANES, D)
-    lidx = lidx_ref[0]  # (K, LANES)
-    fx = fx_ref[0]
-    fy = fy_ref[0]
-    fz = fz_ref[0]
-    valid = valid_ref[0]
-    acc = jnp.zeros((K, LANES, D), mini.dtype)
-    for cx in (0, 1):
-        for cy in (0, 1):
-            for cz in (0, 1):
-                shift = (cx * LDIM + cy) * LDIM + cz
-                w = (
-                    _corner_w(fx, cx) * _corner_w(fy, cy) * _corner_w(fz, cz)
-                ) * valid
-                tgt = lidx + shift  # (K, LANES)
-                # one-hot over the L sublanes, reduced per slot: loop over
-                # slots keeps every op a native (L, LANES) VPU tile
-                for d in range(D):
-                    md = mini[:, :, d]  # (L, LANES)
-                    vals = jnp.sum(
-                        jnp.where(
-                            tgt[:, None, :] == iota_l[None, :, :],
-                            md[None, :, :],
-                            0.0,
-                        ),
-                        axis=1,
-                    )  # (K, LANES)
-                    acc = acc.at[:, :, d].add(w * vals)
-    out_ref[0] = acc
+    minis = [r[0] for r in mini_refs]  # each (L, LANES)
+
+    # fori_loop over slots: Mosaic fully unrolls Python loops, so the
+    # per-iteration (L, LANES) temporaries must live in a compiled loop
+    # body (bounded VMEM stack).  Slot rows are read/written through the
+    # refs with pl.ds (ref-level dynamic slicing is Mosaic-supported).
+    def body(k, _):
+        lidx_k = lidx_ref[0, pl.ds(k, 1), :]  # (1, LANES)
+        fx_k = fx_ref[0, pl.ds(k, 1), :]
+        fy_k = fy_ref[0, pl.ds(k, 1), :]
+        fz_k = fz_ref[0, pl.ds(k, 1), :]
+        v_k = valid_ref[0, pl.ds(k, 1), :]
+        vals = [jnp.zeros((1, LANES), minis[0].dtype) for _ in range(D)]
+        for cx in (0, 1):
+            for cy in (0, 1):
+                for cz in (0, 1):
+                    shift = (cx * LDIM + cy) * LDIM + cz
+                    w = (
+                        _corner_w(fx_k, cx)
+                        * _corner_w(fy_k, cy)
+                        * _corner_w(fz_k, cz)
+                    ) * v_k  # (1, LANES)
+                    mask = (lidx_k + shift) == iota_l  # (L, LANES) broadcast
+                    for d in range(D):
+                        picked = jnp.sum(
+                            jnp.where(mask, minis[d], 0.0), axis=0, keepdims=True
+                        )  # (1, LANES)
+                        vals[d] = vals[d] + w * picked
+        for d in range(D):
+            out_refs[d][0, pl.ds(k, 1), :] = vals[d]
+        return 0
+
+    jax.lax.fori_loop(0, K, body, 0)
 
 
 def _deposit_kernel(lidx_ref, fx_ref, fy_ref, fz_ref, q_ref, valid_ref, out_ref):
@@ -180,23 +190,21 @@ def gather_pallas(bk, grids, gridsize: int, interpret: bool = False):
     lidx_b = to_batches(lidx.astype(jnp.int32))
     fx_b, fy_b, fz_b = to_batches(fx), to_batches(fy), to_batches(fz)
     valid_b = to_batches(valid)
-    mini_b = mini.reshape(nbatch, LANES, L, D).transpose(0, 2, 1, 3)
+    # one (nbatch, L, LANES) operand per field component
+    mini_bs = [
+        mini[..., d].reshape(nbatch, LANES, L).swapaxes(1, 2) for d in range(D)
+    ]
 
-    out = pl.pallas_call(
+    kb = pl.BlockSpec((1, K, LANES), lambda i: (i, 0, 0))
+    lb = pl.BlockSpec((1, L, LANES), lambda i: (i, 0, 0))
+    outs = pl.pallas_call(
         _gather_kernel,
-        out_shape=jax.ShapeDtypeStruct((nbatch, K, LANES, D), mini.dtype),
+        out_shape=[jax.ShapeDtypeStruct((nbatch, K, LANES), mini.dtype)] * D,
         grid=(nbatch,),
-        in_specs=[
-            pl.BlockSpec((1, K, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, K, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, K, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, K, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, K, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, L, LANES, D), lambda i: (i, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, K, LANES, D), lambda i: (i, 0, 0, 0)),
+        in_specs=[kb] * 5 + [lb] * D,
+        out_specs=[kb] * D,
         interpret=interpret,
-    )(lidx_b, fx_b, fy_b, fz_b, valid_b, mini_b)
+    )(lidx_b, fx_b, fy_b, fz_b, valid_b, *mini_bs)
     # back to (C, K, D)
-    out = out.swapaxes(1, 2).reshape(Cp, K, D)[:C]
+    out = jnp.stack(outs, axis=-1).swapaxes(1, 2).reshape(Cp, K, D)[:C]
     return out

@@ -53,3 +53,25 @@ def test_pallas_gather_matches(setup):
     np.testing.assert_allclose(
         np.asarray(out)[~over], ref[~over], atol=1e-5
     )
+
+
+def test_pm_pallas_path_matches_plain():
+    """The full PM force through the Pallas path must match the plain
+    path (CIC, fourier differentiation)."""
+    from concept_tpu.forces.pm import pm_gravity_momentum_updates
+
+    n, box = 16, 40.0
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.uniform(0, box, (4000, 3)).astype(np.float32))
+    (d_plain,) = pm_gravity_momentum_updates(
+        [pos], [2.0], n, box, 1.0, kick_integral=0.5, order=2,
+        deposit_method="scatter",
+    )
+    (d_pallas,) = pm_gravity_momentum_updates(
+        [pos], [2.0], n, box, 1.0, kick_integral=0.5, order=2,
+        deposit_method="pallas",
+    )
+    scale = float(jnp.max(jnp.abs(d_plain)))
+    np.testing.assert_allclose(
+        np.asarray(d_pallas) / scale, np.asarray(d_plain) / scale, atol=1e-5
+    )
