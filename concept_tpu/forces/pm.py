@@ -215,15 +215,34 @@ def _pm_updates_pallas(
     mean_per_block = sum(p.shape[0] for p in pos_list) * 8 / n**3
     capacity = max(16, int(4 * mean_per_block))
     bks = []
+    overflow_sets = []
     grid = None
     for p, m in zip(pos_list, mass_list):
+        N = p.shape[0]
         bk = bucketize_blocks(p, m, n, boxsize, capacity=capacity)
         bks.append(bk)
         g = deposit_pallas(bk, n, interpret=interpret)
-        # exact overflow fallback
-        over = jnp.zeros((p.shape[0],), bool).at[bk["order"]].set(bk["overflow"])
-        q_over = jnp.where(over, jnp.broadcast_to(m, (p.shape[0],)), 0.0)
-        g = g + deposit(p, q_over.astype(p.dtype), n, boxsize, order=2)
+        # exact overflow fallback on a FIXED-SIZE subset (overflowing
+        # particles are rare by capacity choice; the subset buffer keeps
+        # the fallback O(N/16) instead of re-running the full plain path)
+        max_over = max(256, N // 16)
+        over_sorted_idx = jnp.nonzero(
+            bk["overflow"], size=max_over, fill_value=N
+        )[0]
+        valid_over = over_sorted_idx < N
+        over_orig_idx = jnp.where(
+            valid_over,
+            jnp.concatenate([bk["order"], jnp.zeros((1,), bk["order"].dtype)])[
+                jnp.minimum(over_sorted_idx, N)
+            ],
+            N,  # fill entries target the scratch row
+        )
+        pos_over = jnp.concatenate([p, jnp.zeros((1, 3), p.dtype)])[
+            jnp.minimum(over_orig_idx, N)
+        ]
+        q_over = jnp.where(valid_over, m, 0.0).astype(p.dtype)
+        overflow_sets.append((over_orig_idx, pos_over, valid_over))
+        g = g + deposit(pos_over, q_over, n, boxsize, order=2)
         grid = g if grid is None else grid + g
     slab = rfft3(grid / cell_volume)
     deconv_order = 2 * (int(deconvolve[0]) + int(deconvolve[1]))
@@ -235,18 +254,21 @@ def _pm_updates_pallas(
         irfft3(fourier.fourier_diff(phi, n, boxsize, d), n) for d in range(3)
     ])
     updates = []
-    for (p, m), bk in zip(zip(pos_list, mass_list), bks):
+    for (p, m), bk, (over_idx, pos_over, valid_over) in zip(
+        zip(pos_list, mass_list), bks, overflow_sets
+    ):
         vals = gather_pallas(bk, grads, n, interpret=interpret)  # (C,K,3)
         flat = vals.reshape(-1, 3)
         N = p.shape[0]
         sorted_vals = jnp.concatenate(
             [flat, jnp.zeros((1, 3), flat.dtype)]
         )[jnp.minimum(bk["slot"], flat.shape[0])]
-        force = jnp.zeros((N, 3), flat.dtype).at[bk["order"]].set(sorted_vals)
-        over = jnp.zeros((N,), bool).at[bk["order"]].set(bk["overflow"])
-        plain = jnp.stack(
-            [gather(grads[d], p, boxsize, order=2) for d in range(3)], axis=1
-        )
-        force = jnp.where(over[:, None], plain, force)
+        force = jnp.zeros((N + 1, 3), flat.dtype).at[bk["order"]].set(sorted_vals)
+        # plain gather only for the fixed-size overflow subset
+        plain_over = jnp.stack(
+            [gather(grads[d], pos_over, boxsize, order=2) for d in range(3)],
+            axis=1,
+        ) * valid_over[:, None]
+        force = force.at[over_idx].set(plain_over)[:N]
         updates.append((-m * kick_integral) * force)
     return updates
