@@ -219,7 +219,7 @@ def _pm_updates_pallas(
     grid = None
     for p, m in zip(pos_list, mass_list):
         N = p.shape[0]
-        bk = bucketize_blocks(p, m, n, boxsize, capacity=capacity)
+        bk = bucketize_blocks(p, m, n, boxsize, capacity=capacity, uniform_q=True)
         bks.append(bk)
         g = deposit_pallas(bk, n, interpret=interpret)
         # exact overflow fallback on a FIXED-SIZE subset (overflowing

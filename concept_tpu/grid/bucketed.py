@@ -45,8 +45,9 @@ def _block_count(n: int) -> int:
     return n // B
 
 
-@partial(jax.jit, static_argnames=("gridsize", "capacity"))
-def bucketize_blocks(pos, q, gridsize: int, boxsize: float, capacity: int):
+@partial(jax.jit, static_argnames=("gridsize", "capacity", "uniform_q"))
+def bucketize_blocks(pos, q, gridsize: int, boxsize: float, capacity: int,
+                     uniform_q: bool = False):
     """Sort particles into (C, K) block buckets (C = (n/B)³ blocks).
 
     Returns dict with sorted per-slot arrays reshaped to (C, K):
@@ -72,13 +73,20 @@ def bucketize_blocks(pos, q, gridsize: int, boxsize: float, capacity: int):
     lz = anchor[:, 2] - block[:, 2] * B + 1
     lidx = ((lx * LDIM + ly) * LDIM + lz).astype(jnp.int32)
     iota = jnp.arange(N, dtype=jnp.int32)
-    (key_s, order, lidx_s, fx_s, fy_s, fz_s, q_s) = jax.lax.sort(
-        [bkey, iota, lidx, f[:, 0], f[:, 1], f[:, 2],
-         jnp.broadcast_to(q, (N,)).astype(dtype)],
-        num_keys=1,
-    )
+    if uniform_q:
+        (key_s, order, lidx_s, fx_s, fy_s, fz_s) = jax.lax.sort(
+            [bkey, iota, lidx, f[:, 0], f[:, 1], f[:, 2]], num_keys=1
+        )
+        q_s = None
+    else:
+        (key_s, order, lidx_s, fx_s, fy_s, fz_s, q_s) = jax.lax.sort(
+            [bkey, iota, lidx, f[:, 0], f[:, 1], f[:, 2],
+             jnp.broadcast_to(q, (N,)).astype(dtype)],
+            num_keys=1,
+        )
     C = nb**3
     starts = jnp.searchsorted(key_s, jnp.arange(C, dtype=jnp.int32))
+    counts = jnp.diff(jnp.concatenate([starts, jnp.array([N], starts.dtype)]))
     rank = iota - starts[key_s]
     in_bucket = rank < capacity
     slot = jnp.where(in_bucket, key_s * capacity + rank, C * capacity)
@@ -87,14 +95,19 @@ def bucketize_blocks(pos, q, gridsize: int, boxsize: float, capacity: int):
         out = jnp.full((C * capacity + 1,), fill, vals.dtype)
         return out.at[slot].set(vals, unique_indices=True)[:-1].reshape(C, capacity)
 
+    # validity is dense: slot k of block c is occupied iff k < counts[c]
+    valid = (
+        jnp.arange(capacity, dtype=counts.dtype)[None, :] < counts[:, None]
+    )
     lidx_b = scat(lidx_s, 0)
     out = {
         "lx": lidx_b // (LDIM * LDIM),
         "ly": (lidx_b // LDIM) % LDIM,
         "lz": lidx_b % LDIM,
         "fx": scat(fx_s, 0.0), "fy": scat(fy_s, 0.0), "fz": scat(fz_s, 0.0),
-        "q": scat(q_s, 0.0),
-        "valid": scat(jnp.ones((N,), jnp.int8), 0).astype(bool),
+        "q": (jnp.broadcast_to(q, valid.shape).astype(dtype) * valid
+              if uniform_q else scat(q_s, 0.0)),
+        "valid": valid,
         "order": order,          # sorted→original particle index
         "slot": slot,            # per sorted particle
         "overflow": ~in_bucket,  # in sorted order
