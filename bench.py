@@ -31,20 +31,25 @@ def _sync(state):
 
 
 def bench_once(n_grid):
-    import __graft_entry__ as ge
+    """Time the flagship persistent-bucket PM step (concept_tpu/bucketsim)."""
+    import numpy as np
+    from concept_tpu.bucketsim import BucketSimulation
 
-    sim, state = ge._build(n_grid=n_grid)
-    step = jax.jit(sim._step, donate_argnums=0)
-    int1 = jnp.float32(1e-3)
-    int2 = jnp.float32(1e-3)
-    # warmup/compile
-    state = step(state, int1, int2)
-    _sync(state)
+    box = 512.0
+    N = n_grid**3
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
+    mom = jnp.zeros((N, 3), jnp.float32)
+    sim = BucketSimulation(n_grid, box, 2.0, 1.0, capacity=32)
+    state = sim.init_state(pos, mom)
+    int1, int2 = 1e-3, 1e-3
+    state, _ = sim.step(state, int1, int2)  # warmup/compile
+    _ = float(state.pos[0, 0, 0])
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        state = step(state, int1, int2)
-    _sync(state)
+        state, _ = sim.step(state, int1, int2)
+    _ = float(state.pos[0, 0, 0])
     dt = (time.perf_counter() - t0) / n_iter
     return dt
 

@@ -1,0 +1,89 @@
+"""Persistent-bucket stepper must match the standard PM step exactly
+(including straggler handling after particles cross block halos)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from concept_tpu.bucketsim import (
+    BucketSimulation, bucketize_state, flatten_state, bucket_pm_step,
+)
+from concept_tpu.forces.pm import pm_gravity_momentum_updates
+
+
+N_GRID, BOX, MASS, G = 16, 40.0, 2.0, 1.0
+
+
+def make_particles(n=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(0, BOX, (n, 3)).astype(np.float32))
+    mom = jnp.asarray((0.02 * rng.standard_normal((n, 3))).astype(np.float32))
+    return pos, mom
+
+
+def sort_rows(x):
+    x = np.asarray(x, dtype=np.float64)
+    return x[np.lexsort((x[:, 2], x[:, 1], x[:, 0]))]
+
+
+def reference_step(pos, mom, int_a1, int_a2):
+    (dmom,) = pm_gravity_momentum_updates(
+        [pos], [MASS], N_GRID, BOX, G, kick_integral=int_a1,
+        order=2, deposit_method="scatter",
+    )
+    mom2 = mom + dmom
+    pos2 = jnp.mod(pos + mom2 * (int_a2 / MASS), BOX)
+    return pos2, mom2
+
+
+def test_bucket_state_roundtrip():
+    pos, mom = make_particles()
+    st = bucketize_state(pos, mom, N_GRID, BOX, capacity=24)
+    assert int(jnp.sum(st.valid)) == pos.shape[0]
+    p2, m2 = flatten_state(st)
+    np.testing.assert_allclose(sort_rows(p2), sort_rows(pos), rtol=1e-6)
+
+
+def test_bucket_step_matches_reference():
+    pos, mom = make_particles()
+    sim = BucketSimulation(N_GRID, BOX, MASS, G, capacity=24)
+    st = sim.init_state(pos, mom)
+    int_a1, int_a2 = 0.4, 0.3
+    st2, n_strag = sim.step(st, int_a1, int_a2)
+    ref_pos, ref_mom = reference_step(pos, mom, int_a1, int_a2)
+    p2, m2 = flatten_state(st2)
+    np.testing.assert_allclose(
+        sort_rows(p2), sort_rows(ref_pos), atol=2e-4
+    )
+
+
+def test_bucket_multi_step_with_stragglers():
+    """Several steps without re-bucketize: stragglers (block-crossers) must
+    be handled exactly; compare against stepping the plain path."""
+    pos, mom = make_particles(seed=5)
+    # boost momenta so particles cross blocks quickly
+    mom = mom * 20.0
+    sim = BucketSimulation(N_GRID, BOX, MASS, G, capacity=24)
+    st = sim.init_state(pos, mom)
+    rp, rm = pos, mom
+    total_strag = 0
+    for i in range(4):
+        st, ns = sim.step(st, 0.3, 0.25)
+        total_strag += int(ns)
+        rp, rm = reference_step(rp, rm, 0.3, 0.25)
+    assert total_strag > 0, "test should exercise the straggler path"
+    p2, _ = flatten_state(st)
+    np.testing.assert_allclose(sort_rows(p2), sort_rows(rp), atol=1e-3)
+
+
+def test_rebucket_preserves_particles():
+    pos, mom = make_particles(seed=7)
+    sim = BucketSimulation(N_GRID, BOX, MASS, G, capacity=24)
+    st = sim.init_state(pos, mom)
+    st, _ = sim.step(st, 0.3, 0.25)
+    st2 = sim.maybe_rebucket(st)
+    assert int(jnp.sum(st2.valid)) == pos.shape[0]
+    p_a, _ = flatten_state(st)
+    p_b, _ = flatten_state(st2)
+    np.testing.assert_allclose(sort_rows(p_a), sort_rows(p_b), rtol=1e-6)
