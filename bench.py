@@ -58,7 +58,7 @@ def main():
     target = 1e8  # particle-updates/s/chip (BASELINE.json north star)
     # 512³ exceeds single-v5e HBM; 256³ is the largest size that compiles
     # and runs reliably through the remote-compile tunnel
-    for n_grid in (128, 64):
+    for n_grid in (256, 128, 64):
         try:
             dt = bench_once(n_grid)
             n_particles = n_grid**3
