@@ -223,6 +223,20 @@ class Simulation:
                 limits.append(FAC_PM * cell / xdot)
         return min(limits) if limits else float("inf")
 
+    def evolve_static(self, state: ParticleState, t_total: float,
+                      n_steps: int):
+        """Static-universe (enable_Hubble=False) leapfrog over cosmic time
+        (the reference's enable_Hubble=False mode; analogues:
+        test/drift_nohubble, test/kick_pp_without_ewald).  a ≡ 1, so the
+        kick/drift integrals are plain Δt."""
+        dt = t_total / n_steps
+        state = self.step(state, 0.5 * dt, dt)  # half kick + full drift
+        for _ in range(n_steps - 1):
+            state = self.step(state, dt, dt)
+        # trailing half kick synchronizes mom at t_total
+        state = self.step(state, 0.5 * dt, 0.0)
+        return state
+
     def evolve(
         self,
         state: ParticleState,
