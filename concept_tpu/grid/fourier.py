@@ -175,6 +175,20 @@ def copy_modes(
     return out
 
 
+def check_hermitian(slab, gridsize: int):
+    """Debug utility: maximum violation of the Hermitian symmetry
+    R(-k) = conj(R(k)) on the self-conjugate kk ∈ {0, n/2} planes
+    (reference slabs_check_symmetry, mesh.py:4182)."""
+    n = gridsize
+    worst = 0.0
+    for kk in (0, n // 2):
+        plane = slab[:, :, kk]
+        mirrored = jnp.conj(plane[::-1, ::-1])
+        mirrored = jnp.roll(mirrored, (1, 1), axis=(0, 1))
+        worst = jnp.maximum(worst, jnp.max(jnp.abs(plane - mirrored)))
+    return worst
+
+
 def interlace_phase(gridsize: int, boxsize: float, shift_cells):
     """Phase factor exp(-i k·Δx) for a grid shifted by ``shift_cells``
     (units of cell width).  Used for bcc/fcc interlacing (reference

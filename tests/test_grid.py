@@ -148,3 +148,11 @@ def test_deposit_gather_adjoint():
     lhs = float(jnp.sum(deposit(pos, q, n, box, order=2) * g))
     rhs = float(jnp.sum(q * gather(g, pos, box, order=2)))
     assert np.isclose(lhs, rhs, rtol=1e-3)
+
+
+def test_check_hermitian():
+    g = random_grid(16, seed=9)
+    slab = rfft3(g)
+    assert float(fourier.check_hermitian(slab, 16)) < 1e-4
+    bad = slab.at[3, 5, 0].add(1.0)
+    assert float(fourier.check_hermitian(bad, 16)) > 0.4

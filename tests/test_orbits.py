@@ -86,3 +86,26 @@ def test_static_free_drift():
     out = sim.evolve_static(ParticleState(pos=pos, mom=mom), 4.0, n_steps=10)
     expected = np.mod(pos0 + 0.25 * 4.0, box)
     np.testing.assert_allclose(np.asarray(out.pos), expected, atol=1e-3)
+
+
+def test_two_body_orbit_periodic_ewald():
+    """Same circular orbit with the periodic (Ewald) PP method: at
+    separation ≪ box the correction is tiny, so the analytic orbit still
+    holds (reference test/kick_pp_with_ewald)."""
+    box = 100 * units.Mpc
+    m = 1e6
+    r = 1 * units.Mpc
+    v = math.sqrt(G * m / (2 * r))
+    T = 2 * math.pi / math.sqrt(2 * G * m / r**3)
+    c = box / 2
+    pos = jnp.asarray([[c - r / 2, c, c], [c + r / 2, c, c]], jnp.float32)
+    mom = jnp.asarray([[0, -v * m, 0], [0, v * m, 0]], jnp.float32)
+    pos0 = np.asarray(pos).copy()
+    bg = Background(H0=H0, Omega_m=1.0, enable_Hubble=False)
+    spec = ComponentSpec(name="pair", species="matter", N=2, mass=m)
+    sim = Simulation(
+        spec, SimConfig(boxsize=box, potential_gridsize=8, G=G,
+                        method="pp", ewald_gridsize=32), bg,
+    )
+    out = sim.evolve_static(ParticleState(pos=pos, mom=mom), T, n_steps=2000)
+    np.testing.assert_allclose(np.asarray(out.pos), pos0, atol=0.03 * r)
