@@ -41,8 +41,10 @@ from concept_tpu.forces.pm import gravity_potential_slab
 
 
 class BucketState(NamedTuple):
-    pos: jax.Array  # (C, K, 3)
-    mom: jax.Array  # (C, K, 3)
+    # component-leading layout: a trailing length-3 axis would be padded
+    # to a full (8,128) tile by the TPU layout (8× memory at 512³)
+    pos: jax.Array  # (3, C, K)
+    mom: jax.Array  # (3, C, K)
     valid: jax.Array  # (C, K) bool
 
 
@@ -71,8 +73,8 @@ def bucketize_state(pos, mom, gridsize: int, boxsize: float, capacity: int):
         out = jnp.zeros((C * capacity + 1,), vals.dtype)
         return out.at[slot].set(vals, unique_indices=True)[:-1].reshape(C, capacity)
 
-    pos_b = jnp.stack([scat(px), scat(py), scat(pz)], axis=-1)
-    mom_b = jnp.stack([scat(mx), scat(my), scat(mz)], axis=-1)
+    pos_b = jnp.stack([scat(px), scat(py), scat(pz)], axis=0)
+    mom_b = jnp.stack([scat(mx), scat(my), scat(mz)], axis=0)
     counts = jnp.diff(jnp.concatenate([starts, jnp.array([N], starts.dtype)]))
     valid = jnp.arange(capacity, dtype=counts.dtype)[None, :] < jnp.minimum(
         counts, capacity
@@ -84,10 +86,10 @@ def bucketize_state(pos, mom, gridsize: int, boxsize: float, capacity: int):
 
 
 def flatten_state(state: BucketState):
-    """(C,K,3) → flat arrays of the valid particles (host-side, for dumps)."""
+    """(3,C,K) → flat (N,3) arrays of the valid particles (host side)."""
     v = np.asarray(state.valid).reshape(-1)
-    pos = np.asarray(state.pos).reshape(-1, 3)[v]
-    mom = np.asarray(state.mom).reshape(-1, 3)[v]
+    pos = np.asarray(state.pos).reshape(3, -1).T[v]
+    mom = np.asarray(state.mom).reshape(3, -1).T[v]
     return pos, mom
 
 
@@ -117,25 +119,33 @@ def bucket_pm_step(
     h = boxsize / n
     dtype = state.pos.dtype
 
-    # local interpolation fields from stored positions (elementwise)
+    # local interpolation fields from stored positions (elementwise,
+    # component-wise to keep every array a clean (C, K) tile)
     cidx = jnp.arange(C, dtype=jnp.int32)
-    bx = cidx // (nb * nb)
-    by = (cidx // nb) % nb
-    bz = cidx % nb
-    origin = jnp.stack([bx, by, bz], axis=-1)[:, None, :] * B  # (C,1,3) cells
-    u = state.pos / h - 0.5
-    anchor = jnp.floor(u).astype(jnp.int32)  # (C,K,3)
-    f = (u - anchor).astype(dtype)
-    lrel = anchor - origin + 1  # (C,K,3) local anchor, in [0, LDIM-1) if fresh
-    in_halo = jnp.all((lrel >= 0) & (lrel <= LDIM - 2), axis=-1)  # (C,K)
+    origins = (
+        (cidx // (nb * nb))[:, None] * B,
+        ((cidx // nb) % nb)[:, None] * B,
+        (cidx % nb)[:, None] * B,
+    )
+    fs, lrels = [], []
+    for d in range(3):
+        u = state.pos[d] / h - 0.5
+        anchor = jnp.floor(u).astype(jnp.int32)  # (C,K)
+        fs.append((u - anchor).astype(dtype))
+        lrels.append(anchor - origins[d] + 1)
+    in_halo = (
+        (lrels[0] >= 0) & (lrels[0] <= LDIM - 2)
+        & (lrels[1] >= 0) & (lrels[1] <= LDIM - 2)
+        & (lrels[2] >= 0) & (lrels[2] <= LDIM - 2)
+    )
     handled = state.valid & in_halo
     stragglers = state.valid & ~in_halo
 
     bk = {
-        "lx": jnp.clip(lrel[..., 0], 0, LDIM - 2),
-        "ly": jnp.clip(lrel[..., 1], 0, LDIM - 2),
-        "lz": jnp.clip(lrel[..., 2], 0, LDIM - 2),
-        "fx": f[..., 0], "fy": f[..., 1], "fz": f[..., 2],
+        "lx": jnp.clip(lrels[0], 0, LDIM - 2),
+        "ly": jnp.clip(lrels[1], 0, LDIM - 2),
+        "lz": jnp.clip(lrels[2], 0, LDIM - 2),
+        "fx": fs[0], "fy": fs[1], "fz": fs[2],
         "q": jnp.where(handled, mass, 0.0).astype(dtype),
         "valid": handled,
     }
@@ -146,9 +156,9 @@ def bucket_pm_step(
     sidx = jnp.nonzero(sflat, size=max_straggler, fill_value=C * K)[0]
     s_ok = sidx < C * K
     pos_flat = jnp.concatenate(
-        [state.pos.reshape(-1, 3), jnp.zeros((1, 3), dtype)]
+        [state.pos.reshape(3, -1), jnp.zeros((3, 1), dtype)], axis=1
     )
-    s_pos = pos_flat[jnp.minimum(sidx, C * K)]
+    s_pos = pos_flat[:, jnp.minimum(sidx, C * K)].T
     s_q = jnp.where(s_ok, mass, 0.0).astype(dtype)
     grid = grid + deposit(s_pos, s_q, n, boxsize, order=2)
 
@@ -161,18 +171,21 @@ def bucket_pm_step(
 
     force_b = gather_pallas(bk, grads, n, interpret=interpret)  # (C,K,3)
     # straggler forces (plain gather on the compacted set), written back
-    s_force = jnp.stack(
-        [gather(grads[d], s_pos, boxsize, order=2) for d in range(3)], axis=1
-    ) * s_ok[:, None]
-    force_flat = force_b.reshape(-1, 3)
-    force_flat = jnp.concatenate([force_flat, jnp.zeros((1, 3), dtype)])
-    force_flat = force_flat.at[sidx].set(s_force)
-    force_b = force_flat[:-1].reshape(C, K, 3)
-
-    mom = state.mom + (-mass * int_a1) * force_b * state.valid[..., None]
-    pos = jnp.mod(
-        state.pos + mom * (int_a2 / mass) * state.valid[..., None], boxsize
-    )
+    # component-wise to preserve the (C,K) tiling
+    vmask = state.valid.astype(dtype)
+    new_mom = []
+    new_pos = []
+    for d in range(3):
+        s_force_d = gather(grads[d], s_pos, boxsize, order=2) * s_ok
+        fd = jnp.concatenate(
+            [force_b[:, :, d].reshape(-1), jnp.zeros((1,), dtype)]
+        ).at[sidx].set(s_force_d)[:-1].reshape(C, K)
+        md = state.mom[d] + (-mass * int_a1) * fd * vmask
+        pd = jnp.mod(state.pos[d] + md * (int_a2 / mass) * vmask, boxsize)
+        new_mom.append(md)
+        new_pos.append(pd)
+    mom = jnp.stack(new_mom, axis=0)
+    pos = jnp.stack(new_pos, axis=0)
     n_straggler = jnp.sum(stragglers)
     return BucketState(pos=pos, mom=mom, valid=state.valid), n_straggler
 
