@@ -169,7 +169,7 @@ def bucket_pm_step(
         [irfft3(fourier.fourier_diff(phi, n, boxsize, d), n) for d in range(3)]
     )
 
-    force_b = gather_pallas(bk, grads, n, interpret=interpret)  # (C,K,3)
+    force_b = gather_pallas(bk, grads, n, interpret=interpret, stacked=False)
     # straggler forces (plain gather on the compacted set), written back
     # component-wise to preserve the (C,K) tiling
     vmask = state.valid.astype(dtype)
@@ -178,7 +178,7 @@ def bucket_pm_step(
     for d in range(3):
         s_force_d = gather(grads[d], s_pos, boxsize, order=2) * s_ok
         fd = jnp.concatenate(
-            [force_b[:, :, d].reshape(-1), jnp.zeros((1,), dtype)]
+            [force_b[d].reshape(-1), jnp.zeros((1,), dtype)]
         ).at[sidx].set(s_force_d)[:-1].reshape(C, K)
         md = state.mom[d] + (-mass * int_a1) * fd * vmask
         pd = jnp.mod(state.pos[d] + md * (int_a2 / mass) * vmask, boxsize)

@@ -158,10 +158,13 @@ def deposit_pallas(bk, gridsize: int, interpret: bool = False):
     return _assemble_global(local, nb, n)
 
 
-@partial(jax.jit, static_argnames=("gridsize", "interpret"))
-def gather_pallas(bk, grids, gridsize: int, interpret: bool = False):
+@partial(jax.jit, static_argnames=("gridsize", "interpret", "stacked"))
+def gather_pallas(bk, grids, gridsize: int, interpret: bool = False,
+                  stacked: bool = True):
     """Force gather via the Pallas kernel.  grids: (D,n,n,n).
-    Returns (C, K, D) bucket-slot values (caller routes to particles)."""
+    Returns (C, K, D) bucket-slot values, or a D-tuple of (C, K) arrays
+    when ``stacked=False`` (preferred at large C: a trailing length-3
+    axis is tile-padded 8× by the TPU layout)."""
     from concept_tpu.grid.bucketed import _extract_local
 
     n = gridsize
@@ -205,6 +208,9 @@ def gather_pallas(bk, grids, gridsize: int, interpret: bool = False):
         out_specs=[kb] * D,
         interpret=interpret,
     )(lidx_b, fx_b, fy_b, fz_b, valid_b, *mini_bs)
+    if not stacked:
+        return tuple(o.swapaxes(1, 2).reshape(Cp * K)[: C * K].reshape(C, K)
+                     for o in outs)
     # back to (C, K, D)
     out = jnp.stack(outs, axis=-1).swapaxes(1, 2).reshape(Cp, K, D)[:C]
     return out
