@@ -3,10 +3,17 @@
 The per-step cost of the Pallas PM path is dominated by bucket
 construction (sort + slot scatters ≈ 120 ms at 2M particles, vs 12+30 ms
 for the actual deposit/gather kernels).  This stepper keeps the particle
-state IN the (C, K) block-bucket layout across steps:
+state IN the block-bucket layout across steps:
 
-  * state: pos/mom as (C, K, 3) with a validity mask — the analogue of the
-    reference's tile-sorted storage (species.py:2657), made persistent;
+  * state: pos/mom as (3, K, Cp) SLOT-MAJOR arrays — component and slot
+    leading, the (huge, 128-padded) block axis minor.  This is the one
+    layout the TPU (8, 128) memory tiling never pads: (C, K) with K < 128
+    lanes wastes 8-16×, and a trailing length-3 component axis 40× — both
+    fatal at 512³ (a single f32[3, 16.7M, 16] allocation is 25.8 GB
+    padded, vs 3.2 GB flat).  It is also exactly the Pallas kernel block
+    layout, so steps run with zero relayout copies.  The TPU analogue of
+    the reference's tile-sorted storage (species.py:2657), made
+    persistent;
   * each step recomputes the local interpolation fields elementwise from
     the stored positions (no sort, no scatter);
   * particles that drift outside their block's ±1-cell halo ("stragglers")
@@ -33,7 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from concept_tpu.grid.bucketed import B, LDIM, _block_count
-from concept_tpu.grid.pallas_pm import deposit_pallas, gather_pallas
+from concept_tpu.grid.pallas_pm import (
+    LANES, deposit_pallas_kc, gather_pallas_kc,
+)
 from concept_tpu.grid.interp import deposit, gather
 from concept_tpu.grid.fft import rfft3, irfft3
 from concept_tpu.grid import fourier
@@ -41,44 +50,78 @@ from concept_tpu.forces.pm import gravity_potential_slab
 
 
 class BucketState(NamedTuple):
-    # component-leading layout: a trailing length-3 axis would be padded
-    # to a full (8,128) tile by the TPU layout (8× memory at 512³)
-    pos: jax.Array  # (3, C, K)
-    mom: jax.Array  # (3, C, K)
-    valid: jax.Array  # (C, K) bool
+    # slot-major layout: (component, slot, padded-block) — see module doc
+    pos: jax.Array  # (3, K, Cp)
+    mom: jax.Array  # (3, K, Cp)
+    valid: jax.Array  # (K, Cp) bool
+
+
+def _padded_blocks(C: int) -> int:
+    return ((C + LANES - 1) // LANES) * LANES
 
 
 def bucketize_state(pos, mom, gridsize: int, boxsize: float, capacity: int):
-    """Flat (N,3) arrays → BucketState (one sort + slot scatters; runs at
-    initialization and every ``rebucket_every`` steps, not per step)."""
+    """(N,3) arrays — or 3-tuples of 1D component arrays — → BucketState
+    (one sort + slot scatters; runs at initialization and every
+    ``rebucket_every`` steps, not per step).
+
+    Large-N callers should pass component tuples: a device-resident
+    (N,3) f32 array is lane-padded 42× by the TPU (8,128) tiling
+    (68 GB at 512³).  The component arrays are DONATED (their buffers
+    are reused; pass copies if you need them afterwards)."""
+    if isinstance(pos, (tuple, list)):
+        px0, py0, pz0 = (jnp.asarray(x) for x in pos)
+        mx0, my0, mz0 = (jnp.asarray(x) for x in mom)
+    else:
+        px0, py0, pz0 = pos[:, 0], pos[:, 1], pos[:, 2]
+        mx0, my0, mz0 = mom[:, 0], mom[:, 1], mom[:, 2]
+    return _bucketize_core(px0, py0, pz0, mx0, my0, mz0,
+                           jnp.asarray(boxsize, px0.dtype), gridsize, capacity)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("gridsize", "capacity"),
+    donate_argnums=(0, 1, 2, 3, 4, 5),
+)
+def _bucketize_core(px0, py0, pz0, mx0, my0, mz0, boxsize,
+                    gridsize: int, capacity: int):
     n = gridsize
     nb = _block_count(n)
     C = nb**3
-    N = pos.shape[0]
+    Cp = _padded_blocks(C)
+    K = capacity
+    N = px0.shape[0]
     h = boxsize / n
-    cell = jnp.clip((pos / h).astype(jnp.int32), 0, n - 1)
-    block = cell // B
-    key = (block[:, 0] * nb + block[:, 1]) * nb + block[:, 2]
+    key = jnp.zeros((N,), jnp.int32)
+    for comp in (px0, py0, pz0):
+        blk = jnp.clip((comp / h).astype(jnp.int32), 0, n - 1) // B
+        key = key * nb + blk
     iota = jnp.arange(N, dtype=jnp.int32)
     key_s, px, py, pz, mx, my, mz = jax.lax.sort(
-        [key, pos[:, 0], pos[:, 1], pos[:, 2], mom[:, 0], mom[:, 1], mom[:, 2]],
+        [key, px0, py0, pz0, mx0, my0, mz0],
         num_keys=1,
     )
     starts = jnp.searchsorted(key_s, jnp.arange(C, dtype=jnp.int32))
     rank = iota - starts[key_s]
-    in_bucket = rank < capacity
-    slot = jnp.where(in_bucket, key_s * capacity + rank, C * capacity)
+    in_bucket = rank < K
+    # slot-major flat index; overflow routed out of bounds (mode="drop")
+    slot = jnp.where(in_bucket, rank * Cp + key_s, K * Cp)
 
     def scat(vals):
-        out = jnp.zeros((C * capacity + 1,), vals.dtype)
-        return out.at[slot].set(vals, unique_indices=True)[:-1].reshape(C, capacity)
+        return (
+            jnp.zeros((K * Cp,), vals.dtype)
+            .at[slot].set(vals, mode="drop", unique_indices=True)
+            .reshape(K, Cp)
+        )
 
     pos_b = jnp.stack([scat(px), scat(py), scat(pz)], axis=0)
     mom_b = jnp.stack([scat(mx), scat(my), scat(mz)], axis=0)
-    counts = jnp.diff(jnp.concatenate([starts, jnp.array([N], starts.dtype)]))
-    valid = jnp.arange(capacity, dtype=counts.dtype)[None, :] < jnp.minimum(
-        counts, capacity
-    )[:, None]
+    valid = (
+        jnp.zeros((K * Cp,), bool)
+        .at[slot].set(True, mode="drop", unique_indices=True)
+        .reshape(K, Cp)
+    )
     # capacity overflow (rank ≥ capacity) would silently drop particles —
     # callers size the capacity with headroom and can assert via
     # jnp.sum(valid) == N.
@@ -86,7 +129,7 @@ def bucketize_state(pos, mom, gridsize: int, boxsize: float, capacity: int):
 
 
 def flatten_state(state: BucketState):
-    """(3,C,K) → flat (N,3) arrays of the valid particles (host side)."""
+    """(3,K,Cp) → flat (N,3) arrays of the valid particles (host side)."""
     v = np.asarray(state.valid).reshape(-1)
     pos = np.asarray(state.pos).reshape(3, -1).T[v]
     mom = np.asarray(state.mom).reshape(3, -1).T[v]
@@ -109,28 +152,30 @@ def bucket_pm_step(
     max_straggler: int,
     interpret: bool = False,
 ):
-    """One KDK step entirely in bucket layout.
+    """One KDK step entirely in the slot-major bucket layout.
 
     int_a1: kick integral ᔑa⁻¹dt; int_a2: drift integral ᔑa⁻²dt.
     """
     n = gridsize
     nb = _block_count(n)
-    C, K = state.valid.shape
+    K, Cp = state.valid.shape
+    M = K * Cp
     h = boxsize / n
     dtype = state.pos.dtype
 
-    # local interpolation fields from stored positions (elementwise,
-    # component-wise to keep every array a clean (C, K) tile)
-    cidx = jnp.arange(C, dtype=jnp.int32)
+    # local interpolation fields from stored positions — all elementwise
+    # on (K, Cp) tiles.  Padding blocks (cidx ≥ nb³) never hold valid
+    # slots, so their garbage origins are masked out below.
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (K, Cp), 1)
     origins = (
-        (cidx // (nb * nb))[:, None] * B,
-        ((cidx // nb) % nb)[:, None] * B,
-        (cidx % nb)[:, None] * B,
+        (cidx // (nb * nb)) * B,
+        ((cidx // nb) % nb) * B,
+        (cidx % nb) * B,
     )
     fs, lrels = [], []
     for d in range(3):
         u = state.pos[d] / h - 0.5
-        anchor = jnp.floor(u).astype(jnp.int32)  # (C,K)
+        anchor = jnp.floor(u).astype(jnp.int32)  # (K, Cp)
         fs.append((u - anchor).astype(dtype))
         lrels.append(anchor - origins[d] + 1)
     in_halo = (
@@ -141,51 +186,58 @@ def bucket_pm_step(
     handled = state.valid & in_halo
     stragglers = state.valid & ~in_halo
 
-    bk = {
-        "lx": jnp.clip(lrels[0], 0, LDIM - 2),
-        "ly": jnp.clip(lrels[1], 0, LDIM - 2),
-        "lz": jnp.clip(lrels[2], 0, LDIM - 2),
-        "fx": fs[0], "fy": fs[1], "fz": fs[2],
-        "q": jnp.where(handled, mass, 0.0).astype(dtype),
-        "valid": handled,
-    }
-    grid = deposit_pallas(bk, n, interpret=interpret)
+    lidx = (
+        jnp.clip(lrels[0], 0, LDIM - 2) * LDIM + jnp.clip(lrels[1], 0, LDIM - 2)
+    ) * LDIM + jnp.clip(lrels[2], 0, LDIM - 2)
+    q = jnp.where(handled, mass, 0.0).astype(dtype)
+    grid = deposit_pallas_kc(lidx, fs[0], fs[1], fs[2], q, n,
+                             interpret=interpret)
 
-    # stragglers: fixed-size compaction, exact plain path
-    sflat = stragglers.reshape(-1)
-    sidx = jnp.nonzero(sflat, size=max_straggler, fill_value=C * K)[0]
-    s_ok = sidx < C * K
-    pos_flat = jnp.concatenate(
-        [state.pos.reshape(3, -1), jnp.zeros((3, 1), dtype)], axis=1
-    )
-    s_pos = pos_flat[:, jnp.minimum(sidx, C * K)].T
+    # stragglers: fixed-size compaction, exact plain path.  Fill entries
+    # index M (out of bounds) so the write-back scatter drops them.
+    sidx = jnp.nonzero(stragglers.reshape(-1), size=max_straggler,
+                       fill_value=M)[0]
+    s_ok = sidx < M
+    pos_flat = state.pos.reshape(3, M)
+    s_pos = pos_flat[:, jnp.minimum(sidx, M - 1)].T
     s_q = jnp.where(s_ok, mass, 0.0).astype(dtype)
     grid = grid + deposit(s_pos, s_q, n, boxsize, order=2)
 
     cell_volume = h**3
     slab = rfft3(grid / cell_volume)
     phi = gravity_potential_slab(slab, n, boxsize, G, deconv_order=4)
-    grads = jnp.stack(
-        [irfft3(fourier.fourier_diff(phi, n, boxsize, d), n) for d in range(3)]
-    )
 
-    force_b = gather_pallas(bk, grads, n, interpret=interpret, stacked=False)
-    # straggler forces (plain gather on the compacted set), written back
-    # component-wise to preserve the (C,K) tiling
+    # force + kick + drift.  The 3 gradient components share one gather
+    # pass when memory allows (the kernel's per-corner one-hot masks
+    # dominate, so 3 components cost barely more than 1); at ≥512³ the
+    # 3 simultaneous (L, Cp) mini-grids (4.3 GB each) exceed HBM, so the
+    # dimensions are processed one at a time instead.
+    hmask = handled.astype(dtype)
     vmask = state.valid.astype(dtype)
-    new_mom = []
-    new_pos = []
+    fused_dims = n**3 <= 256**3
+    if fused_dims:
+        grads = tuple(
+            irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
+            for d in range(3)
+        )
+        fds = gather_pallas_kc(lidx, fs[0], fs[1], fs[2], hmask, grads, n,
+                               interpret=interpret)
+    new_pos, new_mom = [], []
     for d in range(3):
-        s_force_d = gather(grads[d], s_pos, boxsize, order=2) * s_ok
-        fd = jnp.concatenate(
-            [force_b[d].reshape(-1), jnp.zeros((1,), dtype)]
-        ).at[sidx].set(s_force_d)[:-1].reshape(C, K)
+        if fused_dims:
+            grad, fd = grads[d], fds[d]
+        else:
+            grad = irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
+            fd = gather_pallas_kc(lidx, fs[0], fs[1], fs[2], hmask, grad, n,
+                                  interpret=interpret)
+        s_force = gather(grad, s_pos, boxsize, order=2) * s_ok
+        fd = fd.reshape(M).at[sidx].set(s_force, mode="drop").reshape(K, Cp)
         md = state.mom[d] + (-mass * int_a1) * fd * vmask
         pd = jnp.mod(state.pos[d] + md * (int_a2 / mass) * vmask, boxsize)
         new_mom.append(md)
         new_pos.append(pd)
-    mom = jnp.stack(new_mom, axis=0)
     pos = jnp.stack(new_pos, axis=0)
+    mom = jnp.stack(new_mom, axis=0)
     n_straggler = jnp.sum(stragglers)
     return BucketState(pos=pos, mom=mom, valid=state.valid), n_straggler
 
@@ -206,7 +258,7 @@ class BucketSimulation:
         self.interpret = jax.default_backend() != "tpu"
 
     def init_state(self, pos, mom) -> BucketState:
-        self._N = pos.shape[0]
+        self._N = pos[0].shape[0] if isinstance(pos, (tuple, list)) else pos.shape[0]
         return bucketize_state(pos, mom, self.n, self.boxsize, self.capacity)
 
     def step(self, state: BucketState, int_a1: float, int_a2: float):
@@ -266,7 +318,9 @@ class BucketSimulation:
 
     def maybe_rebucket(self, state: BucketState) -> BucketState:
         pos, mom = flatten_state(state)
+        dt = state.pos.dtype
         return bucketize_state(
-            jnp.asarray(pos, state.pos.dtype), jnp.asarray(mom, state.pos.dtype),
+            tuple(jnp.asarray(np.ascontiguousarray(pos[:, d]), dt) for d in range(3)),
+            tuple(jnp.asarray(np.ascontiguousarray(mom[:, d]), dt) for d in range(3)),
             self.n, self.boxsize, self.capacity,
         )

@@ -185,6 +185,51 @@ def _extract_local(grid, nb: int, n: int):
     return g.reshape(nb**3, L)
 
 
+def _halo_selection(nb: int, n: int):
+    """One-hot banded selection S (LDIM, nb, n) with
+    S[l, b, i] = 1 iff i == (B·b − 1 + l) mod n — local mini-grid cell l
+    of block b covers global cell B·b − 1 + l (±1-cell periodic halo).
+
+    Used as a matmul operand: on TPU, de-interleaving blocks from the
+    grid with strided slices or transposes is pathologically slow
+    (strided lane access) or tile-padded 64× (size-2 minor dims), while
+    the MXU chews through the equivalent dense contraction in ~ms.
+    Extract and assemble use the SAME S (assemble is the exact adjoint),
+    so deposit/gather adjointness is preserved by construction."""
+    l = np.arange(LDIM)[:, None, None]
+    b = np.arange(nb)[None, :, None]
+    i = np.arange(n)[None, None, :]
+    return np.asarray((B * b - 1 + l) % n == i)
+
+
+def _assemble_global_T(local, nb: int, n: int):
+    """(L, C[p]) LOCAL-MAJOR mini-grids → (n,n,n) global with periodic
+    overlap-add: grid[ijk] = Σ S[x,a,i]·S[y,b,j]·S[z,c,k]·local[xyz,abc]
+    — three MXU contractions, no small-minor-dim intermediates, no
+    scatter (see _halo_selection)."""
+    S = jnp.asarray(_halo_selection(nb, n), local.dtype)
+    x = local[:, : nb**3].reshape(LDIM, LDIM, LDIM, nb, nb, nb)
+    # stage order chosen so each dot_general's natural output axis order
+    # needs no transpose and keeps large minor dims
+    v = jnp.einsum("zck,xyzabc->kxyab", S, x)
+    v = jnp.einsum("ybj,kxyab->jkxa", S, v)
+    return jnp.einsum("xai,jkxa->ijk", S, v)
+
+
+def _extract_local_T(grid, nb: int, n: int, pad_to: int | None = None):
+    """(n,n,n) → (L, C[p]) LOCAL-MAJOR per-block mini-grids incl. the ±1
+    halo: local[xyz,abc] = S[x,a,i]·S[y,b,j]·S[z,c,k]·grid[ijk] — the
+    adjoint of _assemble_global_T (see _halo_selection)."""
+    S = jnp.asarray(_halo_selection(nb, n), grid.dtype)
+    t = jnp.einsum("zck,ijk->zcij", S, grid)
+    t = jnp.einsum("ybj,zcij->ybzci", S, t)
+    t = jnp.einsum("xai,ybzci->xyzabc", S, t)
+    out = t.reshape(L, nb**3)
+    if pad_to is not None and pad_to > nb**3:
+        out = jnp.pad(out, ((0, 0), (0, pad_to - nb**3)))
+    return out
+
+
 def deposit_bucketed(bk, gridsize: int, pos=None, boxsize: float = 1.0,
                      q=None):
     """Dense deposit from block buckets; overflow handled by the exact

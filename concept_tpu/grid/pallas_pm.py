@@ -6,18 +6,25 @@ docstring).  These kernels reformulate both operations as *lane-parallel
 dense* arithmetic:
 
   * particles are sorted by 2³-cell block (grid/bucketed machinery);
-  * a kernel instance owns a batch of 128 blocks (the VPU lane dimension)
-    and their (B+2)³ = 64-cell mini-grids laid out (64 sublanes × 128
-    lanes) in VMEM;
+  * a kernel instance owns 128 blocks (the VPU lane dimension) and their
+    (B+2)³ = 64-cell mini-grids laid out (64 sublanes × 128 lanes) in
+    VMEM;
   * per bucket slot and interpolation corner, the per-lane cell selection
     is a one-hot compare over the 64 sublanes + masked add/reduce — every
     lane (block) advances in lockstep, no per-element addressing.
 
+Data layout is SLOT-MAJOR: every per-slot array is (K, Cp) with
+Cp = block count padded to a multiple of 128.  The minor dimension is the
+(huge) block axis, so the TPU (8, 128) tiling never pads — a (C, K)
+layout with K < 128 lanes would be padded 8-16× in HBM (fatal at 512³),
+and a trailing length-3 component axis 40×.  Kernel blocks are direct
+(K, 128) column slices: no relayout/transpose on the hot path.
+
 Deposit: mini-grids accumulate masked corner weights; the host-side
-overlap-add into the global grid is dense XLA (bucketed._assemble_global).
-Gather: mini-grids are pre-sliced densely (bucketed._extract_local); the
-kernel reads them with one-hot reductions; D force components share the
-pass.
+overlap-add into the global grid is dense XLA (bucketed._assemble_global_T).
+Gather: mini-grids are pre-sliced densely (bucketed._extract_local_T);
+the kernel reads them with one-hot reductions, one field component per
+call (keeps peak HBM to one (L, Cp) mini at a time — essential at 512³).
 
 Bucket layout comes from bucketize_blocks (C blocks × K capacity);
 overflow particles use the plain path (exactness preserved).
@@ -32,9 +39,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from concept_tpu.grid.bucketed import B, LDIM, L, _block_count
+from concept_tpu.grid.bucketed import (
+    B, LDIM, L, _block_count, _assemble_global_T, _extract_local_T,
+)
 
 LANES = 128  # blocks per kernel instance
 
@@ -43,59 +51,13 @@ def _corner_w(f, c):
     return jnp.where(c == 0, 1.0 - f, f)
 
 
-def _gather_kernel(lidx_ref, fx_ref, fy_ref, fz_ref, valid_ref, *refs):
-    """One batch: lidx/f*/valid (1, K, LANES); then D mini refs
-    (1, L, LANES) followed by D out refs (1, K, LANES).
-
-    The D field components are separate operands: a trailing size-3 axis
-    would be padded to a full 128-lane tile by the TPU layout, blowing the
-    VMEM budget."""
-    D = len(refs) // 2
-    mini_refs = refs[:D]
-    out_refs = refs[D:]
-    K = lidx_ref.shape[1]
+def _deposit_kernel(lidx_ref, fx_ref, fy_ref, fz_ref, q_ref, out_ref):
+    """One batch of 128 blocks: inputs (K, LANES) slot-major (q pre-masked
+    by validity); out mini-grid (L, LANES)."""
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
-    minis = [r[0] for r in mini_refs]  # each (L, LANES)
-
-    # fori_loop over slots: Mosaic fully unrolls Python loops, so the
-    # per-iteration (L, LANES) temporaries must live in a compiled loop
-    # body (bounded VMEM stack).  Slot rows are read/written through the
-    # refs with pl.ds (ref-level dynamic slicing is Mosaic-supported).
-    def body(k, _):
-        lidx_k = lidx_ref[0, pl.ds(k, 1), :]  # (1, LANES)
-        fx_k = fx_ref[0, pl.ds(k, 1), :]
-        fy_k = fy_ref[0, pl.ds(k, 1), :]
-        fz_k = fz_ref[0, pl.ds(k, 1), :]
-        v_k = valid_ref[0, pl.ds(k, 1), :]
-        vals = [jnp.zeros((1, LANES), minis[0].dtype) for _ in range(D)]
-        for cx in (0, 1):
-            for cy in (0, 1):
-                for cz in (0, 1):
-                    shift = (cx * LDIM + cy) * LDIM + cz
-                    w = (
-                        _corner_w(fx_k, cx)
-                        * _corner_w(fy_k, cy)
-                        * _corner_w(fz_k, cz)
-                    ) * v_k  # (1, LANES)
-                    mask = (lidx_k + shift) == iota_l  # (L, LANES) broadcast
-                    for d in range(D):
-                        picked = jnp.sum(
-                            jnp.where(mask, minis[d], 0.0), axis=0, keepdims=True
-                        )  # (1, LANES)
-                        vals[d] = vals[d] + w * picked
-        for d in range(D):
-            out_refs[d][0, pl.ds(k, 1), :] = vals[d]
-        return 0
-
-    jax.lax.fori_loop(0, K, body, 0)
-
-
-def _deposit_kernel(lidx_ref, fx_ref, fy_ref, fz_ref, q_ref, valid_ref, out_ref):
-    """One batch: inputs (1, K, LANES); out mini-grid (1, L, LANES)."""
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
-    lidx = lidx_ref[0]
-    fx, fy, fz = fx_ref[0], fy_ref[0], fz_ref[0]
-    qv = q_ref[0] * valid_ref[0]
+    lidx = lidx_ref[...]
+    fx, fy, fz = fx_ref[...], fy_ref[...], fz_ref[...]
+    qv = q_ref[...]
     acc = jnp.zeros((L, LANES), qv.dtype)
     for cx in (0, 1):
         for cy in (0, 1):
@@ -113,49 +75,127 @@ def _deposit_kernel(lidx_ref, fx_ref, fy_ref, fz_ref, q_ref, valid_ref, out_ref)
                     ),
                     axis=0,
                 )
-    out_ref[0] = acc
+    out_ref[...] = acc
+
+
+def _gather_kernel(lidx_ref, fx_ref, fy_ref, fz_ref, w_ref, *refs):
+    """One batch: lidx/f*/w (K, LANES); then D mini refs (L, LANES)
+    followed by D out refs (K, LANES).  w is the validity weight (0 masks
+    a slot).  The D field components share the (expensive) per-corner
+    one-hot masks — gathering 3 gradients in one call costs barely more
+    than one."""
+    D = len(refs) // 2
+    mini_refs, out_refs = refs[:D], refs[D:]
+    K = lidx_ref.shape[0]
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
+    minis = [r[...] for r in mini_refs]  # each (L, LANES)
+
+    # fori_loop over slots: Mosaic fully unrolls Python loops, so the
+    # per-iteration (L, LANES) temporaries must live in a compiled loop
+    # body (bounded VMEM stack).  Slot rows are read/written through the
+    # refs with pl.ds (ref-level dynamic slicing is Mosaic-supported).
+    def body(k, _):
+        lidx_k = lidx_ref[pl.ds(k, 1), :]  # (1, LANES)
+        fx_k = fx_ref[pl.ds(k, 1), :]
+        fy_k = fy_ref[pl.ds(k, 1), :]
+        fz_k = fz_ref[pl.ds(k, 1), :]
+        w_k = w_ref[pl.ds(k, 1), :]
+        vals = [jnp.zeros((1, LANES), minis[0].dtype) for _ in range(D)]
+        for cx in (0, 1):
+            for cy in (0, 1):
+                for cz in (0, 1):
+                    shift = (cx * LDIM + cy) * LDIM + cz
+                    w = (
+                        _corner_w(fx_k, cx)
+                        * _corner_w(fy_k, cy)
+                        * _corner_w(fz_k, cz)
+                    ) * w_k  # (1, LANES)
+                    mask = (lidx_k + shift) == iota_l  # (L, LANES) broadcast
+                    for d in range(D):
+                        picked = jnp.sum(
+                            jnp.where(mask, minis[d], 0.0),
+                            axis=0, keepdims=True,
+                        )  # (1, LANES)
+                        vals[d] = vals[d] + w * picked
+        for d in range(D):
+            out_refs[d][pl.ds(k, 1), :] = vals[d]
+        return 0
+
+    jax.lax.fori_loop(0, K, body, 0)
+
+
+@partial(jax.jit, static_argnames=("gridsize", "interpret"))
+def deposit_pallas_kc(lidx, fx, fy, fz, q, gridsize: int,
+                      interpret: bool = False):
+    """Slot-major deposit: args (K, Cp), Cp a multiple of 128 (padding
+    blocks must have q = 0); q pre-masked by validity.  → (n,n,n)."""
+    n = gridsize
+    nb = _block_count(n)
+    K, Cp = q.shape
+    assert Cp % LANES == 0 and Cp >= nb**3
+    nbatch = Cp // LANES
+    kb = pl.BlockSpec((K, LANES), lambda i: (0, i))
+    lb = pl.BlockSpec((L, LANES), lambda i: (0, i))
+    out = pl.pallas_call(
+        _deposit_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, Cp), q.dtype),
+        grid=(nbatch,),
+        in_specs=[kb] * 5,
+        out_specs=lb,
+        interpret=interpret,
+    )(lidx.astype(jnp.int32), fx, fy, fz, q)
+    return _assemble_global_T(out, nb, n)
+
+
+@partial(jax.jit, static_argnames=("gridsize", "interpret"))
+def gather_pallas_kc(lidx, fx, fy, fz, w, grids, gridsize: int,
+                     interpret: bool = False):
+    """Slot-major gather: per-slot args (K, Cp); ``grids`` a tuple of D
+    (n,n,n) field components sharing one kernel pass (the per-corner
+    one-hot masks dominate, so D components cost barely more than one —
+    but D (L, Cp) mini-grids are alive at once: at 512³ call per
+    component instead).  Returns a D-tuple of (K, Cp) values (zero where
+    w = 0); a bare (n,n,n) array returns a bare (K, Cp) array."""
+    bare = not isinstance(grids, (tuple, list))
+    if bare:
+        grids = (grids,)
+    D = len(grids)
+    n = gridsize
+    nb = _block_count(n)
+    K, Cp = w.shape
+    assert Cp % LANES == 0 and Cp >= nb**3
+    nbatch = Cp // LANES
+    minis = [_extract_local_T(g, nb, n, pad_to=Cp) for g in grids]  # (L, Cp)
+    kb = pl.BlockSpec((K, LANES), lambda i: (0, i))
+    lb = pl.BlockSpec((L, LANES), lambda i: (0, i))
+    outs = pl.pallas_call(
+        _gather_kernel,
+        out_shape=[jax.ShapeDtypeStruct((K, Cp), grids[0].dtype)] * D,
+        grid=(nbatch,),
+        in_specs=[kb] * 5 + [lb] * D,
+        out_specs=[kb] * D,
+        interpret=interpret,
+    )(lidx.astype(jnp.int32), fx, fy, fz, w, *minis)
+    return outs[0] if bare else tuple(outs)
+
+
+def _pad_c(x, Cp: int):
+    C = x.shape[0]
+    return jnp.pad(x, ((0, Cp - C), (0, 0))) if Cp > C else x
 
 
 @partial(jax.jit, static_argnames=("gridsize", "interpret"))
 def deposit_pallas(bk, gridsize: int, interpret: bool = False):
     """Deposit via the Pallas kernel → (n,n,n) grid (bucketed particles
-    only; caller adds the overflow fallback)."""
-    from concept_tpu.grid.bucketed import _assemble_global
-
-    n = gridsize
-    nb = _block_count(n)
-    C = nb**3
-    K = bk["q"].shape[1]
-    pad = (-C) % LANES
-
-    def padded(x, fill=0):
-        return jnp.concatenate(
-            [x, jnp.full((pad, *x.shape[1:]), fill, x.dtype)]
-        ) if pad else x
-
-    lidx = padded((bk["lx"] * LDIM + bk["ly"]) * LDIM + bk["lz"]).astype(jnp.int32)
-    fx, fy, fz = padded(bk["fx"]), padded(bk["fy"]), padded(bk["fz"])
-    q = padded(bk["q"])
-    valid = padded(bk["valid"].astype(bk["q"].dtype))
-    Cp = C + pad
-    nbatch = Cp // LANES
-
-    def to_batches(x):
-        return x.reshape(nbatch, LANES, K).swapaxes(1, 2)
-
-    out = pl.pallas_call(
-        _deposit_kernel,
-        out_shape=jax.ShapeDtypeStruct((nbatch, L, LANES), q.dtype),
-        grid=(nbatch,),
-        in_specs=[pl.BlockSpec((1, K, LANES), lambda i: (i, 0, 0))] * 6,
-        out_specs=pl.BlockSpec((1, L, LANES), lambda i: (i, 0, 0)),
-        interpret=interpret,
-    )(
-        to_batches(lidx), to_batches(fx), to_batches(fy), to_batches(fz),
-        to_batches(q), to_batches(valid),
-    )
-    local = out.swapaxes(1, 2).reshape(Cp, L)[:C]
-    return _assemble_global(local, nb, n)
+    only; caller adds the overflow fallback).  (C, K)-dict interface from
+    bucketize_blocks; transposes to the slot-major kernel layout (off the
+    persistent-bucket hot path — bucketsim.py stores slot-major)."""
+    C, K = bk["q"].shape
+    Cp = ((C + LANES - 1) // LANES) * LANES
+    lidx = (bk["lx"] * LDIM + bk["ly"]) * LDIM + bk["lz"]
+    q = bk["q"] * bk["valid"].astype(bk["q"].dtype)
+    args = [_pad_c(x, Cp).T for x in (lidx, bk["fx"], bk["fy"], bk["fz"], q)]
+    return deposit_pallas_kc(*args, gridsize, interpret=interpret)
 
 
 @partial(jax.jit, static_argnames=("gridsize", "interpret", "stacked"))
@@ -163,54 +203,17 @@ def gather_pallas(bk, grids, gridsize: int, interpret: bool = False,
                   stacked: bool = True):
     """Force gather via the Pallas kernel.  grids: (D,n,n,n).
     Returns (C, K, D) bucket-slot values, or a D-tuple of (C, K) arrays
-    when ``stacked=False`` (preferred at large C: a trailing length-3
-    axis is tile-padded 8× by the TPU layout)."""
-    from concept_tpu.grid.bucketed import _extract_local
-
-    n = gridsize
-    nb = _block_count(n)
-    C = nb**3
-    D = grids.shape[0]
-    K = bk["q"].shape[1]
-    mini = jnp.stack([_extract_local(grids[d], nb, n) for d in range(D)], axis=-1)
-    # pad C to a multiple of LANES
-    pad = (-C) % LANES
-    def padded(x, fill=0):
-        return jnp.concatenate(
-            [x, jnp.full((pad, *x.shape[1:]), fill, x.dtype)]
-        ) if pad else x
-
-    lidx = padded(bk["lx"] * LDIM * LDIM + bk["ly"] * LDIM + bk["lz"])
-    fx, fy, fz = padded(bk["fx"]), padded(bk["fy"]), padded(bk["fz"])
-    valid = padded(bk["valid"].astype(bk["fx"].dtype))
-    mini = padded(mini)
-    Cp = C + pad
-    nbatch = Cp // LANES
-    # lay out (nbatch, K, LANES) and (nbatch, L, LANES, D)
-    def to_batches(x):
-        return x.reshape(nbatch, LANES, *x.shape[1:]).swapaxes(1, 2)
-
-    lidx_b = to_batches(lidx.astype(jnp.int32))
-    fx_b, fy_b, fz_b = to_batches(fx), to_batches(fy), to_batches(fz)
-    valid_b = to_batches(valid)
-    # one (nbatch, L, LANES) operand per field component
-    mini_bs = [
-        mini[..., d].reshape(nbatch, LANES, L).swapaxes(1, 2) for d in range(D)
-    ]
-
-    kb = pl.BlockSpec((1, K, LANES), lambda i: (i, 0, 0))
-    lb = pl.BlockSpec((1, L, LANES), lambda i: (i, 0, 0))
-    outs = pl.pallas_call(
-        _gather_kernel,
-        out_shape=[jax.ShapeDtypeStruct((nbatch, K, LANES), mini.dtype)] * D,
-        grid=(nbatch,),
-        in_specs=[kb] * 5 + [lb] * D,
-        out_specs=[kb] * D,
+    when ``stacked=False``."""
+    C, K = bk["q"].shape
+    Cp = ((C + LANES - 1) // LANES) * LANES
+    lidx = (bk["lx"] * LDIM + bk["ly"]) * LDIM + bk["lz"]
+    w = bk["valid"].astype(bk["fx"].dtype)
+    args = [_pad_c(x, Cp).T for x in (lidx, bk["fx"], bk["fy"], bk["fz"], w)]
+    outs_kc = gather_pallas_kc(
+        *args, tuple(grids[d] for d in range(grids.shape[0])), gridsize,
         interpret=interpret,
-    )(lidx_b, fx_b, fy_b, fz_b, valid_b, *mini_bs)
+    )
+    outs = [o.T[:C] for o in outs_kc]
     if not stacked:
-        return tuple(o.swapaxes(1, 2).reshape(Cp * K)[: C * K].reshape(C, K)
-                     for o in outs)
-    # back to (C, K, D)
-    out = jnp.stack(outs, axis=-1).swapaxes(1, 2).reshape(Cp, K, D)[:C]
-    return out
+        return tuple(outs)
+    return jnp.stack(outs, axis=-1)

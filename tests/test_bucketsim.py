@@ -77,6 +77,26 @@ def test_bucket_multi_step_with_stragglers():
     np.testing.assert_allclose(sort_rows(p2), sort_rows(rp), atol=1e-3)
 
 
+def test_bucket_step_padded_block_count():
+    """gridsize 12 → 6³ = 216 blocks, padded to Cp = 256: the padding
+    blocks must not contribute mass or forces."""
+    n_grid, box = 12, 30.0
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.uniform(0, box, (800, 3)).astype(np.float32))
+    mom = jnp.asarray((0.01 * rng.standard_normal((800, 3))).astype(np.float32))
+    sim = BucketSimulation(n_grid, box, MASS, G, capacity=24)
+    st = sim.init_state(pos, mom)
+    assert st.valid.shape[1] == 256 and int(jnp.sum(st.valid)) == 800
+    st2, _ = sim.step(st, 0.4, 0.3)
+    (dmom,) = pm_gravity_momentum_updates(
+        [pos], [MASS], n_grid, box, G, kick_integral=0.4,
+        order=2, deposit_method="scatter",
+    )
+    ref_pos = jnp.mod(pos + (mom + dmom) * (0.3 / MASS), box)
+    p2, _ = flatten_state(st2)
+    np.testing.assert_allclose(sort_rows(p2), sort_rows(ref_pos), atol=2e-4)
+
+
 def test_rebucket_preserves_particles():
     pos, mom = make_particles(seed=7)
     sim = BucketSimulation(N_GRID, BOX, MASS, G, capacity=24)
