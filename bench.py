@@ -36,11 +36,26 @@ def bench_once(n_grid):
     from concept_tpu.bucketsim import BucketSimulation
 
     box = 512.0
-    N = n_grid**3
+    n = n_grid
+    N = n**3
     rng = np.random.default_rng(0)
-    pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
-    mom = jnp.zeros((N, 3), jnp.float32)
-    sim = BucketSimulation(n_grid, box, 2.0, 1.0, capacity=32)
+    # lattice + sub-cell jitter: how real cosmological ICs start (2LPT
+    # displaces a lattice), and bounded per-block bucket occupancy
+    lin = (np.arange(n, dtype=np.float32) + 0.5) * (box / n)
+    comps = (
+        np.broadcast_to(lin[:, None, None], (n, n, n)).reshape(-1),
+        np.broadcast_to(lin[None, :, None], (n, n, n)).reshape(-1),
+        np.broadcast_to(lin[None, None, :], (n, n, n)).reshape(-1),
+    )
+    jit_amp = 0.3 * (box / n)
+    pos = tuple(
+        jnp.asarray(
+            np.mod(c + rng.uniform(-jit_amp, jit_amp, N).astype(np.float32), box)
+        )
+        for c in comps
+    )
+    mom = tuple(jnp.zeros((N,), jnp.float32) for _ in range(3))
+    sim = BucketSimulation(n_grid, box, 2.0, 1.0, capacity=16)
     state = sim.init_state(pos, mom)
     int1, int2 = 1e-3, 1e-3
     state, _ = sim.step(state, int1, int2)  # warmup/compile

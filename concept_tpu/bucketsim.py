@@ -195,13 +195,37 @@ def bucket_pm_step(
 
     # stragglers: fixed-size compaction, exact plain path.  Fill entries
     # index M (out of bounds) so the write-back scatter drops them.
-    sidx = jnp.nonzero(stragglers.reshape(-1), size=max_straggler,
-                       fill_value=M)[0]
-    s_ok = sidx < M
-    pos_flat = state.pos.reshape(3, M)
-    s_pos = pos_flat[:, jnp.minimum(sidx, M - 1)].T
-    s_q = jnp.where(s_ok, mass, 0.0).astype(dtype)
-    grid = grid + deposit(s_pos, s_q, n, boxsize, order=2)
+    # The whole path lives behind lax.cond: the compaction (nonzero over
+    # all M slots) plus the plain deposit/gathers cost ~320 ms at 256³
+    # even when EMPTY, while freshly re-bucketized steps usually have no
+    # stragglers at all (drift ≤ fac_pm·cell/step).
+    n_straggler = jnp.sum(stragglers)
+
+    def compact(_):
+        sidx = jnp.nonzero(stragglers.reshape(-1), size=max_straggler,
+                           fill_value=M)[0]
+        s_ok = sidx < M
+        pos_flat = state.pos.reshape(3, M)
+        s_pos = pos_flat[:, jnp.minimum(sidx, M - 1)].T
+        s_q = jnp.where(s_ok, mass, 0.0).astype(dtype)
+        return sidx, s_ok, s_pos, s_q
+
+    def no_compact(_):
+        return (
+            jnp.full((max_straggler,), M, jnp.int32),
+            jnp.zeros((max_straggler,), bool),
+            jnp.zeros((max_straggler, 3), dtype),
+            jnp.zeros((max_straggler,), dtype),
+        )
+
+    has_strag = n_straggler > 0
+    sidx, s_ok, s_pos, s_q = jax.lax.cond(has_strag, compact, no_compact, 0)
+    grid = jax.lax.cond(
+        has_strag,
+        lambda g: g + deposit(s_pos, s_q, n, boxsize, order=2),
+        lambda g: g,
+        grid,
+    )
 
     cell_volume = h**3
     slab = rfft3(grid / cell_volume)
@@ -230,15 +254,21 @@ def bucket_pm_step(
             grad = irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
             fd = gather_pallas_kc(lidx, fs[0], fs[1], fs[2], hmask, grad, n,
                                   interpret=interpret)
-        s_force = gather(grad, s_pos, boxsize, order=2) * s_ok
-        fd = fd.reshape(M).at[sidx].set(s_force, mode="drop").reshape(K, Cp)
+        fd = jax.lax.cond(
+            has_strag,
+            lambda f: f.reshape(M)
+            .at[sidx].set(gather(grad, s_pos, boxsize, order=2) * s_ok,
+                          mode="drop")
+            .reshape(K, Cp),
+            lambda f: f,
+            fd,
+        )
         md = state.mom[d] + (-mass * int_a1) * fd * vmask
         pd = jnp.mod(state.pos[d] + md * (int_a2 / mass) * vmask, boxsize)
         new_mom.append(md)
         new_pos.append(pd)
     pos = jnp.stack(new_pos, axis=0)
     mom = jnp.stack(new_mom, axis=0)
-    n_straggler = jnp.sum(stragglers)
     return BucketState(pos=pos, mom=mom, valid=state.valid), n_straggler
 
 
