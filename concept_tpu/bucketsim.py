@@ -41,7 +41,7 @@ import numpy as np
 
 from concept_tpu.grid.bucketed import B, LDIM, _block_count
 from concept_tpu.grid.pallas_pm import (
-    LANES, deposit_pallas_kc, gather_pallas_kc,
+    LANES, deposit_pallas_pos, gather_pallas_pos,
 )
 from concept_tpu.grid.interp import deposit, gather
 from concept_tpu.grid.fft import rfft3, irfft3
@@ -93,8 +93,10 @@ def _bucketize_core(px0, py0, pz0, mx0, my0, mz0, boxsize,
     K = capacity
     N = px0.shape[0]
     h = boxsize / n
+    # z-major block id — chunk of consecutive columns = z slab of blocks
+    # (the Pallas drivers chunk the mini-grids along z at large n)
     key = jnp.zeros((N,), jnp.int32)
-    for comp in (px0, py0, pz0):
+    for comp in (pz0, py0, px0):
         blk = jnp.clip((comp / h).astype(jnp.int32), 0, n - 1) // B
         key = key * nb + blk
     iota = jnp.arange(N, dtype=jnp.int32)
@@ -138,13 +140,13 @@ def flatten_state(state: BucketState):
 
 @partial(
     jax.jit,
-    static_argnames=("gridsize", "max_straggler", "interpret"),
+    static_argnames=("gridsize", "boxsize", "max_straggler", "interpret"),
     donate_argnums=0,
 )
 def bucket_pm_step(
     state: BucketState,
     mass,
-    boxsize,
+    boxsize: float,
     G,
     int_a1,
     int_a2,
@@ -155,6 +157,9 @@ def bucket_pm_step(
     """One KDK step entirely in the slot-major bucket layout.
 
     int_a1: kick integral ᔑa⁻¹dt; int_a2: drift integral ᔑa⁻²dt.
+    CIC geometry is computed inside the Pallas kernels from the stored
+    positions; the only XLA-side per-slot work is the straggler mask and
+    the kick/drift arithmetic.
     """
     n = gridsize
     nb = _block_count(n)
@@ -162,36 +167,36 @@ def bucket_pm_step(
     M = K * Cp
     h = boxsize / n
     dtype = state.pos.dtype
+    # chunk the kernels' mini-grids along z once their full size (8× the
+    # grid) stops being negligible against HBM
+    nchunks = 8 if n >= 512 else 1
 
-    # local interpolation fields from stored positions — all elementwise
-    # on (K, Cp) tiles.  Padding blocks (cidx ≥ nb³) never hold valid
-    # slots, so their garbage origins are masked out below.
+    # straggler mask: particles whose CIC anchor left the ±1-cell block
+    # halo (z-major block ids, as laid down by bucketize_state).  Padding
+    # blocks (cidx ≥ nb³) never hold valid slots.
     cidx = jax.lax.broadcasted_iota(jnp.int32, (K, Cp), 1)
     origins = (
-        (cidx // (nb * nb)) * B,
-        ((cidx // nb) % nb) * B,
         (cidx % nb) * B,
+        ((cidx // nb) % nb) * B,
+        (cidx // (nb * nb)) * B,
     )
-    fs, lrels = [], []
+    in_halo = None
     for d in range(3):
-        u = state.pos[d] / h - 0.5
-        anchor = jnp.floor(u).astype(jnp.int32)  # (K, Cp)
-        fs.append((u - anchor).astype(dtype))
-        lrels.append(anchor - origins[d] + 1)
-    in_halo = (
-        (lrels[0] >= 0) & (lrels[0] <= LDIM - 2)
-        & (lrels[1] >= 0) & (lrels[1] <= LDIM - 2)
-        & (lrels[2] >= 0) & (lrels[2] <= LDIM - 2)
-    )
-    handled = state.valid & in_halo
+        anchor = jnp.floor(state.pos[d] / h - 0.5).astype(jnp.int32)
+        lrel = anchor - origins[d] + 1
+        ok = (lrel >= 0) & (lrel <= LDIM - 2)
+        in_halo = ok if in_halo is None else (in_halo & ok)
     stragglers = state.valid & ~in_halo
 
-    lidx = (
-        jnp.clip(lrels[0], 0, LDIM - 2) * LDIM + jnp.clip(lrels[1], 0, LDIM - 2)
-    ) * LDIM + jnp.clip(lrels[2], 0, LDIM - 2)
-    q = jnp.where(handled, mass, 0.0).astype(dtype)
-    grid = deposit_pallas_kc(lidx, fs[0], fs[1], fs[2], q, n,
-                             interpret=interpret)
+    # single per-slot weight array: mass·validity.  Gathered forces come
+    # back mass-scaled (the kick wants mass·force anyway), and invalid
+    # slots self-zero everywhere — no separate valid_f/vmask arrays
+    # (2×1 GB at 512³).
+    w = state.valid.astype(dtype) * mass
+    grid = deposit_pallas_pos(
+        state.pos[0], state.pos[1], state.pos[2], w, n, boxsize,
+        nchunks=nchunks, interpret=interpret,
+    )
 
     # stragglers: fixed-size compaction, exact plain path.  Fill entries
     # index M (out of bounds) so the write-back scatter drops them.
@@ -206,23 +211,24 @@ def bucket_pm_step(
                            fill_value=M)[0]
         s_ok = sidx < M
         pos_flat = state.pos.reshape(3, M)
-        s_pos = pos_flat[:, jnp.minimum(sidx, M - 1)].T
+        # (3, S) — an (S, 3) array would be lane-padded 42×
+        s_pos_t = pos_flat[:, jnp.minimum(sidx, M - 1)]
         s_q = jnp.where(s_ok, mass, 0.0).astype(dtype)
-        return sidx, s_ok, s_pos, s_q
+        return sidx, s_ok, s_pos_t, s_q
 
     def no_compact(_):
         return (
             jnp.full((max_straggler,), M, jnp.int32),
             jnp.zeros((max_straggler,), bool),
-            jnp.zeros((max_straggler, 3), dtype),
+            jnp.zeros((3, max_straggler), dtype),
             jnp.zeros((max_straggler,), dtype),
         )
 
     has_strag = n_straggler > 0
-    sidx, s_ok, s_pos, s_q = jax.lax.cond(has_strag, compact, no_compact, 0)
+    sidx, s_ok, s_pos_t, s_q = jax.lax.cond(has_strag, compact, no_compact, 0)
     grid = jax.lax.cond(
         has_strag,
-        lambda g: g + deposit(s_pos, s_q, n, boxsize, order=2),
+        lambda g: g + deposit(s_pos_t.T, s_q, n, boxsize, order=2),
         lambda g: g,
         grid,
     )
@@ -232,39 +238,46 @@ def bucket_pm_step(
     phi = gravity_potential_slab(slab, n, boxsize, G, deconv_order=4)
 
     # force + kick + drift.  The 3 gradient components share one gather
-    # pass when memory allows (the kernel's per-corner one-hot masks
-    # dominate, so 3 components cost barely more than 1); at ≥512³ the
-    # 3 simultaneous (L, Cp) mini-grids (4.3 GB each) exceed HBM, so the
-    # dimensions are processed one at a time instead.
-    hmask = handled.astype(dtype)
-    vmask = state.valid.astype(dtype)
-    fused_dims = n**3 <= 256**3
-    if fused_dims:
+    # pass per chunk (the kernel's per-corner one-hot masks dominate, so
+    # 3 components cost barely more than 1; chunking keeps the 3
+    # simultaneous mini-grids small even at 512³).
+    # fd comes back MASS-SCALED (w = mass·valid), exactly what the kick
+    # needs; invalid slots have fd = 0, mom = 0, pos = 0 → stay put.
+    # Below the chunking threshold the 3 components share one gather
+    # pass (the kernel's one-hot masks dominate); at 512³ the 3 parallel
+    # irfft pipelines alone (~10×512 MB FFT temps) exceed HBM, so the
+    # dimensions run one at a time.
+    if nchunks == 1:
         grads = tuple(
             irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
             for d in range(3)
         )
-        fds = gather_pallas_kc(lidx, fs[0], fs[1], fs[2], hmask, grads, n,
-                               interpret=interpret)
+        fds = gather_pallas_pos(
+            state.pos[0], state.pos[1], state.pos[2], w, grads, n,
+            boxsize, nchunks=nchunks, interpret=interpret,
+        )
     new_pos, new_mom = [], []
     for d in range(3):
-        if fused_dims:
+        if nchunks == 1:
             grad, fd = grads[d], fds[d]
         else:
             grad = irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
-            fd = gather_pallas_kc(lidx, fs[0], fs[1], fs[2], hmask, grad, n,
-                                  interpret=interpret)
+            fd = gather_pallas_pos(
+                state.pos[0], state.pos[1], state.pos[2], w, grad, n,
+                boxsize, nchunks=nchunks, interpret=interpret,
+            )
         fd = jax.lax.cond(
             has_strag,
             lambda f: f.reshape(M)
-            .at[sidx].set(gather(grad, s_pos, boxsize, order=2) * s_ok,
+            .at[sidx].set(gather(grad, s_pos_t.T, boxsize, order=2)
+                          * (mass * s_ok),
                           mode="drop")
             .reshape(K, Cp),
             lambda f: f,
             fd,
         )
-        md = state.mom[d] + (-mass * int_a1) * fd * vmask
-        pd = jnp.mod(state.pos[d] + md * (int_a2 / mass) * vmask, boxsize)
+        md = state.mom[d] + (-int_a1) * fd
+        pd = jnp.mod(state.pos[d] + md * (int_a2 / mass), boxsize)
         new_mom.append(md)
         new_pos.append(pd)
     pos = jnp.stack(new_pos, axis=0)
@@ -295,7 +308,7 @@ class BucketSimulation:
         # straggler buffer: drift ≤ fac_pm·cell/step bounds block-crossers
         # to a few % between re-bucketizes; the host checks the count and
         # re-bucketizes (and could grow the buffer) before it saturates
-        max_straggler = max(1024, (self._N // 64))
+        max_straggler = max(1024, self._N // (256 if self._N >= 64 * 1024**2 else 64))
         return bucket_pm_step(
             state, self.mass, self.boxsize, self.G,
             jnp.asarray(int_a1, state.pos.dtype),
@@ -312,7 +325,7 @@ class BucketSimulation:
         t = t0
         t_mom = t0
         steps = 0
-        max_straggler = max(1024, (self._N // 64))
+        max_straggler = max(1024, self._N // (256 if self._N >= 64 * 1024**2 else 64))
         while t < t1 - 1e-12 * abs(t1):
             a = float(bg.a_of_t_np(t))
             dt = min(self._timestep(a), t1 - t)

@@ -202,6 +202,63 @@ def _halo_selection(nb: int, n: int):
     return np.asarray((B * b - 1 + l) % n == i)
 
 
+def _band_selection(nbz: int):
+    """Band-coordinate selection Sband (LDIM, nbz, B·nbz+2) with
+    Sband[z, c, t] = 1 iff t == B·c + z.  For a z-major block chunk
+    bz ∈ [bz0, bz0+nbz), local cell z of chunk-block c covers global cell
+    k = (B·(bz0+c) − 1 + z) mod n = (k0 + t) mod n with k0 = B·bz0 − 1 and
+    t = B·c + z — the same banded matrix for EVERY chunk."""
+    z = np.arange(LDIM)[:, None, None]
+    c = np.arange(nbz)[None, :, None]
+    t = np.arange(B * nbz + 2)[None, None, :]
+    return np.asarray(t == B * c + z)
+
+
+def _band_runs(n: int, k0: int, bandlen: int):
+    """Band coords t → global k = (k0 + t) mod n as contiguous
+    (t, k, length) runs (static python ints)."""
+    runs = []
+    t = 0
+    while t < bandlen:
+        k = (k0 + t) % n
+        ln = min(bandlen - t, n - k)
+        runs.append((t, k, ln))
+        t += ln
+    return runs
+
+
+def _extract_zband(grid, S, Sband, nb: int, n: int, bz0: int, nbz: int):
+    """(n,n,n) → (L, nbz·nb²) LOCAL-MAJOR mini-grids for the z-major block
+    chunk bz ∈ [bz0, bz0+nbz) — einsums touch only the grid's z band
+    (2·nbz+2 cells), bounding chunk memory at ~1/nchunks."""
+    bandlen = B * nbz + 2
+    runs = _band_runs(n, B * bz0 - 1, bandlen)
+    parts = [
+        jax.lax.slice_in_dim(grid, k, k + ln, axis=2) for (_, k, ln) in runs
+    ]
+    gband = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+    t1 = jnp.einsum("zct,ijt->zcij", Sband, gband)
+    t2 = jnp.einsum("ybj,zcij->ybzci", S, t1)
+    t3 = jnp.einsum("xai,ybzci->xyzcba", S, t2)
+    return t3.reshape(L, nbz * nb * nb)
+
+
+def _assemble_zband(grid, local, S, Sband, nb: int, n: int, bz0: int,
+                    nbz: int):
+    """Adjoint of _extract_zband: overlap-add (L, nbz·nb²) chunk
+    mini-grids into the global grid's z band."""
+    bandlen = B * nbz + 2
+    x = local.reshape(LDIM, LDIM, LDIM, nbz, nb, nb)
+    u = jnp.einsum("zct,xyzcba->txyba", Sband, x)
+    u = jnp.einsum("ybj,txyba->jtxa", S, u)
+    u = jnp.einsum("xai,jtxa->ijt", S, u)  # (n, n, bandlen)
+    for (t, k, ln) in _band_runs(n, B * bz0 - 1, bandlen):
+        grid = grid.at[:, :, k : k + ln].add(
+            jax.lax.slice_in_dim(u, t, t + ln, axis=2)
+        )
+    return grid
+
+
 def _assemble_global_T(local, nb: int, n: int):
     """(L, C[p]) LOCAL-MAJOR mini-grids → (n,n,n) global with periodic
     overlap-add: grid[ijk] = Σ S[x,a,i]·S[y,b,j]·S[z,c,k]·local[xyz,abc]

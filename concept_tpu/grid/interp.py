@@ -46,62 +46,59 @@ def _offsets_and_weights(u, order: int):
 
     u: (N,) particle coordinate in units of cell width (cell-centered:
     u = pos/h - 0.5 so that u=integer means 'at grid point').
-    Returns (idx, w): idx (N, order) int32 cell indices (unwrapped),
-    w (N, order) weights summing to 1.
+    Returns (idx, w): LISTS of ``order`` (N,) arrays — int32 cell indices
+    (unwrapped) and weights summing to 1.  Lists of flat arrays, not
+    stacked (N, order): a trailing length-2..4 axis is tile-padded up to
+    64× by the TPU (8,128) layout, which is fatal at large N.
     """
     if order == 1:  # NGP
         i0 = jnp.round(u).astype(jnp.int32)
-        return i0[:, None], jnp.ones_like(u)[:, None]
+        return [i0], [jnp.ones_like(u)]
     if order == 2:  # CIC
         i0 = jnp.floor(u).astype(jnp.int32)
         f = u - i0
-        idx = jnp.stack([i0, i0 + 1], axis=1)
-        w = jnp.stack([1 - f, f], axis=1)
-        return idx, w
+        return [i0, i0 + 1], [1 - f, f]
     if order == 3:  # TSC
         i0 = jnp.round(u).astype(jnp.int32)
         f = u - i0  # in [-1/2, 1/2]
-        idx = jnp.stack([i0 - 1, i0, i0 + 1], axis=1)
         w_m = 0.5 * (0.5 - f) ** 2
         w_0 = 0.75 - f**2
         w_p = 0.5 * (0.5 + f) ** 2
-        return idx, jnp.stack([w_m, w_0, w_p], axis=1)
+        return [i0 - 1, i0, i0 + 1], [w_m, w_0, w_p]
     if order == 4:  # PCS
         i0 = jnp.floor(u).astype(jnp.int32)
         f = u - i0  # in [0, 1)
-        idx = jnp.stack([i0 - 1, i0, i0 + 1, i0 + 2], axis=1)
         # distances: 1+f, f, 1-f, 2-f
         w0 = (1 - f) ** 3 / 6  # at distance 1+f: (2-(1+f))³/6
         w1 = (4 - 6 * f**2 + 3 * f**3) / 6
         w2 = (4 - 6 * (1 - f) ** 2 + 3 * (1 - f) ** 3) / 6
         w3 = f**3 / 6
-        return idx, jnp.stack([w0, w1, w2, w3], axis=1)
+        return [i0 - 1, i0, i0 + 1, i0 + 2], [w0, w1, w2, w3]
     raise ValueError(f"interpolation order {order} not in 1-4")
 
 
 def _corner_indices_weights(pos, gridsize: int, boxsize: float, order: int):
     """Flattened periodic grid indices and weights for all order³ corners.
 
-    Returns (flat_idx, w): (N, order³) int32 and weights.
-    """
+    Returns (flat_idx, w): (order³·N,) int32 and weights, corner-major
+    (corner c's entries at [c·N, (c+1)·N)) — pure 1D concatenation, no
+    small trailing axes (see _offsets_and_weights)."""
     n = gridsize
     h = boxsize / n
     u = pos / h - 0.5  # cell-centered
     ix, wx = _offsets_and_weights(u[:, 0], order)
     iy, wy = _offsets_and_weights(u[:, 1], order)
     iz, wz = _offsets_and_weights(u[:, 2], order)
-    ix = jnp.mod(ix, n)
-    iy = jnp.mod(iy, n)
-    iz = jnp.mod(iz, n)
-    # Outer products via broadcasting: (N, o, 1, 1)*(N, 1, o, 1)*(N, 1, 1, o)
-    o = order
-    w = (
-        wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
-    ).reshape(-1, o * o * o)
-    flat = (
-        (ix[:, :, None, None] * n + iy[:, None, :, None]) * n + iz[:, None, None, :]
-    ).reshape(-1, o * o * o)
-    return flat, w
+    ix = [jnp.mod(i, n) for i in ix]
+    iy = [jnp.mod(i, n) for i in iy]
+    iz = [jnp.mod(i, n) for i in iz]
+    flats, ws = [], []
+    for a in range(order):
+        for b in range(order):
+            for c in range(order):
+                flats.append((ix[a] * n + iy[b]) * n + iz[c])
+                ws.append(wx[a] * wy[b] * wz[c])
+    return jnp.concatenate(flats), jnp.concatenate(ws)
 
 
 # Particles per compiled scatter/gather op.  The TPU compiler (and its
@@ -248,8 +245,7 @@ def _deposit_sorted(pos, q, gridsize: int, boxsize: float, order: int):
 def _deposit_chunk(grid_flat, pos, q, gridsize, boxsize, order, method):
     n = gridsize
     flat, w = _corner_indices_weights(pos, n, boxsize, order)
-    vals = (w * q[:, None]).reshape(-1)
-    flat = flat.reshape(-1)
+    vals = w * jnp.tile(q, order**3)
     if method == "sort":
         sort_idx = jnp.argsort(flat)
         flat = flat[sort_idx]
@@ -307,8 +303,8 @@ def deposit(pos, quantity, gridsize: int, boxsize: float, order=2, method: str =
 
 def _gather_chunk(grid_flat, pos, n, boxsize, order):
     flat, w = _corner_indices_weights(pos, n, boxsize, order)
-    vals = grid_flat[flat]
-    return jnp.sum(vals * w, axis=1)
+    vals = grid_flat[flat] * w  # (order³·N,) corner-major
+    return jnp.sum(vals.reshape(order**3, -1), axis=0)
 
 
 @partial(jax.jit, static_argnames=("order",))

@@ -1,6 +1,7 @@
+import sys; sys.path.insert(0, "/root/repo")
 import os, time, json
 import jax
-_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_cache = "/root/repo/.jax_cache"
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
@@ -28,7 +29,7 @@ pos_np = make_pos()
 pos = tuple(jnp.asarray(np.ascontiguousarray(pos_np[:, d])) for d in range(3))
 mom = tuple(jnp.zeros((N,), jnp.float32) for _ in range(3))
 del pos_np
-sim = BucketSimulation(n, box, 2.0, 1.0, capacity=12)
+sim = BucketSimulation(n, box, 2.0, 1.0, capacity=8)
 t0 = time.time()
 state = sim.init_state(pos, mom)
 nv = int(jnp.sum(state.valid))

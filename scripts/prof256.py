@@ -1,6 +1,7 @@
+import sys; sys.path.insert(0, "/root/repo")
 import os, time
 import jax
-_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_cache = "/root/repo/.jax_cache"
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp

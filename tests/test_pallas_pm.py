@@ -75,3 +75,36 @@ def test_pm_pallas_path_matches_plain():
     np.testing.assert_allclose(
         np.asarray(d_pallas) / scale, np.asarray(d_plain) / scale, atol=1e-5
     )
+
+
+def test_pos_kernels_chunked_match_unchunked():
+    """z-chunked deposit/gather (the 512³ memory path) must agree exactly
+    with the single-chunk path."""
+    import numpy as np
+    from concept_tpu.bucketsim import bucketize_state
+    from concept_tpu.grid.pallas_pm import (
+        deposit_pallas_pos, gather_pallas_pos,
+    )
+
+    n, box = 16, 32.0
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.uniform(0, box, (2000, 3)).astype(np.float32))
+    mom = jnp.zeros_like(pos)
+    st = bucketize_state(pos, mom, n, box, capacity=24)
+    w = st.valid.astype(jnp.float32) * 1.5
+    args = (st.pos[0], st.pos[1], st.pos[2])
+    g1 = deposit_pallas_pos(*args, w, n, box, nchunks=1, interpret=True)
+    g2 = deposit_pallas_pos(*args, w, n, box, nchunks=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
+    assert np.isclose(float(jnp.sum(g1)), 1.5 * 2000, rtol=1e-5)
+    grids = tuple(
+        jnp.asarray(rng.standard_normal((n, n, n)).astype(np.float32))
+        for _ in range(3)
+    )
+    v = st.valid.astype(jnp.float32)
+    f1 = gather_pallas_pos(*args, v, grids, n, box, nchunks=1, interpret=True)
+    f2 = gather_pallas_pos(*args, v, grids, n, box, nchunks=4, interpret=True)
+    for d in range(3):
+        np.testing.assert_allclose(
+            np.asarray(f2[d]), np.asarray(f1[d]), atol=1e-5
+        )
