@@ -302,7 +302,32 @@ class BucketSimulation:
 
     def init_state(self, pos, mom) -> BucketState:
         self._N = pos[0].shape[0] if isinstance(pos, (tuple, list)) else pos.shape[0]
-        return bucketize_state(pos, mom, self.n, self.boxsize, self.capacity)
+        return self._bucketize_checked(pos, mom)
+
+    def _bucketize_checked(self, pos, mom) -> BucketState:
+        """Bucketize, growing capacity until no particle is dropped.
+
+        bucketize_state donates its inputs, so keep host copies for the
+        retry.  Capacity overflow must never silently lose particles
+        (the reference Tiling never does, species.py:438-850)."""
+        if isinstance(pos, (tuple, list)):
+            pos_h = [np.asarray(p) for p in pos]
+            mom_h = [np.asarray(m) for m in mom]
+        else:
+            p = np.asarray(pos)
+            m = np.asarray(mom)
+            pos_h = [np.ascontiguousarray(p[:, d]) for d in range(3)]
+            mom_h = [np.ascontiguousarray(m[:, d]) for d in range(3)]
+        while True:
+            state = bucketize_state(
+                tuple(jnp.asarray(p) for p in pos_h),
+                tuple(jnp.asarray(m) for m in mom_h),
+                self.n, self.boxsize, self.capacity,
+            )
+            kept = int(jnp.sum(state.valid))
+            if kept == self._N:
+                return state
+            self.capacity = max(self.capacity * 2, 8)
 
     def step(self, state: BucketState, int_a1: float, int_a2: float):
         # straggler buffer: drift ≤ fac_pm·cell/step bounds block-crossers
@@ -362,8 +387,7 @@ class BucketSimulation:
     def maybe_rebucket(self, state: BucketState) -> BucketState:
         pos, mom = flatten_state(state)
         dt = state.pos.dtype
-        return bucketize_state(
-            tuple(jnp.asarray(np.ascontiguousarray(pos[:, d]), dt) for d in range(3)),
-            tuple(jnp.asarray(np.ascontiguousarray(mom[:, d]), dt) for d in range(3)),
-            self.n, self.boxsize, self.capacity,
+        return self._bucketize_checked(
+            tuple(np.ascontiguousarray(pos[:, d]).astype(dt) for d in range(3)),
+            tuple(np.ascontiguousarray(mom[:, d]).astype(dt) for d in range(3)),
         )

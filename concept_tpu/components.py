@@ -82,6 +82,47 @@ class ComponentSpec:
         return None
 
 
+class EquationOfState:
+    """w(a) and w_eff(a) for one component — constant or splined.
+
+    TPU counterpart of the reference's per-component w/w_eff splines
+    (species.py:2940-3526, built there from CLASS or select_eos_w).
+    Here the splines come from exact background thermodynamics
+    (cosmology/neutrino.NeutrinoBackground) or user callables; host
+    evaluation for step integrals, traced evaluation for in-step factors.
+    """
+
+    def __init__(self, w=0.0, w_spline=None, weff_spline=None):
+        self._w_const = float(w)
+        self._w_spline = w_spline
+        self._weff_spline = weff_spline
+
+    @classmethod
+    def constant(cls, w: float) -> "EquationOfState":
+        return cls(w=w)
+
+    @classmethod
+    def from_neutrino(cls, nubg) -> "EquationOfState":
+        """From a cosmology.neutrino.NeutrinoBackground (exact
+        Fermi-Dirac w(a), w_eff(a))."""
+        return cls(w_spline=nubg._w_spline, weff_spline=nubg._weff_spline)
+
+    @property
+    def is_constant(self) -> bool:
+        return self._w_spline is None
+
+    def w_np(self, a) -> float:
+        if self._w_spline is None:
+            return self._w_const
+        return float(self._w_spline.eval_np(a))
+
+    def w_eff_np(self, a) -> float:
+        spl = self._weff_spline or self._w_spline
+        if spl is None:
+            return self._w_const
+        return float(spl.eval_np(a))
+
+
 # Species registry: name → (class of species, default representation).
 # Mirrors reference linear.py:3517-3595.
 SPECIES = {

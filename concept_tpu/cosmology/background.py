@@ -83,6 +83,22 @@ class Background:
             self.Omega_r / a**4 + self.Omega_m / a**3 + self.Omega_lambda
         )
 
+    def adot_np(self, a):
+        """ȧ = a·H(a) (NumPy)."""
+        a = np.asarray(a, dtype=np.float64)
+        return a * self.hubble_np(a)
+
+    def addot_np(self, a):
+        """ä = a·H0²·[Ω_Λ − Ω_m/(2a³) − Ω_r/a⁴] (Friedmann acceleration,
+        reference integration.py ä; used by the N-body gauge θ transform,
+        reference linear.py:2826-2834)."""
+        if not self.enable_Hubble:
+            return np.zeros_like(np.asarray(a, dtype=np.float64))
+        a = np.asarray(a, dtype=np.float64)
+        return a * self.H0**2 * (
+            self.Omega_lambda - 0.5 * self.Omega_m / a**3 - self.Omega_r / a**4
+        )
+
     def hubble(self, a):
         """H(a) (JAX)."""
         if not self.enable_Hubble:
@@ -310,6 +326,17 @@ class Background:
         tq = mid + half * _GL_NODES
         aq = self.a_of_t_np(tq)
         return float(half * np.sum(_GL_WEIGHTS * aq**p))
+
+    def integral_custom_np(self, t1, t2, fn) -> float:
+        """∫ fn(a(t)) dt (host float64) for arbitrary integrands — covers
+        the reference's w_eff(a)-dependent keys ('a**(3*w_eff-2)',
+        'a**(-3*w_eff)', 'a**(-3*w_eff)*Γ/H', main.py:1002-1025) with a(a)
+        splines inside the integrand."""
+        half = (t2 - t1) / 2
+        mid = (t2 + t1) / 2
+        tq = mid + half * _GL_NODES
+        aq = self.a_of_t_np(tq) if self.enable_Hubble else np.ones_like(tq)
+        return float(half * np.sum(_GL_WEIGHTS * np.asarray(fn(aq), np.float64)))
 
     def integrals_np(self, t1, t2, keys=("1", "a**2", "a**(-1)", "a**(-2)", "ȧ/a")):
         """Host-side float64 variant of :meth:`integrals`."""

@@ -63,5 +63,57 @@ class ClassBridge:
         't_tot', ...)."""
         return self._cosmo.get_transfer(z=z)
 
+    def h(self) -> float:
+        return self._cosmo.h()
+
     def sigma8(self) -> float:
         return self._cosmo.sigma8()
+
+    # ------------------------------------------------------------------ #
+    def build_tables(self, lin_norm, a=None, species_map=None):
+        """TransferTables from this CLASS run, disk-cached like the
+        reference's .reusable/class store (commons.py:5593
+        get_reusable_filename; cache key = the class params hash)."""
+        import os
+        import numpy as np
+        from concept_tpu.cosmology.boltzmann import (
+            TransferTables, tabulate_class,
+        )
+
+        cache = self._cache_file + ".npz"
+        if os.path.exists(cache):
+            return load_tables(cache)
+        tables = tabulate_class(self, lin_norm, a=a, species_map=species_map)
+        save_tables(tables, cache)
+        return tables
+
+
+def save_tables(tables, path: str) -> None:
+    """Serialize a TransferTables to .npz (the disk-cache format)."""
+    import numpy as np
+
+    payload = {"k": tables.k, "a": tables.a, "gauge": np.str_(tables.gauge)}
+    for (species, var), tab in tables.tables.items():
+        payload[f"tab::{species}::{var}"] = tab
+    for name, tab in tables.aux.items():
+        payload[f"aux::{name}"] = tab
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **payload)
+
+
+def load_tables(path: str):
+    import numpy as np
+    from concept_tpu.cosmology.boltzmann import TransferTables
+
+    z = np.load(path, allow_pickle=False)
+    tables, aux = {}, {}
+    for key in z.files:
+        if key.startswith("tab::"):
+            _, species, var = key.split("::")
+            tables[(species, var)] = z[key]
+        elif key.startswith("aux::"):
+            aux[key.split("::", 1)[1]] = z[key]
+    return TransferTables(k=z["k"], a=z["a"], tables=tables, aux=aux,
+                          gauge=str(z["gauge"]))

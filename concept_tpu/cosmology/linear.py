@@ -29,6 +29,18 @@ from concept_tpu.cosmology.primordial import PrimordialSpectrum
 from concept_tpu.cosmology.transfer import make_transfer
 
 
+def _species_key(species: str) -> str:
+    """Canonical species name for table lookup (reference species registry
+    linear.py:3517-3595 canonical names, reduced to what the tables use)."""
+    return {
+        "m": "matter", "cbnu": "matter", "matter": "matter",
+        "cb": "cb", "cdm+baryon": "cb",
+        "neutrino": "nu", "massive neutrino": "nu", "nu": "nu",
+        "b": "b", "baryon": "b", "cdm": "cdm",
+        "photon": "photon", "g": "photon", "ur": "ur",
+    }.get(species, species)
+
+
 class LinearCosmology:
     def __init__(
         self,
@@ -41,6 +53,7 @@ class LinearCosmology:
         transfer_kind: str = "eisenstein_hu",
         Omega_nu: float = 0.0,
         N_nu: int = 3,
+        tables=None,
     ):
         self.bg = bg
         self.primordial = primordial
@@ -51,6 +64,11 @@ class LinearCosmology:
         self.light_speed = float(light_speed)
         self.Mpc = float(Mpc)
         self.transfer_kind = transfer_kind
+        # Optional tabulated Boltzmann backend (cosmology/boltzmann.py):
+        # when set, δ/θ evaluations interpolate the tables (CLASS-backed
+        # or EH-tabulated) instead of the analytic formulas — the
+        # reference's TransferFunction spline role (linear.py:1481).
+        self.tables = tables
         if self.Omega_nu > 0:
             from concept_tpu.cosmology.transfer import EisensteinHuNuTransfer
 
@@ -93,6 +111,10 @@ class LinearCosmology:
         (transfer.EisensteinHuNuTransfer).
         """
         k = jnp.asarray(k)
+        if self.tables is not None:
+            key = _species_key(species)
+            if self.tables.has(key, "delta"):
+                return self.tables.interp(key, "delta", k, a)
         c = self.light_speed
         D_md = self.bg.growth("D1", a) * self.bg.D_md_today
         base = (
@@ -101,6 +123,8 @@ class LinearCosmology:
             * self.transfer_T(k)
             * D_md
         )
+        if species in ("radiation", "photon", "ur"):
+            return self._transfer_radiation(k, a, base)
         if self._transfer_nu is None or species == "matter" and self.Omega_nu == 0:
             return base
         tnu = self._transfer_nu
@@ -115,10 +139,29 @@ class LinearCosmology:
             return (d_m - f_cb * d_cb) / f_nu
         raise ValueError(f"unknown species {species!r}")
 
-    def transfer_theta(self, k, a):
-        """θ(k,a) per unit ζ: θ = -a H f1 δ (linear continuity equation)."""
+    def _transfer_radiation(self, k, a, delta_m):
+        """Radiation δ in the matter era: (4/3)δ_m on super-horizon scales,
+        suppressed inside the horizon (free-streaming/oscillation damping).
+
+        APPROXIMATION: a Lorentzian² horizon cut at k_H = aH/c stands in
+        for the Boltzmann-hierarchy result; CLASS-backed tables replace it
+        when installed (the reference always gets δ_γ from CLASS,
+        linear.py:3517-3595 — there is no analytic fit in the reference
+        either).  Adequate for the GR-correction role of the linear
+        radiation component (corrections are O((k_H/k)²) themselves)."""
+        k_H = jnp.asarray(a) * self.bg.hubble(a) / self.light_speed
+        x2 = (k / k_H) ** 2
+        return (4.0 / 3.0) * delta_m / (1.0 + x2) ** 2
+
+    def transfer_theta(self, k, a, species: str = "matter"):
+        """θ(k,a) per unit ζ.  Tabulated when tables are installed;
+        otherwise the linear continuity closure θ = -a H f1 δ."""
+        if self.tables is not None:
+            key = _species_key(species)
+            if self.tables.has(key, "theta"):
+                return self.tables.interp(key, "theta", jnp.asarray(k), a)
         aHf = jnp.asarray(a) * self.bg.hubble(a) * self.bg.growth("f1", a)
-        return -aHf * self.transfer_delta(k, a)
+        return -aHf * self.transfer_delta(k, a, species)
 
     def power_delta(self, k, a, species: str = "matter"):
         """Linear power spectrum P(k, a) (internal units³)."""

@@ -1,0 +1,231 @@
+"""Pallas TPU kernel for the P³M short-range pair sweep.
+
+The XLA formulation (shortrange._sweep) is correct and O(C·K) in memory,
+but its inner scan re-reads every neighbor-slot array per own-slot
+iteration — ~4 TB of HBM traffic at 256³ (measured 5.1 s on v5e).  This
+kernel keeps the cell columns VMEM-resident:
+
+  * layout: slot-major (K, n, n, n) position components (z-major cell
+    ids, matching shortrange.bucketize), halo-padded to (K, n+2, n+2, n)
+    along the two leading cell axes with periodic wrap pre-applied
+    (wrapped copies carry ±box on their own coordinate), so the kernel
+    needs no wrap arithmetic;
+  * invalid slots carry a FAR sentinel position instead of a mask — the
+    r² < cutoff² cut eliminates them for free (one less input stream);
+  * grid = (n, n) over (ci, cj): each program owns one full z-pencil
+    (K, n) per component and reads its 8 neighbor pencils as aliased
+    inputs of the same array with shifted index maps — every pencil is
+    read 9×3 times total (~3 GB at 256³ vs the XLA sweep's ~4 TB);
+  * the z direction (±1 cell) is handled in-VMEM by static rolls with a
+    ±box correction column at the wrap;
+  * the screening factor S(x) = erfc(x/2) + x/√π·e^(−x²/4) (reference
+    gravity.py:373 get_shortrange_table) is evaluated as a Chebyshev fit
+    in x² — the reference tabulates for the same reason (transcendentals
+    in the pair loop); a table is a gather on TPU, a polynomial is FMAs.
+
+Reference semantics: interactions.py:1353-1984 (particle_particle) +
+gravity.py:263-373, with the tile→pencil mapping described in
+forces/shortrange.py.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+
+# --------------------------------------------------------------------- #
+# Chebyshev fit of the screening S(x), x = r/scale ∈ [0, 4.5+ε].
+# S is entire in x (spectral convergence); in u = x² it has a u^{3/2}
+# cusp at 0 which kills polynomial accuracy.
+# --------------------------------------------------------------------- #
+_X_MAX = 4.6
+_CHEB_DEG = 12
+
+
+def _fit_screening(deg: int = _CHEB_DEG):
+    from math import erfc
+
+    x = np.linspace(0.0, _X_MAX, 4001)
+    S = np.asarray([erfc(0.5 * xi) for xi in x])
+    S = S + x / math.sqrt(math.pi) * np.exp(-0.25 * x * x)
+    t = 2 * x / _X_MAX - 1
+    coef = np.polynomial.chebyshev.chebfit(t, S, deg)
+    err = np.abs(np.polynomial.chebyshev.chebval(t, coef) - S).max()
+    assert err < 2e-6, err
+    return coef.astype(np.float32)
+
+
+_CHEB_COEF = _fit_screening()
+
+
+def screening_cheb(x):
+    """S(x) via the Chebyshev fit (Clenshaw, float32, jnp — usable inside
+    kernels and plain XLA).  x is clamped into the fitted range."""
+    t = jnp.clip(2.0 * x / _X_MAX - 1.0, -1.0, 1.0)
+    c = _CHEB_COEF
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    t2 = 2.0 * t
+    for k in range(len(c) - 1, 0, -1):
+        b1, b2 = t2 * b1 - b2 + c[k], b1
+    return t * b1 - b2 + c[0]
+
+
+# --------------------------------------------------------------------- #
+# Kernel
+# --------------------------------------------------------------------- #
+
+
+def _make_kernel(n: int, K: int, dtype):
+    def kernel(scal_ref, *refs):
+        # refs: 27 inputs (9 pencils × 3 components, each (1,1,K,n)),
+        # then 3 outputs (1,1,K,n).  Last-two block dims (K,n) equal the
+        # array dims (Mosaic tiling requirement); the cell axes lead.
+        ins, outs = refs[:27], refs[27:]
+        inv_scale = scal_ref[0]
+        cutoff2 = scal_ref[1]
+        soft2 = scal_ref[2]
+        boxsize = scal_ref[3]
+        own_ref_x, own_ref_y, own_ref_z = ins[4], ins[13], ins[22]
+
+        # z-wrap correction columns (static masks)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        wrap_hi = (col == n - 1).astype(dtype) * boxsize  # dk=+1: ck=n−1 ← ck=0
+        wrap_lo = (col == 0).astype(dtype) * (-boxsize)   # dk=−1: ck=0 ← ck=n−1
+
+        def shifted(arr, dk, is_z):
+            if dk == 0:
+                return arr
+            out = jnp.roll(arr, -dk, axis=1)
+            if is_z:
+                out = out + (wrap_hi if dk == 1 else wrap_lo)
+            return out
+
+        # 27 shifted neighbor variants, hoisted (VMEM ~81·K·n·4B ≈ 1.3 MB)
+        nbs = []
+        for p in range(9):
+            bx = ins[p][0, 0]
+            by = ins[9 + p][0, 0]
+            bz = ins[18 + p][0, 0]
+            for dk in (-1, 0, 1):
+                nbs.append((
+                    shifted(bx, dk, False)[None, :, :],  # (1, K, n)
+                    shifted(by, dk, False)[None, :, :],
+                    shifted(bz, dk, True)[None, :, :],
+                ))
+
+        # own slots in chunks of CH: (CH, K, n) pair blocks keep the VMEM
+        # stack bounded (a single (K, K, n) block per combo × 27 unrolled
+        # combos OOMed the 16 MB scoped vmem at K = 32, n = 91), while a
+        # per-slot loop (CH = 1) was issue-bound (3.5 s at 256³).
+        CH = 8 if K % 8 == 0 else 1
+        nchunk = K // CH
+
+        def body(c, _):
+            s = pl.multiple_of(c * CH, CH)
+            ox = own_ref_x[0, 0, pl.ds(s, CH), :][:, None, :]  # (CH, 1, n)
+            oy = own_ref_y[0, 0, pl.ds(s, CH), :][:, None, :]
+            oz = own_ref_z[0, 0, pl.ds(s, CH), :][:, None, :]
+            ax = jnp.zeros((CH, n), dtype)
+            ay = jnp.zeros((CH, n), dtype)
+            az = jnp.zeros((CH, n), dtype)
+            for nbx, nby, nbz in nbs:
+                dx = ox - nbx  # (CH, K, n)
+                dy = oy - nby
+                dz = oz - nbz
+                r2 = dx * dx + dy * dy + dz * dz
+                m = (r2 < cutoff2) & (r2 > 0)
+                r2s = r2 + soft2
+                inv_r = jax.lax.rsqrt(r2s)
+                S = screening_cheb(r2s * inv_r * inv_scale)  # x = r/scale
+                inv_r3 = inv_r * inv_r * inv_r
+                f = jnp.where(m, -S * inv_r3, 0.0)
+                ax = ax + jnp.sum(f * dx, axis=1)
+                ay = ay + jnp.sum(f * dy, axis=1)
+                az = az + jnp.sum(f * dz, axis=1)
+            outs[0][0, 0, pl.ds(s, CH), :] = ax
+            outs[1][0, 0, pl.ds(s, CH), :] = ay
+            outs[2][0, 0, pl.ds(s, CH), :] = az
+            return 0
+
+        jax.lax.fori_loop(0, nchunk, body, 0)
+
+    return kernel
+
+
+def _pad_halo(arr, axis_coord: int | None, boxsize):
+    """(n, n, K, n) → (n+2, n+2, K, n): periodic wrap copies along the two
+    leading cell axes; when axis_coord is 0 or 1, the wrapped copies of
+    that coordinate get ∓box (position continuity across the face)."""
+    lo1 = arr[-1:, :, :, :] + (-boxsize if axis_coord == 0 else 0.0)
+    hi1 = arr[:1, :, :, :] + (boxsize if axis_coord == 0 else 0.0)
+    arr = jnp.concatenate([lo1, arr, hi1], axis=0)
+    lo2 = arr[:, -1:, :, :] + (-boxsize if axis_coord == 1 else 0.0)
+    hi2 = arr[:, :1, :, :] + (boxsize if axis_coord == 1 else 0.0)
+    return jnp.concatenate([lo2, arr, hi2], axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_cells", "interpret"))
+def sweep_pallas(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff,
+                 softening, interpret: bool = False):
+    """Per-slot acceleration acc (3, K, C) from the padded pencil kernel.
+
+    Args are shortrange.bucketize outputs: (K, C) slot-major with z-major
+    flat cell ids, C = n_cells³.  Exact same contract as
+    shortrange._sweep (halve=True path), different engine.
+    """
+    n = n_cells
+    assert n >= 3, "pallas sweep needs n_cells ≥ 3 (no offset aliasing)"
+    K, C = valid.shape
+    dtype = hx.dtype
+    big = jnp.asarray(1e4, dtype) * boxsize
+    # sentinel for empty slots: far away on the body diagonal, unique-ish
+    # per slot row is unnecessary — coincident sentinels give r2 = 0 which
+    # the r2 > 0 cut removes, and sentinel-vs-real pairs fail the cutoff.
+    hx = jnp.where(valid, hx, big)
+    hy = jnp.where(valid, hy, big)
+    hz = jnp.where(valid, hz, big)
+
+    # (K, C) → (ci, cj, K, ck): cell axes lead so pencil blocks are
+    # (1, 1, K, n) with the last two dims equal to the array dims.
+    def to4(a):
+        return a.reshape(K, n, n, n).transpose(1, 2, 0, 3)
+
+    px = _pad_halo(to4(hx), 0, boxsize)
+    py = _pad_halo(to4(hy), 1, boxsize)
+    pz = _pad_halo(to4(hz), None, boxsize)
+    shape4 = (n, n, K, n)
+
+    scal = jnp.stack([
+        1.0 / jnp.asarray(scale, dtype),
+        jnp.asarray(cutoff, dtype) ** 2,
+        jnp.asarray(softening, dtype) ** 2,
+        jnp.asarray(boxsize, dtype),
+    ])
+
+    pencil = lambda di, dj: pl.BlockSpec(
+        (1, 1, K, n), lambda i, j, di=di, dj=dj: (i + 1 + di, j + 1 + dj, 0, 0)
+    )
+    in_specs = [pl.BlockSpec((4,), lambda i, j: (0,))]
+    offs = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    for _comp in range(3):
+        in_specs += [pencil(di, dj) for (di, dj) in offs]
+    out_spec = pl.BlockSpec((1, 1, K, n), lambda i, j: (i, j, 0, 0))
+
+    kernel = _make_kernel(n, K, dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n, n),
+        out_shape=[jax.ShapeDtypeStruct(shape4, dtype)] * 3,
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3,
+        interpret=interpret,
+    )(scal, *([px] * 9 + [py] * 9 + [pz] * 9))
+    return jnp.stack([o.transpose(2, 0, 1, 3).reshape(K, C) for o in outs])

@@ -8,15 +8,25 @@ The reference walks linked cell lists per (tile, neighbor-subtile, rung)
 with per-pair table lookups.  Data-dependent loops don't map to TPU, so
 the design here is:
 
-  1. bucketize: particles sorted by cell id (cells of width ≥ the
-     short-range cutoff), packed into a fixed-capacity (n_cells, K) index
-     array with masking — the analogue of Tiling.sort (species.py:2657).
-  2. pair sweep: for each of the 27 neighbor offsets, compute all K×K
-     interactions between home and neighbor buckets as dense vectorized
-     arithmetic (VPU-friendly; no gather/scatter in the inner loop), with
-     invalid slots masked.  Periodic wrap applied at the cell level, like
-     the reference's tile-level offsets (interactions.py:1353).
-  3. unsort: accumulated momentum updates are scattered back through the
+  1. bucketize into SLOT-MAJOR (K, C) arrays: one multi-operand sort by
+     cell id (cells of width ≥ the short-range cutoff) + slot scatters —
+     the analogue of Tiling.sort (species.py:2657).  Slot-major is the
+     layout the TPU (8, 128) tiling never pads (see bucketsim.py).
+  2. pair sweep, memory O(C·K): scan over the 13 lexicographically
+     positive neighbor offsets + the self cell (Newton's 3rd law — each
+     unordered cell pair visited once, reaction accumulated on the
+     neighbor side and rolled back, mirroring the reference's pair
+     halving at interactions.py:483-512).  The inner loop scans over the
+     K home slots, so the largest live temporary is (K, C) — never the
+     (C, K, K, 3) pair block of a dense sweep (which is ~TB at 256³).
+     Periodic wrap applied at the cell level via per-column box shifts
+     (no per-pair minimum image).
+  3. capacity overflow is EXACT, never silent: particles beyond the K-th
+     slot of a cell go through a fixed-size compacted straggler path
+     (pairwise vs the 27 neighbor buckets + all-pairs among themselves,
+     with reactions scattered back), gated behind lax.cond.  The
+     returned aux count lets hosts grow K (a static arg → re-jit).
+  4. unsort: per-slot momentum updates are gathered back through the
      sort permutation.
 
 The force law is the exact P³M Gaussian-split complement
@@ -36,45 +46,100 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def cell_grid_shape(boxsize: float, cutoff: float, max_cells: int = 64) -> int:
+def cell_grid_shape(boxsize: float, cutoff: float, max_cells: int = 512) -> int:
     """Cells per dimension: width ≥ cutoff (27-neighbor completeness)."""
     n = int(boxsize / cutoff)
     return max(1, min(n, max_cells))
 
 
-@partial(jax.jit, static_argnames=("n_cells", "capacity"))
-def bucketize(pos, boxsize: float, n_cells: int, capacity: int):
-    """Sort particles into (n_cells³, capacity) index buckets.
+def auto_capacity(N: int, n_cells: int, headroom: float = 1.3) -> int:
+    """Bucket capacity from the mean occupancy, rounded up to 8.
 
-    Returns (bucket_idx, bucket_count, order) where bucket_idx[c, j] is a
-    particle index (or N for empty slots), bucket_count[c] the occupancy
-    (clamped to capacity), order the cell-sorted particle permutation.
-    Overflowing particles (> capacity in one cell) are dropped from the
-    buckets — callers should size capacity generously and may check
-    jnp.max(counts) against capacity.
-    """
-    N = pos.shape[0]
+    Sized for near-uniform configurations; clustered states overflow into
+    the exact straggler path until the host grows the capacity (see
+    Simulation.evolve occupancy refresh)."""
+    mean = N / n_cells**3
+    return max(8, int(math.ceil(headroom * mean / 8)) * 8)
+
+
+# The 13 lexicographically positive offsets: together with the self cell
+# and Newton's-3rd-law reactions they cover all 27 neighbors exactly once.
+_HALF_OFFSETS = [
+    (0, 0, 1), (0, 1, -1), (0, 1, 0), (0, 1, 1),
+    (1, -1, -1), (1, -1, 0), (1, -1, 1),
+    (1, 0, -1), (1, 0, 0), (1, 0, 1),
+    (1, 1, -1), (1, 1, 0), (1, 1, 1),
+]
+_FULL_OFFSETS_27 = [
+    (i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
+]
+
+
+@partial(jax.jit, static_argnames=("n_cells",))
+def cell_counts(pos, boxsize, n_cells: int):
+    """Per-cell occupancy (C,) — the host-side capacity-sizing probe."""
     cw = boxsize / n_cells
     ijk = jnp.clip((pos / cw).astype(jnp.int32), 0, n_cells - 1)
     cell = (ijk[:, 0] * n_cells + ijk[:, 1]) * n_cells + ijk[:, 2]
-    order = jnp.argsort(cell)
-    cell_sorted = cell[order]
-    # rank within cell: position among same-cell predecessors
-    starts = jnp.searchsorted(cell_sorted, jnp.arange(n_cells**3), side="left")
-    rank = jnp.arange(N) - starts[cell_sorted]
+    return jax.ops.segment_sum(
+        jnp.ones((pos.shape[0],), jnp.int32), cell, num_segments=n_cells**3
+    )
+
+
+@partial(jax.jit, static_argnames=("n_cells", "capacity"))
+def bucketize(pos, boxsize, n_cells: int, capacity: int):
+    """Sort particles into slot-major (K, C) cell buckets.
+
+    Returns a dict:
+      hx, hy, hz : (K, C) position components (0 in empty slots)
+      valid      : (K, C) slot occupancy
+      order      : (N,) original particle index per sorted position
+      cell       : (N,) cell id in sorted order
+      rank       : (N,) within-cell rank in sorted order (≥ capacity ⇒
+                   the particle is NOT in the buckets: straggler)
+      counts     : (C,) cell occupancy (unclamped)
+    No particle is ever dropped: callers route rank ≥ capacity through
+    the exact straggler path (see shortrange_momentum_updates).
+    """
+    N = pos.shape[0]
+    dtype = pos.dtype
+    C = n_cells**3
+    K = capacity
+    cw = boxsize / n_cells
+    ijk = jnp.clip((pos / cw).astype(jnp.int32), 0, n_cells - 1)
+    cell = (ijk[:, 0] * n_cells + ijk[:, 1]) * n_cells + ijk[:, 2]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    cell_s, px, py, pz, order = jax.lax.sort(
+        [cell, pos[:, 0], pos[:, 1], pos[:, 2], iota], num_keys=1
+    )
+    starts = jnp.searchsorted(cell_s, jnp.arange(C, dtype=jnp.int32))
+    rank = iota - starts[cell_s]
     counts = jax.ops.segment_sum(
-        jnp.ones((N,), jnp.int32), cell_sorted, num_segments=n_cells**3,
+        jnp.ones((N,), jnp.int32), cell_s, num_segments=C,
         indices_are_sorted=True,
     )
-    valid = rank < capacity
-    slot = jnp.where(valid, cell_sorted * capacity + rank, n_cells**3 * capacity)
-    bucket = jnp.full((n_cells**3 * capacity + 1,), N, dtype=jnp.int32)
-    bucket = bucket.at[slot].set(order.astype(jnp.int32))
-    bucket = bucket[:-1].reshape(n_cells**3, capacity)
-    return bucket, counts, order
+    in_bucket = rank < K
+    slot = jnp.where(in_bucket, rank * C + cell_s, K * C)
+
+    def scat(vals, fill=0.0):
+        return (
+            jnp.full((K * C,), fill, vals.dtype)
+            .at[slot].set(vals, mode="drop", unique_indices=True)
+            .reshape(K, C)
+        )
+
+    hx, hy, hz = scat(px), scat(py), scat(pz)
+    valid = (
+        jnp.zeros((K * C,), bool)
+        .at[slot].set(True, mode="drop", unique_indices=True)
+        .reshape(K, C)
+    )
+    return dict(hx=hx, hy=hy, hz=hz, valid=valid, order=order,
+                cell=cell_s, rank=rank, counts=counts,
+                px=px, py=py, pz=pz)
 
 
-def shortrange_force_factor(r2, scale: float, softening2: float, dtype):
+def shortrange_force_factor(r2, scale, softening2, dtype):
     """−[erfc(x/2) + x/√π·e^(−x²/4)]/r³ with x = r/scale, Plummer-type
     softening r² → r² + ε² (reference uses spline softening,
     gravity.py:1847; Plummer is simpler and equivalent at these scales —
@@ -88,88 +153,228 @@ def shortrange_force_factor(r2, scale: float, softening2: float, dtype):
     return -fac / (r2s * r)
 
 
+def _cell_coords(n_cells: int):
+    ids = np.arange(n_cells**3)
+    ci = (ids // (n_cells * n_cells)).astype(np.int32)
+    cj = ((ids // n_cells) % n_cells).astype(np.int32)
+    ck = (ids % n_cells).astype(np.int32)
+    return ci, cj, ck
+
+
+def _sweep(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff2, soft2,
+           halve: bool):
+    """Slot-major pair sweep.  Returns per-slot acceleration acc (3, K, C).
+
+    halve=True: 13 half offsets + self cell with Newton's-3rd-law reaction
+    accumulation.  halve=False (n_cells < 3, where ±1 offsets alias): full
+    per-dimension offset list, own side only.
+    """
+    K, C = valid.shape
+    n = n_cells
+    dtype = hx.dtype
+    ci, cj, ck = _cell_coords(n)
+    ci = jnp.asarray(ci)
+    cj = jnp.asarray(cj)
+    ck = jnp.asarray(ck)
+    iotaK = jnp.arange(K)
+
+    if halve:
+        offs = [(0, 0, 0)] + _HALF_OFFSETS
+        self_flags = [True] + [False] * len(_HALF_OFFSETS)
+    else:
+        per_dim = {1: (0,), 2: (0, 1)}.get(n, (-1, 0, 1))
+        offs = [(i, j, k) for i in per_dim for j in per_dim for k in per_dim]
+        self_flags = [o == (0, 0, 0) for o in offs]
+    offsets = jnp.asarray(offs, jnp.int32)
+    flags = jnp.asarray(self_flags)
+
+    def one_offset(acc, xs):
+        off, is_self = xs
+        oi, oj, ok = off[0], off[1], off[2]
+
+        def nbr(arr):
+            return jnp.roll(
+                arr.reshape(K, n, n, n), shift=(-oi, -oj, -ok), axis=(1, 2, 3)
+            ).reshape(K, C)
+
+        # periodic wrap: neighbor cell crossing a box face sits ±box away
+        sx = ((ci + oi) // n).astype(dtype) * boxsize
+        sy = ((cj + oj) // n).astype(dtype) * boxsize
+        sz = ((ck + ok) // n).astype(dtype) * boxsize
+        nbx = nbr(hx) + sx[None]
+        nby = nbr(hy) + sy[None]
+        nbz = nbr(hz) + sz[None]
+        nbv = nbr(valid)
+
+        def inner(nbacc, i):
+            dx = hx[i][None] - nbx  # (K, C)
+            dy = hy[i][None] - nby
+            dz = hz[i][None] - nbz
+            r2 = dx * dx + dy * dy + dz * dz
+            m = valid[i][None] & nbv & (r2 < cutoff2) & (r2 > 0)
+            if halve:
+                # self cell: count each unordered pair once (j > i)
+                m = m & (~is_self | (iotaK > i)[:, None])
+            f = jnp.where(m, shortrange_force_factor(r2, scale, soft2, dtype), 0.0)
+            fx, fy, fz = f * dx, f * dy, f * dz
+            own = jnp.stack([fx.sum(0), fy.sum(0), fz.sum(0)])  # (3, C)
+            if halve:
+                nbacc = nbacc - jnp.stack([fx, fy, fz])
+            return nbacc, own
+
+        nbacc0 = jnp.zeros((3, K, C), dtype) if halve else jnp.zeros((), dtype)
+        nbacc, own = jax.lax.scan(inner, nbacc0, jnp.arange(K))
+        acc = acc + jnp.transpose(own, (1, 0, 2))  # (K,3,C) → (3,K,C)
+        if halve:
+            # reaction lives in the neighbor's frame: roll back to its cell
+            acc = acc + jnp.roll(
+                nbacc.reshape(3, K, n, n, n), shift=(oi, oj, ok), axis=(2, 3, 4)
+            ).reshape(3, K, C)
+        return acc, None
+
+    acc0 = jnp.zeros((3, K, C), dtype)
+    acc, _ = jax.lax.scan(one_offset, acc0, (offsets, flags))
+    return acc
+
+
 @partial(
     jax.jit,
-    static_argnames=("n_cells", "capacity", "apply_to_supplier"),
+    static_argnames=("n_cells", "capacity", "max_overflow", "return_overflow",
+                     "engine"),
 )
 def shortrange_momentum_updates(
     pos,
     mass,
-    boxsize: float,
-    scale: float,
-    cutoff: float,
+    boxsize,
+    scale,
+    cutoff,
     kick_integral,
     n_cells: int,
     capacity: int,
     softening: float = 0.0,
     G: float = 1.0,
-    apply_to_supplier: bool = True,
+    max_overflow: int = 2048,
+    return_overflow: bool = False,
+    engine: str = "auto",
 ):
     """Δmom from the P³M short-range force for a single self-interacting
-    particle group.  Returns (N,3).
+    particle group.  Returns (N,3), or ((N,3), n_overflow) with
+    return_overflow=True.
 
     kick_integral: ᔑ a^(−1) dt over the kick interval (matter).
+    Memory is O(C·K + N); capacity overflow is handled exactly through
+    the straggler path as long as the number of overflowing particles is
+    ≤ max_overflow — hosts should monitor n_overflow and grow capacity.
     """
     N = pos.shape[0]
     dtype = pos.dtype
-    bucket, counts, order = bucketize(pos, boxsize, n_cells, capacity)
-    # padded positions: index N → sentinel far away (masked anyway)
-    pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), dtype)], axis=0)
-    valid_pad = jnp.concatenate([jnp.ones((N,), bool), jnp.zeros((1,), bool)])
-    home_pos = pos_pad[bucket]  # (C, K, 3)
-    home_valid = valid_pad[bucket]  # (C, K)
+    n = n_cells
+    C = n**3
+    K = capacity
+    b = bucketize(pos, boxsize, n_cells, capacity)
+    hx, hy, hz, valid = b["hx"], b["hy"], b["hz"], b["valid"]
+    cutoff2 = jnp.asarray(cutoff, dtype) ** 2
+    soft2 = jnp.asarray(softening, dtype) ** 2
 
-    C = n_cells**3
-    cell_ids = np.arange(C)
-    ci = cell_ids // (n_cells * n_cells)
-    cj = (cell_ids // n_cells) % n_cells
-    ck = cell_ids % n_cells
+    if engine == "auto":
+        engine = "pallas" if (jax.default_backend() == "tpu" and n >= 3) else "xla"
+    if engine == "pallas":
+        from concept_tpu.forces.pallas_shortrange import sweep_pallas
 
-    cutoff2 = jnp.asarray(cutoff * cutoff, dtype)
-    soft2 = jnp.asarray(softening * softening, dtype)
-
-    def one_offset(carry, offset):
-        acc = carry
-        oi, oj, ok = offset[0], offset[1], offset[2]
-        ni = (jnp.asarray(ci) + oi) % n_cells
-        nj = (jnp.asarray(cj) + oj) % n_cells
-        nk = (jnp.asarray(ck) + ok) % n_cells
-        ncell = (ni * n_cells + nj) * n_cells + nk
-        nb_bucket = bucket[ncell]  # (C, K)
-        nb_pos = pos_pad[nb_bucket]  # (C, K, 3)
-        nb_valid = valid_pad[nb_bucket]
-        # pairwise displacements (C, K, K, 3): home_i − neighbor_j, with
-        # the periodic minimum image (cutoff ≤ cell width ≤ box/3 for
-        # n_cells ≥ 3, so the minimum image is exact within the cutoff;
-        # for n_cells < 3 it is required)
-        dx = home_pos[:, :, None, :] - nb_pos[:, None, :, :]
-        dx = dx - boxsize * jnp.round(dx / boxsize)
-        r2 = jnp.sum(dx * dx, axis=-1)
-        mask = (
-            home_valid[:, :, None]
-            & nb_valid[:, None, :]
-            & (r2 < cutoff2)
-            & (r2 > 0)
+        acc = sweep_pallas(
+            hx, hy, hz, valid, n_cells, jnp.asarray(boxsize, dtype),
+            jnp.asarray(scale, dtype), jnp.asarray(cutoff, dtype),
+            jnp.asarray(softening, dtype),
+            interpret=(jax.default_backend() != "tpu"),
         )
-        f = shortrange_force_factor(r2, scale, soft2, dtype)
-        f = jnp.where(mask, f, 0.0)
-        acc = acc + jnp.sum(f[..., None] * dx, axis=2)  # (C, K, 3)
-        return acc, None
+    else:
+        acc = _sweep(hx, hy, hz, valid, n_cells, jnp.asarray(boxsize, dtype),
+                     jnp.asarray(scale, dtype), cutoff2, soft2, halve=(n >= 3))
 
-    # Per-dimension neighbor offsets: each (home, neighbor) cell pair must
-    # be visited exactly once per direction — for n_cells < 3 the ±1
-    # offsets would alias to the same cell (double counting), so shrink.
-    per_dim = {1: (0,), 2: (0, 1)}.get(n_cells, (-1, 0, 1))
-    offsets = jnp.asarray(
-        [(i, j, k) for i in per_dim for j in per_dim for k in per_dim],
-        dtype=jnp.int32,
+    # ---- exact straggler path for capacity overflow -------------------- #
+    n_overflow = N - jnp.sum(valid)
+    S = max_overflow
+    ci, cj, ck = _cell_coords(n)
+    if n >= 3:
+        offs27 = np.asarray(_FULL_OFFSETS_27, np.int32)
+    else:
+        per_dim = {1: (0,), 2: (0, 1)}.get(n, (-1, 0, 1))
+        offs27 = np.asarray(
+            [(i, j, k) for i in per_dim for j in per_dim for k in per_dim],
+            np.int32,
+        )
+    n_off = offs27.shape[0]
+
+    def with_overflow(acc):
+        sidx = jnp.nonzero(b["rank"] >= K, size=S, fill_value=N)[0]
+        ok = sidx < N
+        safe = jnp.minimum(sidx, N - 1)
+        sx, sy, sz = b["px"][safe], b["py"][safe], b["pz"][safe]
+        scell = b["cell"][safe]
+        sci = scell // (n * n)
+        scj = (scell // n) % n
+        sck = scell % n
+        # neighbor cells of each straggler: (S, n_off)
+        oi = jnp.asarray(offs27[:, 0])[None]
+        oj = jnp.asarray(offs27[:, 1])[None]
+        okk = jnp.asarray(offs27[:, 2])[None]
+        nci, ncj, nck = sci[:, None] + oi, scj[:, None] + oj, sck[:, None] + okk
+        ncell = ((nci % n) * n + (ncj % n)) * n + (nck % n)
+        shx = (nci // n).astype(dtype) * boxsize
+        shy = (ncj // n).astype(dtype) * boxsize
+        shz = (nck // n).astype(dtype) * boxsize
+        # candidates: (K, S, n_off)
+        cx = hx[:, ncell] + shx[None]
+        cy = hy[:, ncell] + shy[None]
+        cz = hz[:, ncell] + shz[None]
+        cv = valid[:, ncell]
+        dx = sx[None, :, None] - cx
+        dy = sy[None, :, None] - cy
+        dz = sz[None, :, None] - cz
+        r2 = dx * dx + dy * dy + dz * dz
+        m = ok[None, :, None] & cv & (r2 < cutoff2) & (r2 > 0)
+        f = jnp.where(m, shortrange_force_factor(r2, scale, soft2, dtype), 0.0)
+        fx, fy, fz = f * dx, f * dy, f * dz
+        s_acc = jnp.stack([fx.sum((0, 2)), fy.sum((0, 2)), fz.sum((0, 2))], 1)
+        # reaction onto the bucketed side (scatter-add into slot layout)
+        tgt = jax.lax.broadcasted_iota(jnp.int32, (K, S, n_off), 0) * C + ncell[None]
+        tgt = jnp.where(m, tgt, K * C).reshape(-1)
+        accf = acc.reshape(3, K * C)
+        accf = jnp.stack([
+            accf[d].at[tgt].add((-jnp.stack([fx, fy, fz])[d]).reshape(-1),
+                                mode="drop")
+            for d in range(3)
+        ])
+        # straggler ↔ straggler all-pairs (minimum image; they are few)
+        dxs = sx[:, None] - sx[None, :]
+        dys = sy[:, None] - sy[None, :]
+        dzs = sz[:, None] - sz[None, :]
+        dxs = dxs - boxsize * jnp.round(dxs / boxsize)
+        dys = dys - boxsize * jnp.round(dys / boxsize)
+        dzs = dzs - boxsize * jnp.round(dzs / boxsize)
+        r2s = dxs * dxs + dys * dys + dzs * dzs
+        ms = ok[:, None] & ok[None, :] & (r2s < cutoff2) & (r2s > 0)
+        fs = jnp.where(ms, shortrange_force_factor(r2s, scale, soft2, dtype), 0.0)
+        s_acc = s_acc + jnp.stack(
+            [(fs * dxs).sum(1), (fs * dys).sum(1), (fs * dzs).sum(1)], 1
+        )
+        return accf.reshape(3, K, C), s_acc, sidx
+
+    def without_overflow(acc):
+        return (acc, jnp.zeros((S, 3), dtype), jnp.full((S,), N, jnp.int32))
+
+    acc, s_acc, s_sorted_idx = jax.lax.cond(
+        n_overflow > 0, with_overflow, without_overflow, acc
     )
-    acc0 = jnp.zeros((C, capacity, 3), dtype)
-    acc, _ = jax.lax.scan(one_offset, acc0, offsets)
 
-    # Δmom = G·m²·ᔑdt·acc, scattered back to particle order
+    # ---- gather per-particle updates back through the sort ------------- #
+    slot = jnp.where(b["rank"] < K, b["rank"] * C + b["cell"], 0)
+    accf = acc.reshape(3, K * C)
+    dmom_sorted = accf[:, slot].T  # (N, 3); overflow rows fixed up below
+    dmom_sorted = jnp.where((b["rank"] < K)[:, None], dmom_sorted, 0.0)
+    dmom_sorted = dmom_sorted.at[s_sorted_idx].set(s_acc, mode="drop")
     coef = G * mass * mass * kick_integral
-    dmom = jnp.zeros((N + 1, 3), dtype).at[bucket.reshape(-1)].add(
-        (coef * acc).reshape(-1, 3)
-    )
-    return dmom[:N]
+    dmom = jnp.zeros((N, 3), dtype).at[b["order"]].set(coef * dmom_sorted)
+    if return_overflow:
+        return dmom, n_overflow
+    return dmom

@@ -156,6 +156,11 @@ def _modewise_noise(gridsize: int, seed: int, dtype=jnp.float32):
     return R.astype(jnp.complex64 if dtype == jnp.float32 else jnp.complex128)
 
 
+def _tracing() -> bool:
+    """True when called inside a jit/vmap trace (then don't re-jit)."""
+    return isinstance(jnp.zeros(()), jax.core.Tracer)
+
+
 def _k_magnitude_grid(gridsize: int, boxsize: float, dtype=jnp.float32):
     k2 = fourier.k2_int_grid(gridsize).astype(dtype)
     return (2 * math.pi / boxsize) * jnp.sqrt(k2)
@@ -185,25 +190,31 @@ def realize_delta_slab(
     """
     n = gridsize
     V = boxsize**3
-    R = generate_primordial_noise(
-        n, seed, fixed_amplitude, phase_shift, dist, dtype, scheme
-    )
-    kmag = _k_magnitude_grid(n, boxsize, dtype)
-    kmag_safe = jnp.where(kmag > 0, kmag, 1.0)
-    if nongaussianity != 0.0:
-        # ζ → ζ + (3/5) f_NL ζ² (local type, on the Bardeen potential
-        # Φ = 3/5 ζ): build ζ(x), square, re-transform.
-        zeta_amp = lin.primordial.zeta_amplitude(kmag_safe) * math.sqrt(n**3 / V)
-        zeta_k = jnp.where(kmag > 0, R * zeta_amp, 0.0)
-        zeta_x = irfft3(zeta_k, n, dist)
-        fnl_term = (3.0 / 5.0) * nongaussianity * (zeta_x**2 - jnp.mean(zeta_x**2))
-        zeta_k = zeta_k + rfft3(fnl_term.astype(dtype), dist)
-        Tdelta = lin.transfer_delta(kmag_safe, a, species)
-        delta = jnp.where(kmag > 0, zeta_k * Tdelta, 0.0)
-        return delta
-    amp = lin.delta_amplitude(kmag_safe, a, species) * math.sqrt(n**3 / V)
-    delta = jnp.where(kmag > 0, R * amp, 0.0)
-    return delta
+
+    # One jitted program: eager per-op dispatch of complex arithmetic is
+    # not supported on all TPU runtimes (and is slow anyway).
+    def _core():
+        R = generate_primordial_noise(
+            n, seed, fixed_amplitude, phase_shift, dist, dtype, scheme
+        )
+        kmag = _k_magnitude_grid(n, boxsize, dtype)
+        kmag_safe = jnp.where(kmag > 0, kmag, 1.0)
+        if nongaussianity != 0.0:
+            # ζ → ζ + (3/5) f_NL ζ² (local type, on the Bardeen potential
+            # Φ = 3/5 ζ): build ζ(x), square, re-transform.
+            zeta_amp = lin.primordial.zeta_amplitude(kmag_safe) * math.sqrt(n**3 / V)
+            zeta_k = jnp.where(kmag > 0, R * zeta_amp, 0.0)
+            zeta_x = irfft3(zeta_k, n, dist)
+            fnl_term = (3.0 / 5.0) * nongaussianity * (zeta_x**2 - jnp.mean(zeta_x**2))
+            zeta_k = zeta_k + rfft3(fnl_term.astype(dtype), dist)
+            Tdelta = lin.transfer_delta(kmag_safe, a, species)
+            return jnp.where(kmag > 0, zeta_k * Tdelta, 0.0)
+        amp = lin.delta_amplitude(kmag_safe, a, species) * math.sqrt(n**3 / V)
+        return jnp.where(kmag > 0, R * amp, 0.0)
+
+    if _tracing():
+        return _core()  # already inside a trace
+    return jax.jit(_core)()
 
 
 def displacement_from_delta(delta_slab, gridsize: int, boxsize: float, dist=None):
@@ -272,63 +283,75 @@ def realize_particles(
         )
     H = lin.bg.hubble(a)
     f1 = lin.bg.growth("f1", a)
-    if delta_k is None:
-        delta_k = realize_delta_slab(
-            lin, gridsize, boxsize, a, seed, fixed_amplitude, phase_shift, dist,
-            dtype, nongaussianity, species, scheme,
-        )
-    kfac = 2 * math.pi / boxsize
-    k2 = fourier.k2_int_grid(gridsize).astype(dtype) * kfac**2
-    inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
-    psi_k = [
-        (1j * (fourier.k_int_vectors(gridsize)[d].astype(dtype) * kfac))
-        * inv_k2
-        * delta_k
-        for d in range(3)
-    ]
 
-    # Displacement and velocity-potential displacement (ψ̇  = H f ψ at 1LPT)
-    psi = jnp.stack([irfft3(pk, gridsize, dist) for pk in psi_k])
-    dpsi_dt = H * f1 * psi
+    # One jitted program (eager complex dispatch is unsupported on some
+    # TPU runtimes, and op-by-op realization is slow).
+    def _core(delta_k):
+        if delta_k is None:
+            delta_k = realize_delta_slab(
+                lin, gridsize, boxsize, a, seed, fixed_amplitude, phase_shift,
+                dist, dtype, nongaussianity, species, scheme,
+            )
+        kfac = 2 * math.pi / boxsize
+        k2 = fourier.k2_int_grid(gridsize).astype(dtype) * kfac**2
+        inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
+        psi_k = [
+            (1j * (fourier.k_int_vectors(gridsize)[d].astype(dtype) * kfac))
+            * inv_k2
+            * delta_k
+            for d in range(3)
+        ]
 
-    if lpt_order >= 2:
-        D1 = lin.bg.growth("D1", a)
-        D2 = lin.bg.growth("D2", a)
-        f2 = lin.bg.growth("f2", a)
-        S = lpt2_source(psi_k, gridsize, boxsize, dist)
-        S_k = rfft3(S.astype(dtype), dist)
-        # Ψ²(k) = +(D2/D1²)·ik/k²·S(k)  (so ∇·Ψ² = −(D2/D1²)S), with the
-        # reference growth convention D2 = +3/7 a² in EdS — equivalent to
-        # the standard 2LPT Ψ² = −(3/7)D1²∇φ⁽²⁾, ∇²φ⁽²⁾ = S₀.
-        # Validated non-circularly in tests/test_ic.py via the second-order
-        # PT kernel F2(k1⊥k2) = 5/7 on crossed plane waves.
-        fac2 = D2 / (D1 * D1)
-        for d in range(3):
-            kd = fourier.k_int_vectors(gridsize)[d].astype(dtype) * kfac
-            psi2_k = (1j * kd) * inv_k2 * (fac2 * S_k)
-            psi2 = irfft3(psi2_k, gridsize, dist)
-            psi = psi.at[d].add(psi2)
-            dpsi_dt = dpsi_dt.at[d].add(H * f2 * psi2)
-    if lpt_order >= 3:
-        raise NotImplementedError("3LPT planned (reference ic.py:1746-2058)")
+        # Displacement and velocity-potential displacement (ψ̇ = H f ψ at 1LPT)
+        psi = jnp.stack([irfft3(pk, gridsize, dist) for pk in psi_k])
+        dpsi_dt = H * f1 * psi
 
-    q = lattice_positions(gridsize, boxsize, lattice, dtype)
-    # ψ grids sampled at lattice sites: for 'sc' the lattice sites are the
-    # cell centers, i.e. exactly the grid sampling points.
-    disp = jnp.stack([psi[d].reshape(-1) for d in range(3)], axis=1)
-    vel = jnp.stack([dpsi_dt[d].reshape(-1) for d in range(3)], axis=1)
-    if lattice != "sc":
-        reps = n_per_lattice
-        # Sample displacement at shifted lattice copies by re-gathering:
-        from concept_tpu.grid.interp import gather
+        if lpt_order >= 2:
+            D1 = lin.bg.growth("D1", a)
+            D2 = lin.bg.growth("D2", a)
+            f2 = lin.bg.growth("f2", a)
+            S = lpt2_source(psi_k, gridsize, boxsize, dist)
+            S_k = rfft3(S.astype(dtype), dist)
+            # Ψ²(k) = +(D2/D1²)·ik/k²·S(k)  (so ∇·Ψ² = −(D2/D1²)S), with the
+            # reference growth convention D2 = +3/7 a² in EdS — equivalent to
+            # the standard 2LPT Ψ² = −(3/7)D1²∇φ⁽²⁾, ∇²φ⁽²⁾ = S₀.
+            # Validated non-circularly in tests/test_ic.py via the second-order
+            # PT kernel F2(k1⊥k2) = 5/7 on crossed plane waves.
+            fac2 = D2 / (D1 * D1)
+            for d in range(3):
+                kd = fourier.k_int_vectors(gridsize)[d].astype(dtype) * kfac
+                psi2_k = (1j * kd) * inv_k2 * (fac2 * S_k)
+                psi2 = irfft3(psi2_k, gridsize, dist)
+                psi = psi.at[d].add(psi2)
+                dpsi_dt = dpsi_dt.at[d].add(H * f2 * psi2)
+        if lpt_order >= 3:
+            raise NotImplementedError("3LPT planned (reference ic.py:1746-2058)")
 
-        disp = jnp.stack(
-            [gather(psi[d], q, boxsize, order=2) for d in range(3)], axis=1
-        )
-        vel = jnp.stack(
-            [gather(dpsi_dt[d], q, boxsize, order=2) for d in range(3)], axis=1
-        )
-    pos = jnp.mod(q + disp, boxsize)
-    mom = (a * a * spec.mass) * vel
+        q = lattice_positions(gridsize, boxsize, lattice, dtype)
+        # ψ grids sampled at lattice sites: for 'sc' the lattice sites are
+        # the cell centers, i.e. exactly the grid sampling points.
+        disp = jnp.stack([psi[d].reshape(-1) for d in range(3)], axis=1)
+        vel = jnp.stack([dpsi_dt[d].reshape(-1) for d in range(3)], axis=1)
+        if lattice != "sc":
+            # Sample displacement at shifted lattice copies by re-gathering:
+            from concept_tpu.grid.interp import gather
+
+            disp = jnp.stack(
+                [gather(psi[d], q, boxsize, order=2) for d in range(3)], axis=1
+            )
+            vel = jnp.stack(
+                [gather(dpsi_dt[d], q, boxsize, order=2) for d in range(3)],
+                axis=1,
+            )
+        pos = jnp.mod(q + disp, boxsize)
+        mom = (a * a * spec.mass) * vel
+        return pos, mom.astype(dtype)
+
+    if _tracing():
+        pos, mom = _core(delta_k)
+    elif delta_k is None:
+        pos, mom = jax.jit(lambda: _core(None))()
+    else:
+        pos, mom = jax.jit(_core)(delta_k)
     ids = jnp.arange(spec.N, dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32) if with_ids else None
-    return ParticleState(pos=pos, mom=mom.astype(dtype), ids=ids)
+    return ParticleState(pos=pos, mom=mom, ids=ids)

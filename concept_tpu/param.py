@@ -148,9 +148,13 @@ def load_params(
     override_text = "\n".join(overrides)
     param_name = os.path.splitext(os.path.basename(path))[0] if path else "params"
 
-    # pass 1: default units, h placeholder from default H0
+    # pass 1: default units, h placeholder from default H0.  Tolerant:
+    # parameter files may reference later-defined names (the reference
+    # execs files twice with prior names in scope, commons.py:1757-2045),
+    # so statements raising NameError are skipped on the first pass.
     units1 = UnitSystem()
-    raw = _exec_pass(text, override_text, units1, h=0.67, param_name=param_name, param_path=path)
+    raw = _exec_pass(text, override_text, units1, h=0.67,
+                     param_name=param_name, param_path=path, tolerant=True)
     # units from pass 1
     units2 = UnitSystem(
         str(raw.get("unit_length", "Mpc")),
@@ -159,15 +163,32 @@ def load_params(
     )
     H0_1 = raw.get("H0", 67 * units2.km / (units2.s * units2.Mpc))
     h_1 = H0_1 / (100 * units2.km / (units2.s * units2.Mpc))
-    # pass 2: correct h and units in scope
-    raw = _exec_pass(text, override_text, units2, h=h_1, param_name=param_name, param_path=path)
+    # pass 2: correct h/units in scope + pass-1 names preseeded (forward
+    # references like output_times = {...: [a_begin, 1]} now resolve)
+    raw = _exec_pass(text, override_text, units2, h=h_1,
+                     param_name=param_name, param_path=path, preseed=raw)
     return canonicalize(raw, units2, param_name, path)
 
 
-def _exec_pass(text, override_text, units, h, param_name, param_path):
+def _exec_pass(text, override_text, units, h, param_name, param_path,
+               tolerant=False, preseed=None):
+    import ast
+
     ns = _exec_namespace(units, h, param_name, param_path)
     base = set(ns)
-    exec(compile(text, param_path or "<params>", "exec"), ns)  # noqa: S102
+    if preseed:
+        ns.update(preseed)
+    filename = param_path or "<params>"
+    if tolerant:
+        tree = ast.parse(text, filename)
+        for node in tree.body:
+            mod = ast.Module(body=[node], type_ignores=[])
+            try:
+                exec(compile(mod, filename, "exec"), ns)  # noqa: S102
+            except NameError:
+                continue
+    else:
+        exec(compile(text, filename, "exec"), ns)  # noqa: S102
     if override_text:
         exec(compile(override_text, "<command-line>", "exec"), ns)  # noqa: S102
     return {k: v for k, v in ns.items() if k not in base and not k.startswith("_")}

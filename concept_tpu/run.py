@@ -28,7 +28,23 @@ from concept_tpu.utils.terminal import masterprint
 def build_cosmology(cfg: RunConfig):
     units = cfg.units or UnitSystem(cfg.unit_length, cfg.unit_time, cfg.unit_mass)
     c = units.constants()
-    bg = Background(H0=cfg.H0, Omega_m=cfg.Omega_m, enable_Hubble=cfg.enable_Hubble)
+    # massive neutrinos from class_params (reference cosmology passthrough,
+    # param/example_nonlinnu: N_ncdm/deg_ncdm/m_ncdm): exact Fermi-Dirac
+    # background (cosmology/neutrino.py) supplies Ω_ν and w(a)/w_eff(a)
+    nubg = None
+    Omega_nu = 0.0
+    cp = cfg.class_params or {}
+    if cp.get("N_ncdm"):
+        from concept_tpu.cosmology.neutrino import NeutrinoBackground
+
+        deg = int(cp.get("deg_ncdm", 1))
+        m_ncdm = float(cp.get("m_ncdm", 0.0))
+        nubg = NeutrinoBackground(m_nu_eV=m_ncdm, N_nu=deg)
+        km_per_s = c.light_speed / 299792.458
+        h = cfg.H0 / (100 * km_per_s / units.Mpc)
+        Omega_nu = nubg.omega_nu_h2() / h**2
+    bg = Background(H0=cfg.H0, Omega_m=cfg.Omega_m + Omega_nu,
+                    enable_Hubble=cfg.enable_Hubble)
     prim = PrimordialSpectrum(
         A_s=cfg.primordial["A_s"], n_s=cfg.primordial["n_s"],
         alpha_s=cfg.primordial.get("alpha_s", 0.0),
@@ -37,7 +53,9 @@ def build_cosmology(cfg: RunConfig):
     lin = LinearCosmology(
         bg, prim, Omega_b=cfg.Omega_b, Omega_cdm=cfg.Omega_cdm,
         light_speed=c.light_speed, Mpc=units.Mpc,
+        Omega_nu=Omega_nu, N_nu=int(cp.get("deg_ncdm", 3)) if nubg else 3,
     )
+    lin.nu_background = nubg
     return units, c, bg, lin
 
 
@@ -315,11 +333,36 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
         G=consts.G_Newton,
     )
     rho_crit = bg.rho_crit_of(consts.G_Newton)
-    sim = MultiSimulation(pspecs, fspecs, sim_config, bg, lin,
-                          light_speed=consts.light_speed)
     seed_val = seed if seed is not None else int(
         cfg.random_seeds.get("primordial amplitudes", 0)
     )
+    # per-fluid Ω, EoS splines (ν: exact Fermi-Dirac from build_cosmology),
+    # and noise seeds for continuous linear re-realization
+    km_per_s = consts.light_speed / 299792.458
+    h = cfg.H0 / (100 * km_per_s / units.Mpc)
+    Omega_r = 4.15e-5 / h**2  # photons + massless ν (T_CMB = 2.7255)
+    nubg = getattr(lin, "nu_background", None)
+    fluid_Omegas = {}
+    eos = {}
+    fluid_seeds = {}
+    for s in fspecs:
+        fluid_seeds[s.name] = seed_val
+        if "neutrino" in s.species and nubg is not None:
+            fluid_Omegas[s.name] = lin.Omega_nu
+            from concept_tpu.components import EquationOfState
+
+            eos[s.name] = EquationOfState.from_neutrino(nubg)
+        elif "radiation" in s.species or "photon" in s.species:
+            fluid_Omegas[s.name] = Omega_r
+            from concept_tpu.components import EquationOfState
+
+            eos[s.name] = EquationOfState.constant(1.0 / 3.0)
+        else:
+            fluid_Omegas[s.name] = cfg.Omega_m
+    sim = MultiSimulation(pspecs, fspecs, sim_config, bg, lin,
+                          light_speed=consts.light_speed,
+                          fluid_Omegas=fluid_Omegas, rho_crit=rho_crit,
+                          eos=eos, fluid_seeds=fluid_seeds)
     lpt = int(cfg.realization_options.get("lpt", 1))
 
     def realize_p(pspec, a_at):
@@ -334,12 +377,11 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
         return st
 
     def realize_f(fspec, a_at):
-        Omega = {
-            "matter": cfg.Omega_m, "neutrino": getattr(cfg, "Omega_nu", 0.0) or 0.01,
-        }.get(fspec.species, cfg.Omega_m)
+        Omega = fluid_Omegas[fspec.name]
         masterprint(f"Realizing fluid {fspec.name} (gridsize {fspec.gridsize}) at a = {a_at:.4g} ...")
         st = realize_fluid_from_linear(
             lin, fspec, cfg.boxsize, a_at, Omega * rho_crit, seed=seed_val,
+            eos=eos.get(fspec.name),
         )
         masterprint("done")
         return st

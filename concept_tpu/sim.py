@@ -104,16 +104,16 @@ class Simulation:
 
             self._ewald_table = make_ewald_table(config.ewald_gridsize)
         if config.method == "p3m":
-            from concept_tpu.forces.shortrange import cell_grid_shape
+            from concept_tpu.forces.shortrange import cell_grid_shape, auto_capacity
 
             scale, rng = config.derived_shortrange()
             self._sr_scale, self._sr_range = scale, rng
             self._sr_ncells = cell_grid_shape(config.boxsize, rng)
             cap = config.shortrange_capacity
             if cap == 0 and spec.N:
-                mean_per_cell = spec.N / self._sr_ncells**3
-                cap = max(16, int(8 * mean_per_cell))
+                cap = auto_capacity(spec.N, self._sr_ncells)
             self._sr_capacity = cap
+            self._sr_max_overflow = max(2048, (spec.N or 0) // 1024)
         # Donate the incoming state so XLA reuses pos/mom buffers in place
         # (the update is element-wise) — halves particle-array HBM footprint.
         self._step_jit = jax.jit(self._step, donate_argnums=0)
@@ -155,6 +155,7 @@ class Simulation:
                     self._sr_scale, self._sr_range, int_a1,
                     n_cells=self._sr_ncells, capacity=self._sr_capacity,
                     softening=cfg.softening, G=cfg.G,
+                    max_overflow=self._sr_max_overflow,
                 )
         elif method in ("pp", "ppnonperiodic"):
             from concept_tpu.forces.pp import pp_momentum_updates
@@ -190,6 +191,36 @@ class Simulation:
             jnp.asarray(int_a1, dtype=self.config.dtype),
             jnp.asarray(int_a2, dtype=self.config.dtype),
         )
+
+    # ------------------------------------------------------------------ #
+    def _refresh_shortrange_capacity(self, state, cap_max: int = 1024):
+        """Grow the short-range bucket capacity (and straggler budget) as
+        clustering raises cell occupancies — the TPU analogue of the
+        reference's runtime (sub)tile refinement (species.py:4170-4428).
+
+        Correctness never depends on this: overflow beyond capacity is
+        handled exactly by the straggler path as long as its fixed budget
+        holds; this keeps that budget comfortable (≤ half full)."""
+        from concept_tpu.forces.shortrange import cell_counts
+
+        counts = np.asarray(
+            cell_counts(state.pos, self.config.boxsize, self._sr_ncells)
+        )
+        changed = False
+        K = self._sr_capacity
+        budget = self._sr_max_overflow // 2
+        while K < cap_max and int(np.maximum(counts - K, 0).sum()) > budget:
+            K = int(math.ceil((K * 2) / 8) * 8)
+            changed = True
+        overflow = int(np.maximum(counts - K, 0).sum())
+        if overflow > budget:
+            self._sr_max_overflow = 2 * overflow + 1024
+            changed = True
+        if changed and K != self._sr_capacity:
+            self._sr_capacity = min(K, cap_max)
+        if changed:
+            # the jitted step closed over the old static sizes — retrace
+            self._step_jit = jax.jit(self._step, donate_argnums=0)
 
     # ------------------------------------------------------------------ #
     def timestep_size(self, a: float, v_max: float | None = None) -> float:
@@ -245,6 +276,7 @@ class Simulation:
         callback: Callable | None = None,
         max_steps: int = 100000,
         print_interval: int = 0,
+        dt_fac: float = 1.0,
     ):
         """Evolve from a_begin to a_end with leapfrog KDK.
 
@@ -266,7 +298,9 @@ class Simulation:
                 # (reference Δt re-evaluation cadence, main.py:2380)
                 v2 = jnp.max(jnp.sum(state.mom * state.mom, axis=1))
                 v_max = float(jnp.sqrt(v2)) / (a * self.spec.mass)
-            dt = self.timestep_size(a, v_max=v_max)
+                if self.config.method == "p3m":
+                    self._refresh_shortrange_capacity(state)
+            dt = self.timestep_size(a, v_max=v_max) * dt_fac
             dt = min(dt, t_end - t)
             # kick target: midpoint of upcoming drift (or t_end at last step)
             t_mid = min(t + 0.5 * dt, t_end)

@@ -51,7 +51,11 @@ class MultiSimulation:
         light_speed: float = 1.0,
         fluid_Omegas: dict | None = None,
         rho_crit: float | None = None,
+        eos: dict | None = None,
+        fluid_seeds: dict | None = None,
     ):
+        from concept_tpu.components import EquationOfState
+
         if particle_specs is None:
             particle_specs = []
         elif isinstance(particle_specs, ComponentSpec):
@@ -64,12 +68,21 @@ class MultiSimulation:
         self.light_speed = light_speed
         self.fluid_Omegas = fluid_Omegas or {}
         self.rho_crit = rho_crit
+        # per-component equation of state: splined w(a)/w_eff(a) (e.g.
+        # exact Fermi-Dirac for ν) or the spec's constant w (reference
+        # w/w_eff splines, species.py:2940-3526)
+        self.eos = {
+            name: (eos or {}).get(name) or EquationOfState.constant(s.w)
+            for name, s in self.fspecs.items()
+        }
+        self._fluid_seeds = fluid_seeds or {}
         self._step_jit = jax.jit(self._step)
 
     # ------------------------------------------------------------------ #
-    def _density_slab(self, state: MultiState, a):
-        """Combined source slab Σ_s a^{−3w_s}ϱ_s(k) (the a^{−1} of the
-        Poisson factor lives in the kick integral)."""
+    def _density_slab(self, state: MultiState, a, weff):
+        """Combined source slab Σ_s a^{−3w_eff,s}ϱ_s(k) (the a^{−1} of the
+        Poisson factor lives in the kick integral).  weff: per-fluid
+        w_eff(a_kick) traced scalars."""
         cfg = self.config
         n = cfg.potential_gridsize
         cell_volume = (cfg.boxsize / n) ** 3
@@ -86,8 +99,7 @@ class MultiSimulation:
                 n, cfg.interpolation_order
             )
         for name, f in state.fluids.items():
-            spec = self.fspecs[name]
-            rho = f.varrho * a ** (-3 * spec.w_eff)
+            rho = f.varrho * a ** (-3 * weff[name])
             rho_k = rfft3(rho)
             if rho.shape[0] != n:
                 # resample in k-space (reference upstream→global grid scaling)
@@ -95,10 +107,70 @@ class MultiSimulation:
             slab = rho_k if slab is None else slab + rho_k
         return slab
 
-    def _kick(self, state: MultiState, int_kick, a) -> MultiState:
+    # ------------------------------------------------------------------ #
+    def _realize_linear(self, name: str, a, weff_val, w_val, f: FluidState,
+                        want_J: bool) -> FluidState:
+        """Continuous linear re-realization of a fluid's grids at scale
+        factor a (reference realize_if_linear, species.py:2101): ϱ always;
+        J when want_J (boltzmann_order 0 + 'class' closure).  Uses the
+        component's own primordial noise (deterministic counter-based
+        modes) so realizations at different a share phases."""
+        from concept_tpu.ic import realize_delta_slab, displacement_from_delta
+
+        spec = self.fspecs[name]
+        n = f.varrho.shape[0]
+        species = fluid_species_key(spec.species)
+        seed = self._fluid_seeds.get(name, 0)
+        rho_mean = self._fluid_rho_mean(name)
+        delta_k = realize_delta_slab(
+            self.lin, n, self.config.boxsize, a, seed=seed,
+            dtype=self.config.dtype, species=species,
+        )
+        varrho = rho_mean * (1.0 + irfft3(delta_k, n))
+        J = f.J
+        if want_J and f.J is not None:
+            # linear continuity closure θ = −aHf₁δ ⇒ J = ϱ̄ a^{2−3w_eff}Hf₁ψ
+            H = self.bg.hubble(a)
+            f1 = self.bg.growth("f1", a)
+            psi = displacement_from_delta(delta_k, n, self.config.boxsize)
+            J = (rho_mean * a ** (2 - 3 * weff_val) * H * f1) * psi
+        P = f.P
+        if P is not None:
+            P = (w_val * self.light_speed**2) * varrho
+        return FluidState(varrho=varrho.astype(self.config.dtype),
+                          J=None if J is None else J.astype(self.config.dtype),
+                          P=P, sigma=f.sigma)
+
+    def _apply_realize_if_linear(self, state: MultiState, a, weff, w):
+        """Re-realize the linear fluid scalars before the force evaluation
+        (reference kick_long → realize_if_linear cadence, main.py:1104)."""
+        new_fluids = dict(state.fluids)
+        for name, f in state.fluids.items():
+            spec = self.fspecs[name]
+            if spec.boltzmann_closure != "class":
+                continue
+            if spec.boltzmann_order == -1:
+                new_fluids[name] = self._realize_linear(
+                    name, a, weff[name], w[name], f, want_J=False)
+            elif spec.boltzmann_order == 0:
+                new_fluids[name] = self._realize_linear(
+                    name, a, weff[name], w[name], f, want_J=True)
+        return MultiState(particles=state.particles, fluids=new_fluids)
+
+    def _fluid_rho_mean(self, name: str) -> float:
+        Omega = self.fluid_Omegas.get(name)
+        if Omega is None or self.rho_crit is None:
+            raise ValueError(
+                f"linear re-realization of {name!r} needs fluid_Omegas "
+                f"and rho_crit"
+            )
+        return Omega * self.rho_crit
+
+    def _kick(self, state: MultiState, int_kick, a, weff, w) -> MultiState:
         cfg = self.config
         n = cfg.potential_gridsize
-        slab = self._density_slab(state, a)
+        state = self._apply_realize_if_linear(state, a, weff, w)
+        slab = self._density_slab(state, a, weff)
         phi = gravity_potential_slab(slab, n, cfg.boxsize, cfg.G, deconv_order=0)
         # downstream deconvolution applies only to the particle receiver's
         # force interpolation (reference deconvolve=(up, down) semantics)
@@ -124,12 +196,11 @@ class MultiSimulation:
                         else jnp.concatenate([dmom[name], upd[:, None]], axis=1)
                     )
             for name, f in state.fluids.items():
-                spec = self.fspecs[name]
                 nf = f.varrho.shape[0]
                 phi_f = phi if nf == n else fourier.copy_modes(phi, n, nf, norm=True)
                 gradf = irfft3(fourier.fourier_diff(phi_f, nf, cfg.boxsize, d), nf)
                 c2inv = 1.0 / self.light_speed**2
-                P = f.P if f.P is not None else (spec.w * self.light_speed**2) * f.varrho
+                P = f.P if f.P is not None else (w[name] * self.light_speed**2) * f.varrho
                 dJ = -(f.varrho + c2inv * P) * gradf * int_kick
                 fluid_dJ[name].append(dJ)
         new_particles = {
@@ -144,7 +215,7 @@ class MultiSimulation:
         return MultiState(particles=new_particles, fluids=new_fluids)
 
     def _drift(self, state: MultiState, int_a2, dt, coef_flux, coef_pressure,
-               a) -> MultiState:
+               a, w) -> MultiState:
         cfg = self.config
         particles = {}
         for name, pstate in state.particles.items():
@@ -154,24 +225,24 @@ class MultiSimulation:
             )
         new_fluids = {}
         for name, f in state.fluids.items():
-            spec = self.fspecs[name]
             if f.J is None:
                 new_fluids[name] = f
                 continue
-            soundspeed = self.light_speed * math.sqrt(abs(spec.w)) / a
+            soundspeed = self.light_speed * jnp.sqrt(jnp.abs(w[name])) / a
             rho, J, P = kt_step(
                 f.varrho, f.J,
-                f.P if f.P is not None else (spec.w * self.light_speed**2) * f.varrho,
-                dt, coef_flux, coef_pressure, cfg.boxsize, soundspeed,
-                1.0 / self.light_speed**2,
-                approx_P_eq_wrho=True, w=spec.w, light_speed=self.light_speed,
+                f.P if f.P is not None else (w[name] * self.light_speed**2) * f.varrho,
+                dt, coef_flux[name], coef_pressure[name], cfg.boxsize,
+                soundspeed, 1.0 / self.light_speed**2,
+                approx_P_eq_wrho=True, w=w[name], light_speed=self.light_speed,
             )
             new_fluids[name] = FluidState(varrho=rho, J=J, P=P, sigma=f.sigma)
         return MultiState(particles=particles, fluids=new_fluids)
 
-    def _step(self, state, int_kick, int_a2, dt, coef_flux, coef_pressure, a):
-        state = self._kick(state, int_kick, a)
-        return self._drift(state, int_a2, dt, coef_flux, coef_pressure, a)
+    def _step(self, state, int_kick, int_a2, dt, coef_flux, coef_pressure, a,
+              weff, w):
+        state = self._kick(state, int_kick, a, weff, w)
+        return self._drift(state, int_a2, dt, coef_flux, coef_pressure, a, w)
 
     # ------------------------------------------------------------------ #
     def timestep_size(self, a: float) -> float:
@@ -189,14 +260,51 @@ class MultiSimulation:
             da_max = DELTA_A_MAX_EARLY if a < 0.1 else DELTA_A_MAX_LATE
             limits.append(da_max / (a * H))
         # fluid Courant: 0.21·Δx/(c√w + |u|)-ish (reference fac_courant,
-        # main.py:2413) — use the sound speed bound
+        # main.py:2413) — use the sound speed bound.  Only fluids whose
+        # grids are dynamically evolved count: linear (boltzmann_order ≤ −1,
+        # continuously re-realized) and frozen-ϱ (order 0 'truncate', no J)
+        # components never enter the KT solver (reference limiters likewise
+        # consider only non-linear fluid variables, main.py:697-996).
         for name, spec in self.fspecs.items():
+            if spec.boltzmann_order < 1 and not (
+                spec.boltzmann_order == 0 and spec.boltzmann_closure == "class"
+            ):
+                continue
             n = spec.gridsize or self.config.potential_gridsize
             dx = self.config.boxsize / n
-            cs = self.light_speed * math.sqrt(abs(spec.w)) / max(a, 1e-12)
+            cs = self.light_speed * math.sqrt(abs(self.eos[name].w_np(a))) / max(a, 1e-12)
             if cs > 0:
                 limits.append(0.21 * dx / cs * a * a)  # dt in cosmic time: dx_comoving/(cs/a)·(1/a)…
         return min(limits) if limits else float("inf")
+
+    def fluid_step_scalars(self, t0, t1, a_kick, dt):
+        """Per-fluid exact step coefficients with that fluid's own
+        w_eff(a) inside the integrand (reference per-component integrand
+        keys, main.py:1002-1025; fixes the round-1 first-fluid's-w-for-all
+        bug).  Returns (coef_flux, coef_pressure, weff, w) name-dicts."""
+        bg = self.bg
+        dtype = self.config.dtype
+        coef_flux, coef_pressure, weff, wv = {}, {}, {}, {}
+        for name in self.fspecs:
+            e = self.eos[name]
+            if e.is_constant:
+                w0 = e.w_eff_np(a_kick)
+                cf = bg.integral_power_np(t0, t1, 3 * w0 - 2) / dt
+                cp = bg.integral_power_np(t0, t1, -3 * w0) / dt
+            else:
+                cf = bg.integral_custom_np(
+                    t0, t1,
+                    lambda av: av ** (3 * np.vectorize(e.w_eff_np)(av) - 2),
+                ) / dt
+                cp = bg.integral_custom_np(
+                    t0, t1,
+                    lambda av: av ** (-3 * np.vectorize(e.w_eff_np)(av)),
+                ) / dt
+            coef_flux[name] = jnp.asarray(cf, dtype)
+            coef_pressure[name] = jnp.asarray(cp, dtype)
+            weff[name] = jnp.asarray(e.w_eff_np(a_kick), dtype)
+            wv[name] = jnp.asarray(e.w_np(a_kick), dtype)
+        return coef_flux, coef_pressure, weff, wv
 
     def evolve(self, state: MultiState, a_begin: float, a_end: float,
                max_steps: int = 100000):
@@ -206,8 +314,9 @@ class MultiSimulation:
         a = a_begin
         t_mom = t
         steps = 0
-        w_fluids = [s.w_eff for s in self.fspecs.values()]
-        w0 = w_fluids[0] if w_fluids else 0.0
+        dtype = self.config.dtype
+        fluid_scalars = self.fluid_step_scalars
+
         while t < t_end - 1e-12 * abs(t_end):
             dt = min(self.timestep_size(a), t_end - t)
             t_mid = min(t + 0.5 * dt, t_end)
@@ -216,17 +325,19 @@ class MultiSimulation:
             # factor evaluated at a_kick inside _density_slab
             int_kick = bg.integral_power_np(t_mom, t_mid, -1.0)
             int_a2 = bg.integral_power_np(t, t + dt, -2.0)
-            int_1 = dt
-            coef_flux = bg.integral_power_np(t, t + dt, 3 * w0 - 2) / dt
-            coef_pressure = bg.integral_power_np(t, t + dt, -3 * w0) / dt
+            coef_flux, coef_pressure, weff, wv = fluid_scalars(
+                t, t + dt, a_kick, dt
+            )
             state = self._step_jit(
                 state,
-                jnp.asarray(int_kick, self.config.dtype),
-                jnp.asarray(int_a2, self.config.dtype),
-                jnp.asarray(int_1, self.config.dtype),
-                jnp.asarray(coef_flux, self.config.dtype),
-                jnp.asarray(coef_pressure, self.config.dtype),
-                jnp.asarray(a_kick, self.config.dtype),
+                jnp.asarray(int_kick, dtype),
+                jnp.asarray(int_a2, dtype),
+                jnp.asarray(dt, dtype),
+                coef_flux,
+                coef_pressure,
+                jnp.asarray(a_kick, dtype),
+                weff,
+                wv,
             )
             t_mom = t_mid
             t += dt
@@ -236,39 +347,59 @@ class MultiSimulation:
                 raise RuntimeError("max_steps exceeded")
         if t_mom < t_end - 1e-12 * abs(t_end):
             int_kick = bg.integral_power_np(t_mom, t_end, -1.0)
+            coef_flux, coef_pressure, weff, wv = fluid_scalars(
+                t_mom, t_end, a, t_end - t_mom
+            )
             state = self._step_jit(
                 state,
-                jnp.asarray(int_kick, self.config.dtype),
-                jnp.asarray(0.0, self.config.dtype),
-                jnp.asarray(0.0, self.config.dtype),
-                jnp.asarray(1.0, self.config.dtype),
-                jnp.asarray(1.0, self.config.dtype),
-                jnp.asarray(a, self.config.dtype),
+                jnp.asarray(int_kick, dtype),
+                jnp.asarray(0.0, dtype),
+                jnp.asarray(0.0, dtype),
+                coef_flux,
+                coef_pressure,
+                jnp.asarray(a, dtype),
+                weff,
+                wv,
             )
         return state, a
 
 
+def fluid_species_key(species: str) -> str:
+    """Component species string → transfer-function species key."""
+    if "neutrino" in species:
+        return "nu"
+    if "radiation" in species or "photon" in species:
+        return "radiation"
+    return "matter"
+
+
 def realize_fluid_from_linear(lin, spec: ComponentSpec, boxsize: float, a,
                               rho_mean: float, seed: int = 0,
-                              dtype=jnp.float32) -> FluidState:
+                              dtype=jnp.float32, eos=None) -> FluidState:
     """Realize a fluid component's ϱ and J grids from linear theory
     (reference ic.py:400 realize_fluid):
       ϱ = ϱ̄(1+δ),  J = a⁴(ρ+c⁻²P)u with θ = ∇·u_... linear: J(k) = −i k/k²·ϱ̄(1+w)θ(k)
     with θ from the linear continuity relation θ = −aHf₁δ.
+    boltzmann_order = −1 components get ϱ only (no J; reference
+    species.py:892-894).
     """
     from concept_tpu.ic import realize_delta_slab, displacement_from_delta
 
     n = spec.gridsize
-    species = "nu" if "neutrino" in spec.species else "matter"
+    species = fluid_species_key(spec.species)
+    w = eos.w_np(a) if eos is not None else spec.w
+    w_eff = eos.w_eff_np(a) if eos is not None else spec.w_eff
     delta_k = realize_delta_slab(lin, n, boxsize, a, seed=seed, dtype=dtype,
                                  species=species)
     delta = irfft3(delta_k, n)
     varrho = rho_mean * (1.0 + delta)
+    P = (w * lin.light_speed**2 * varrho).astype(dtype)
+    if spec.boltzmann_order <= -1:
+        return FluidState(varrho=varrho.astype(dtype), J=None, P=None)
     # Linear continuity ∂ₜϱ = −a^{3w−2}∇·J with δ̇ = Hf₁δ and
     # ψ(k) = ik δ/k² (so ∇·ψ = −δ) gives J = ϱ̄·a^{2−3w}·H·f₁·ψ.
     H = float(lin.bg.hubble_np(a)) if hasattr(lin.bg, "hubble_np") else lin.bg.hubble(a)
     f1 = float(lin.bg.growth_np("f1", a))
     psi = displacement_from_delta(delta_k, n, boxsize)
-    J = rho_mean * a ** (2 - 3 * spec.w_eff) * H * f1 * psi
-    return FluidState(varrho=varrho.astype(dtype), J=J.astype(dtype),
-                      P=(spec.w * lin.light_speed**2 * varrho).astype(dtype))
+    J = rho_mean * a ** (2 - 3 * w_eff) * H * f1 * psi
+    return FluidState(varrho=varrho.astype(dtype), J=J.astype(dtype), P=P)

@@ -1,0 +1,142 @@
+"""w(a)/w_eff(a) wiring + continuous linear re-realization.
+
+Covers reference species.py:2940-3526 (per-component EoS splines into the
+step integrals), main.py:1002-1025 (per-component integrand keys — the
+round-1 bug used the first fluid's w for every fluid), and
+species.py:2101 realize_if_linear (boltzmann_order −1/0 with 'class'
+closure: grids re-realized from linear theory each kick).
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from concept_tpu.units import units, constants
+from concept_tpu.cosmology.background import Background
+from concept_tpu.cosmology.primordial import PrimordialSpectrum
+from concept_tpu.cosmology.linear import LinearCosmology
+from concept_tpu.cosmology.neutrino import NeutrinoBackground
+from concept_tpu.components import ComponentSpec, EquationOfState, FluidState
+from concept_tpu.sim import SimConfig
+from concept_tpu.sim_multi import MultiSimulation, MultiState
+
+
+@pytest.fixture(scope="module")
+def cosmo():
+    bg = Background(H0=67 * units.km / (units.s * units.Mpc), Omega_m=0.31)
+    prim = PrimordialSpectrum(A_s=2.1e-9, n_s=0.96)
+    lin = LinearCosmology(bg=bg, primordial=prim, Omega_b=0.049,
+                          Omega_cdm=0.261,
+                          light_speed=constants.light_speed, Mpc=units.Mpc)
+    return bg, lin
+
+
+def _fluid_spec(name, w, n=8, border=1, closure="truncate"):
+    return ComponentSpec(name=name, species="dark energy" if w else "matter",
+                         representation="fluid", gridsize=n, w=w,
+                         boltzmann_order=border, boltzmann_closure=closure)
+
+
+def test_per_fluid_coefficients_differ(cosmo):
+    """Two fluids with different w must get different flux/pressure
+    coefficients (the round-1 bug gave everyone the first fluid's)."""
+    bg, lin = cosmo
+    specs = [_fluid_spec("a", 0.0), _fluid_spec("b", 1 / 3)]
+    cfg = SimConfig(boxsize=100 * units.Mpc, potential_gridsize=8,
+                    G=constants.G_Newton)
+    sim = MultiSimulation(None, specs, cfg, bg, lin,
+                          light_speed=constants.light_speed)
+    t1 = float(bg.t_of_a_np(0.5))
+    t2 = float(bg.t_of_a_np(0.52))
+    cf, cp, weff, w = sim.fluid_step_scalars(t1, t2, 0.51, t2 - t1)
+    assert not np.isclose(float(cf["a"]), float(cf["b"]))
+    assert not np.isclose(float(cp["a"]), float(cp["b"]))
+    # constant-w cross-check against the direct power integral
+    expect_a = bg.integral_power_np(t1, t2, -2.0) / (t2 - t1)
+    assert np.isclose(float(cf["a"]), expect_a, rtol=1e-6)
+
+
+def test_neutrino_eos_spline_in_coefficients(cosmo):
+    """A ν fluid with the exact Fermi-Dirac EoS gets coefficients computed
+    with w_eff(a) inside the integrand — early: radiation-like, late:
+    matter-like."""
+    bg, lin = cosmo
+    nubg = NeutrinoBackground(m_nu_eV=0.05)
+    eos = EquationOfState.from_neutrino(nubg)
+    assert abs(eos.w_np(1e-6) - 1 / 3) < 0.01
+    assert eos.w_np(1.0) < 0.02
+    spec = _fluid_spec("nu", 0.0)
+    cfg = SimConfig(boxsize=100 * units.Mpc, potential_gridsize=8,
+                    G=constants.G_Newton)
+    sim = MultiSimulation(None, [spec], cfg, bg, lin,
+                          light_speed=constants.light_speed,
+                          eos={"nu": eos})
+    # late times: ν is matter-like → coefficient ≈ the w=0 one
+    t1 = float(bg.t_of_a_np(0.8))
+    t2 = float(bg.t_of_a_np(0.81))
+    cf, _, weff, w = sim.fluid_step_scalars(t1, t2, 0.805, t2 - t1)
+    w0_coef = bg.integral_power_np(t1, t2, -2.0) / (t2 - t1)
+    assert np.isclose(float(cf["nu"]), w0_coef, rtol=0.02)
+    assert 0 < float(weff["nu"]) < 0.05  # small but nonzero memory of w>0
+
+
+def test_realize_if_linear_tracks_linear_growth(cosmo):
+    """A boltzmann_order = −1, 'class'-closure fluid is re-realized each
+    kick: after 'evolving' between two epochs its δ field equals a fresh
+    realization at the later epoch (reference species.py:2101)."""
+    bg, lin = cosmo
+    n = 16
+    box = 200 * units.Mpc
+    G = constants.G_Newton
+    rho_crit = bg.rho_crit_of(G)
+    spec = ComponentSpec(name="lin", species="matter", representation="fluid",
+                         gridsize=n, w=0.0, boltzmann_order=-1,
+                         boltzmann_closure="class")
+    cfg = SimConfig(boxsize=box, potential_gridsize=n, G=G)
+    sim = MultiSimulation(None, [spec], cfg, bg, lin,
+                          light_speed=constants.light_speed,
+                          fluid_Omegas={"lin": 0.31}, rho_crit=rho_crit,
+                          fluid_seeds={"lin": 7})
+    rho_mean = 0.31 * rho_crit
+    # start from a WRONG field (zeros) — re-realization must fix it
+    f0 = FluidState(varrho=jnp.full((n, n, n), rho_mean, jnp.float32))
+    state = MultiState(particles={}, fluids={"lin": f0})
+    a = 0.5
+    _, _, weff, w = sim.fluid_step_scalars(
+        float(bg.t_of_a_np(a)), float(bg.t_of_a_np(a)) * (1 + 1e-9), a, 1e-9)
+    out = sim._apply_realize_if_linear(state, jnp.float32(a), weff, w)
+    rho = np.asarray(out.fluids["lin"].varrho)
+    delta = rho / rho_mean - 1
+    assert delta.std() > 1e-4  # actually realized
+    # re-realizing at a later epoch grows by D1 ratio (linear theory)
+    out2 = sim._apply_realize_if_linear(state, jnp.float32(1.0), weff, w)
+    delta2 = np.asarray(out2.fluids["lin"].varrho) / rho_mean - 1
+    growth = float(bg.growth_np("D1", 1.0) / bg.growth_np("D1", 0.5))
+    np.testing.assert_allclose(delta2, delta * growth, rtol=0.05, atol=1e-6)
+
+
+def test_order0_class_realizes_J(cosmo):
+    bg, lin = cosmo
+    n = 8
+    box = 100 * units.Mpc
+    G = constants.G_Newton
+    rho_crit = bg.rho_crit_of(G)
+    spec = ComponentSpec(name="f", species="matter", representation="fluid",
+                         gridsize=n, w=0.0, boltzmann_order=0,
+                         boltzmann_closure="class")
+    cfg = SimConfig(boxsize=box, potential_gridsize=n, G=G)
+    sim = MultiSimulation(None, [spec], cfg, bg, lin,
+                          light_speed=constants.light_speed,
+                          fluid_Omegas={"f": 0.31}, rho_crit=rho_crit)
+    rho_mean = 0.31 * rho_crit
+    f0 = FluidState(varrho=jnp.full((n, n, n), rho_mean, jnp.float32),
+                    J=jnp.zeros((3, n, n, n), jnp.float32))
+    state = MultiState(particles={}, fluids={"f": f0})
+    _, _, weff, w = sim.fluid_step_scalars(
+        float(bg.t_of_a_np(0.5)), float(bg.t_of_a_np(0.5)) * (1 + 1e-9),
+        0.5, 1e-9)
+    out = sim._apply_realize_if_linear(state, jnp.float32(0.5), weff, w)
+    J = np.asarray(out.fluids["f"].J)
+    assert np.abs(J).max() > 0  # J realized, not left at zero
