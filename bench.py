@@ -75,8 +75,115 @@ def bench_once(n_grid):
     return dt
 
 
+def bench_p3m(n_part=256):
+    """Full P³M gravity at n_part³ particles, mesh 2·n_part (reference
+    default), per-step bucketize: long-range (PM + Gaussian split) +
+    short-range (Pallas pencil-pair sweep).  Returns seconds/step."""
+    import numpy as np
+    from concept_tpu.forces import pm as pm_force
+    from concept_tpu.forces.shortrange import (
+        shortrange_momentum_updates, cell_grid_shape, auto_capacity,
+    )
+
+    box = 512.0
+    mesh = 2 * n_part
+    N = n_part**3
+    scale = 1.25 * box / mesh
+    cutoff = 4.5 * scale
+    nc = cell_grid_shape(box, cutoff)
+    K = auto_capacity(N, nc)
+    rng = np.random.default_rng(0)
+    lin = (np.arange(n_part, dtype=np.float32) + 0.5) * (box / n_part)
+    pos = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
+    pos += rng.standard_normal(pos.shape).astype(np.float32) * (0.3 * box / n_part)
+    pos = jnp.asarray(np.mod(pos, box))
+
+    def p3m_kick(p):
+        (dl,) = pm_force.pm_gravity_momentum_updates(
+            [p], [2.0], mesh, box, 1.0, kick_integral=1e-3, order=2,
+            longrange_scale=scale, deposit_method="pallas",
+        )
+        ds = shortrange_momentum_updates(
+            p, 2.0, box, scale, cutoff, 1e-3, n_cells=nc, capacity=K,
+            G=1.0, max_overflow=max(2048, N // 1024),
+        )
+        return dl + ds
+
+    dm = p3m_kick(pos)
+    _ = float(jnp.sum(jnp.abs(dm[:2])))  # hard sync (see module doc)
+    n_iter = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        dm = p3m_kick(pos)
+        _ = float(dm[0, 0])
+    return (time.perf_counter() - t0) / n_iter
+
+
+def bench_pm_sustained(n_grid=128, a_end=0.2):
+    """Sustained PM throughput on an EVOLVING (clustering) state: 2LPT ICs
+    evolved to z = 1/a_end − 1, then the mean of the next 10 steps —
+    includes stragglers, rebucketing and capacity growth (the round-1
+    bench measured only the freshly-bucketized lattice best case)."""
+    import numpy as np
+    from concept_tpu.bucketsim import BucketSimulation
+    from concept_tpu.units import units, constants
+    from concept_tpu.cosmology.background import Background
+    from concept_tpu.cosmology.primordial import PrimordialSpectrum
+    from concept_tpu.cosmology.linear import LinearCosmology
+    from concept_tpu.components import ComponentSpec, particle_mass
+    from concept_tpu.ic import realize_particles
+
+    H0 = 67 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.319)
+    lin = LinearCosmology(
+        bg, PrimordialSpectrum(A_s=2.1e-9, n_s=0.96), Omega_b=0.049,
+        Omega_cdm=0.27, light_speed=constants.light_speed, Mpc=units.Mpc,
+    )
+    G = constants.G_Newton
+    box = 128 * units.Mpc
+    N = n_grid**3
+    mass = particle_mass(0.319, bg.rho_crit_of(G), box, N)
+    spec = ComponentSpec(name="m", species="matter", N=N, mass=mass)
+    st = realize_particles(lin, spec, box, 0.02, seed=0, lpt_order=2)
+    pos = np.asarray(st.pos)
+    mom = np.asarray(st.mom)
+    sim = BucketSimulation(n_grid, box, mass, G, bg=bg, capacity=16)
+    state = sim.init_state(
+        tuple(jnp.asarray(np.ascontiguousarray(pos[:, d])) for d in range(3)),
+        tuple(jnp.asarray(np.ascontiguousarray(mom[:, d])) for d in range(3)),
+    )
+    state = sim.evolve(state, float(bg.t_of_a_np(0.02)), float(bg.t_of_a_np(a_end)))
+    # timed segment: 10 more leapfrog steps at the clustered state
+    t_now = float(bg.t_of_a_np(a_end))
+    int1 = bg.integrals_np(t_now, t_now * 1.01, keys=("a**(-1)",))["a**(-1)"]
+    int2 = bg.integrals_np(t_now, t_now * 1.01, keys=("a**(-2)",))["a**(-2)"]
+    state, ns = sim.step(state, int1, int2)
+    _ = float(state.pos[0, 0, 0])
+    n_iter = 10
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        state, ns = sim.step(state, int1, int2)
+        if (i + 1) % sim.rebucket_every == 0:
+            state = sim.maybe_rebucket(state)
+    _ = float(state.pos[0, 0, 0])
+    return (time.perf_counter() - t0) / n_iter
+
+
 def main():
     target = 1e8  # particle-updates/s/chip (BASELINE.json north star)
+    extra = {}
+    try:
+        dt = bench_pm_sustained(128)
+        extra["pm_sustained_clustered_128_updates_per_s"] = 128**3 / dt
+    except Exception as e:  # noqa: BLE001
+        print(f"# sustained bench failed: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
+    try:
+        dt = bench_p3m(256)
+        extra["p3m_kick_256_updates_per_s"] = 256**3 / dt
+    except Exception as e:  # noqa: BLE001
+        print(f"# p3m bench failed: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
     for n_grid in (512, 256, 128, 64):
         try:
             dt = bench_once(n_grid)
@@ -89,13 +196,14 @@ def main():
                         "value": ups,
                         "unit": "updates/s/chip",
                         "vs_baseline": ups / target,
+                        "extra": extra,
                     }
                 )
             )
             return
         except Exception as e:  # noqa: BLE001 — OOM or backend limits: scale down
             print(f"# gridsize {n_grid} failed: {type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
-    print(json.dumps({"metric": "pm_step", "value": 0, "unit": "updates/s/chip", "vs_baseline": 0}))
+    print(json.dumps({"metric": "pm_step", "value": 0, "unit": "updates/s/chip", "vs_baseline": 0, "extra": extra}))
 
 
 if __name__ == "__main__":

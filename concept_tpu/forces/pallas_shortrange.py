@@ -172,6 +172,132 @@ def _pad_halo(arr, axis_coord: int | None, boxsize):
     return jnp.concatenate([lo2, arr, hi2], axis=1)
 
 
+def _make_pair_kernel(n: int, K_r: int, K_s: int, dtype):
+    """One-sided variant: receivers (own pencil, 3 inputs of (1,1,K_r,n))
+    against suppliers (9 aliased pencils × 3 components)."""
+
+    def kernel(scal_ref, *refs):
+        own, ins, outs = refs[:3], refs[3:30], refs[30:]
+        inv_scale = scal_ref[0]
+        cutoff2 = scal_ref[1]
+        soft2 = scal_ref[2]
+        boxsize = scal_ref[3]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        wrap_hi = (col == n - 1).astype(dtype) * boxsize
+        wrap_lo = (col == 0).astype(dtype) * (-boxsize)
+
+        def shifted(arr, dk, is_z):
+            if dk == 0:
+                return arr
+            out = jnp.roll(arr, -dk, axis=1)
+            if is_z:
+                out = out + (wrap_hi if dk == 1 else wrap_lo)
+            return out
+
+        nbs = []
+        for p in range(9):
+            bx = ins[p][0, 0]
+            by = ins[9 + p][0, 0]
+            bz = ins[18 + p][0, 0]
+            for dk in (-1, 0, 1):
+                nbs.append((
+                    shifted(bx, dk, False)[None, :, :],
+                    shifted(by, dk, False)[None, :, :],
+                    shifted(bz, dk, True)[None, :, :],
+                ))
+
+        CH = 8 if K_r % 8 == 0 else 1
+        nchunk = K_r // CH
+
+        def body(c, _):
+            s = pl.multiple_of(c * CH, CH)
+            ox = own[0][0, 0, pl.ds(s, CH), :][:, None, :]
+            oy = own[1][0, 0, pl.ds(s, CH), :][:, None, :]
+            oz = own[2][0, 0, pl.ds(s, CH), :][:, None, :]
+            ax = jnp.zeros((CH, n), dtype)
+            ay = jnp.zeros((CH, n), dtype)
+            az = jnp.zeros((CH, n), dtype)
+            for nbx, nby, nbz in nbs:
+                dx = ox - nbx  # (CH, K_s, n)
+                dy = oy - nby
+                dz = oz - nbz
+                r2 = dx * dx + dy * dy + dz * dz
+                m = (r2 < cutoff2) & (r2 > 0)
+                r2s = r2 + soft2
+                inv_r = jax.lax.rsqrt(r2s)
+                S = screening_cheb(r2s * inv_r * inv_scale)
+                inv_r3 = inv_r * inv_r * inv_r
+                f = jnp.where(m, -S * inv_r3, 0.0)
+                ax = ax + jnp.sum(f * dx, axis=1)
+                ay = ay + jnp.sum(f * dy, axis=1)
+                az = az + jnp.sum(f * dz, axis=1)
+            outs[0][0, 0, pl.ds(s, CH), :] = ax
+            outs[1][0, 0, pl.ds(s, CH), :] = ay
+            outs[2][0, 0, pl.ds(s, CH), :] = az
+            return 0
+
+        jax.lax.fori_loop(0, nchunk, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_cells", "interpret"))
+def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
+                      boxsize, scale, cutoff, softening,
+                      interpret: bool = False):
+    """One-sided pencil sweep: acc (3, K_r, C) ON the receiver buckets
+    FROM the supplier buckets (same contract as shortrange._sweep_pair)."""
+    n = n_cells
+    assert n >= 3
+    K_r, C = bvalid.shape
+    K_s = valid.shape[0]
+    dtype = hx.dtype
+    big = jnp.asarray(1e4, dtype) * boxsize
+    bxs = jnp.where(bvalid, bx, -big)  # receiver sentinel ≠ supplier sentinel
+    bys = jnp.where(bvalid, by, -big)  # (coincident sentinels would pass
+    bzs = jnp.where(bvalid, bz, -big)  # the r² > 0 cut — keep them apart)
+    hxs = jnp.where(valid, hx, big)
+    hys = jnp.where(valid, hy, big)
+    hzs = jnp.where(valid, hz, big)
+
+    def to4(a, K):
+        return a.reshape(K, n, n, n).transpose(1, 2, 0, 3)
+
+    own_x = to4(bxs, K_r)  # receivers: own pencil only, no halo needed
+    own_y = to4(bys, K_r)
+    own_z = to4(bzs, K_r)
+    px = _pad_halo(to4(hxs, K_s), 0, boxsize)
+    py = _pad_halo(to4(hys, K_s), 1, boxsize)
+    pz = _pad_halo(to4(hzs, K_s), None, boxsize)
+
+    scal = jnp.stack([
+        1.0 / jnp.asarray(scale, dtype),
+        jnp.asarray(cutoff, dtype) ** 2,
+        jnp.asarray(softening, dtype) ** 2,
+        jnp.asarray(boxsize, dtype),
+    ])
+    own_spec = pl.BlockSpec((1, 1, K_r, n), lambda i, j: (i, j, 0, 0))
+    pencil = lambda di, dj: pl.BlockSpec(
+        (1, 1, K_s, n), lambda i, j, di=di, dj=dj: (i + 1 + di, j + 1 + dj, 0, 0)
+    )
+    offs = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    in_specs = [pl.BlockSpec((4,), lambda i, j: (0,))]
+    in_specs += [own_spec] * 3
+    for _comp in range(3):
+        in_specs += [pencil(di, dj) for (di, dj) in offs]
+    out_spec = pl.BlockSpec((1, 1, K_r, n), lambda i, j: (i, j, 0, 0))
+    kernel = _make_pair_kernel(n, K_r, K_s, dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n, n),
+        out_shape=[jax.ShapeDtypeStruct((n, n, K_r, n), dtype)] * 3,
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3,
+        interpret=interpret,
+    )(scal, own_x, own_y, own_z, *([px] * 9 + [py] * 9 + [pz] * 9))
+    return jnp.stack([o.transpose(2, 0, 1, 3).reshape(K_r, C) for o in outs])
+
+
 @partial(jax.jit, static_argnames=("n_cells", "interpret"))
 def sweep_pallas(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff,
                  softening, interpret: bool = False):

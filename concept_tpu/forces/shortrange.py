@@ -237,6 +237,123 @@ def _sweep(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff2, soft2,
     return acc
 
 
+def _sweep_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
+                boxsize, scale, cutoff2, soft2):
+    """One-sided pair sweep: accelerations ON the receiver buckets
+    (bx/by/bz/bvalid, K_r slots) FROM the supplier buckets (hx/hy/hz/
+    valid, K_s slots) over all 27 neighbor offsets — the rung-subcycling
+    kernel (only active-rung particles receive kicks at a substep;
+    reference per-rung pairing, interactions.py:1353-1984).
+
+    Both bucket structures share the same cell decomposition.  No Newton
+    halving (receivers ≠ suppliers).  Returns (3, K_r, C).
+    """
+    K_r, C = bvalid.shape
+    K_s = valid.shape[0]
+    n = n_cells
+    dtype = hx.dtype
+    ci, cj, ck = _cell_coords(n)
+    ci, cj, ck = jnp.asarray(ci), jnp.asarray(cj), jnp.asarray(ck)
+    per_dim = {1: (0,), 2: (0, 1)}.get(n, (-1, 0, 1))
+    offs = [(i, j, k) for i in per_dim for j in per_dim for k in per_dim]
+    offsets = jnp.asarray(offs, jnp.int32)
+
+    def one_offset(acc, off):
+        oi, oj, ok = off[0], off[1], off[2]
+
+        def nbr(arr):
+            return jnp.roll(
+                arr.reshape(K_s, n, n, n), shift=(-oi, -oj, -ok), axis=(1, 2, 3)
+            ).reshape(K_s, C)
+
+        sx = ((ci + oi) // n).astype(dtype) * boxsize
+        sy = ((cj + oj) // n).astype(dtype) * boxsize
+        sz = ((ck + ok) // n).astype(dtype) * boxsize
+        nbx = nbr(hx) + sx[None]
+        nby = nbr(hy) + sy[None]
+        nbz = nbr(hz) + sz[None]
+        nbv = nbr(valid)
+
+        def inner(_, i):
+            dx = bx[i][None] - nbx  # (K_s, C)
+            dy = by[i][None] - nby
+            dz = bz[i][None] - nbz
+            r2 = dx * dx + dy * dy + dz * dz
+            m = bvalid[i][None] & nbv & (r2 < cutoff2) & (r2 > 0)
+            f = jnp.where(m, shortrange_force_factor(r2, scale, soft2, dtype), 0.0)
+            return 0, jnp.stack([(f * dx).sum(0), (f * dy).sum(0), (f * dz).sum(0)])
+
+        _, own = jax.lax.scan(inner, 0, jnp.arange(K_r))
+        return acc + jnp.transpose(own, (1, 0, 2)), None
+
+    acc0 = jnp.zeros((3, K_r, C), dtype)
+    acc, _ = jax.lax.scan(one_offset, acc0, offsets)
+    return acc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_cells", "capacity_recv", "capacity_sup", "engine"),
+)
+def shortrange_momentum_updates_on_subset(
+    recv_pos,
+    sup_pos,
+    mass,
+    boxsize,
+    scale,
+    cutoff,
+    n_cells: int,
+    capacity_recv: int,
+    capacity_sup: int,
+    softening: float = 0.0,
+    G: float = 1.0,
+    engine: str = "auto",
+):
+    """Per-unit-kick-integral Δmom ON recv_pos (M,3) FROM sup_pos (N,3).
+
+    The rung-subcycling force: receivers are the active-rung particles
+    (possibly with masked padding rows — their output is simply unused),
+    suppliers everyone.  Capacities must cover the max cell occupancy of
+    each set (host-sized via cell_counts; overflowing SUPPLIER particles
+    would silently not act here, so callers must size capacity_sup to the
+    true max).  Returns (M, 3) = G·m²·acc (multiply by ᔑdt at use).
+    """
+    M = recv_pos.shape[0]
+    dtype = recv_pos.dtype
+    n = n_cells
+    C = n**3
+    b_sup = bucketize(sup_pos, boxsize, n_cells, capacity_sup)
+    b_rec = bucketize(recv_pos, boxsize, n_cells, capacity_recv)
+    cutoff2 = jnp.asarray(cutoff, dtype) ** 2
+    soft2 = jnp.asarray(softening, dtype) ** 2
+    if engine == "auto":
+        engine = "pallas" if (jax.default_backend() == "tpu" and n >= 3) else "xla"
+    if engine == "pallas":
+        from concept_tpu.forces.pallas_shortrange import sweep_pallas_pair
+
+        acc = sweep_pallas_pair(
+            b_rec["hx"], b_rec["hy"], b_rec["hz"], b_rec["valid"],
+            b_sup["hx"], b_sup["hy"], b_sup["hz"], b_sup["valid"],
+            n_cells, jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
+            jnp.asarray(cutoff, dtype), jnp.asarray(softening, dtype),
+            interpret=(jax.default_backend() != "tpu"),
+        )
+    else:
+        acc = _sweep_pair(
+            b_rec["hx"], b_rec["hy"], b_rec["hz"], b_rec["valid"],
+            b_sup["hx"], b_sup["hy"], b_sup["hz"], b_sup["valid"],
+            n_cells, jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
+            cutoff2, soft2,
+        )
+    K_r = capacity_recv
+    slot = jnp.where(b_rec["rank"] < K_r, b_rec["rank"] * C + b_rec["cell"], 0)
+    accf = acc.reshape(3, K_r * C)
+    dmom_sorted = accf[:, slot].T
+    dmom_sorted = jnp.where((b_rec["rank"] < K_r)[:, None], dmom_sorted, 0.0)
+    coef = G * mass * mass
+    return jnp.zeros((M, 3), dtype).at[b_rec["order"]].set(coef * dmom_sorted)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_cells", "capacity", "max_overflow", "return_overflow",

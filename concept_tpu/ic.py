@@ -231,23 +231,122 @@ def displacement_from_delta(delta_slab, gridsize: int, boxsize: float, dist=None
     return jnp.stack(psis)
 
 
+def dealias_gridsize(n: int) -> int:
+    """Orszag 3/2-rule padded grid size (even; reference ic.py:1322-1323)."""
+    m = (n * 3) // 2
+    return m + (m & 1)
+
+
+def _hessian_real(pot_psi_k, gridsize: int, boxsize: float, dist=None,
+                  m: int | None = None):
+    """The 6 unique ∂ᵢψⱼ real grids from the 3 Fourier ψ-components
+    (ψ = ∇Φ, so ∂ᵢψⱼ = Φ,ᵢⱼ), optionally zero-padded to an m-grid for
+    dealiased products."""
+    n = gridsize
+    m = m or n
+    out = {}
+    for i in range(3):
+        for j in range(i, 3):
+            dk = fourier.fourier_diff(pot_psi_k[i], n, boxsize, j)
+            if m != n:
+                dk = fourier.copy_modes(dk, n, m)
+            out[(i, j)] = irfft3(dk, m, dist)
+    return out
+
+
+def _truncate_product(S_m, n: int, m: int, dist=None):
+    """Real m-grid product → n-grid real field (drop aliased modes)."""
+    if m == n:
+        return S_m
+    return irfft3(fourier.copy_modes(rfft3(S_m, dist), m, n), n, dist)
+
+
 def lpt2_source(psi_slabs_k, gridsize: int, boxsize: float, dist=None, dealias: bool = False):
     """2LPT source S(x) = Σ_{i<j} (ψᵢ,ᵢψⱼ,ⱼ − ψᵢ,ⱼ²) from ψ¹(k) grids.
 
     psi_slabs_k: list of 3 Fourier ψ-components.  Reference:
-    ic.py:1546-1718 (carryout_2lpt) with optional Orszag 3/2 dealiasing.
+    ic.py:1546-1718 (carryout_2lpt) with optional Orszag 3/2 dealiasing
+    (quadratic products evaluated on the padded grid, then truncated —
+    reference ic.py:1316-1325).
     """
     n = gridsize
-    # ψi,j real grids (6 unique combinations for i<=j)
-    def dij(i, j):
-        return irfft3(
-            fourier.fourier_diff(psi_slabs_k[i], n, boxsize, j), n, dist
-        )
+    m = dealias_gridsize(n) if dealias else n
+    d = _hessian_real(psi_slabs_k, n, boxsize, dist, m)
+    S = (
+        d[(0, 0)] * d[(1, 1)] + d[(0, 0)] * d[(2, 2)] + d[(1, 1)] * d[(2, 2)]
+        - d[(0, 1)] ** 2 - d[(0, 2)] ** 2 - d[(1, 2)] ** 2
+    )
+    return _truncate_product(S, n, m, dist)
 
-    d00, d11, d22 = dij(0, 0), dij(1, 1), dij(2, 2)
-    d01, d02, d12 = dij(0, 1), dij(0, 2), dij(1, 2)
-    S = d00 * d11 + d00 * d22 + d11 * d22 - d01**2 - d02**2 - d12**2
-    return S
+
+def lpt3_sources(psi_slabs_k, S2_k, fac2, gridsize: int, boxsize: float,
+                 dist=None, dealias: bool = False):
+    """3LPT sources from ψ¹(k) and the 2LPT source S₂(k).
+
+    Returns (S3a(x), S3b(x), [A3c sources (x) for i = 0,1,2]) with the
+    reference's exact term lists (ic.py:1630-1645 '3a', 1708-1741 '3b',
+    1799-1830 '3c'):
+      ∇²Φ³ᵃ ∝ Φ¹,₂₀²Φ¹,₁₁ − Φ¹,₁₁Φ¹,₂₂Φ¹,₀₀ + Φ¹,₀₀Φ¹,₁₂²
+              − 2Φ¹,₁₂Φ¹,₂₀Φ¹,₀₁ + Φ¹,₀₁²Φ¹,₂₂
+      ∇²Φ³ᵇ ∝ −½Σ(Φ¹,ᵢᵢΦ²,ⱼⱼ pairs) + Σ Φ²,ᵢⱼΦ¹,ᵢⱼ (i<j)
+      ∇²Aᵢ³ᶜ ∝ Φ²,ⱼⱼΦ¹,ⱼₖ − Φ¹,ⱼₖΦ²,ₖₖ − Φ¹,ᵢⱼΦ²,ᵢₖ − Φ¹,ⱼⱼΦ²,ⱼₖ
+               + Φ²,ⱼₖΦ¹,ₖₖ + Φ²,ᵢⱼΦ¹,ᵢₖ     (j,k) = ((i+1)%3, (i+2)%3)
+    Here Φ² is the FULL 2LPT potential at the realization epoch
+    (fac2·∇⁻²S₂, matching realize_particles), so the external growth
+    ratios are D3a/D1³ and D3b/(D1·D2), D3c/(D1·D2) — the reference's
+    potential_factor conventions.
+    """
+    n = gridsize
+    m = dealias_gridsize(n) if dealias else n
+    kfac = 2 * math.pi / boxsize
+    dtype = jnp.asarray(psi_slabs_k[0]).real.dtype
+    k2 = fourier.k2_int_grid(n).astype(dtype) * kfac**2
+    inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
+    # Ψ² Fourier components (full epoch-a 2LPT displacement potential grad)
+    psi2_k = [
+        (1j * (fourier.k_int_vectors(n)[d].astype(dtype) * kfac))
+        * inv_k2 * (fac2 * S2_k)
+        for d in range(3)
+    ]
+    d1 = _hessian_real(psi_slabs_k, n, boxsize, dist, m)
+    d2 = _hessian_real(psi2_k, n, boxsize, dist, m)
+
+    def g(d, i, j):
+        return d[(min(i, j), max(i, j))]
+
+    S3a = (
+        g(d1, 2, 0) ** 2 * g(d1, 1, 1)
+        - g(d1, 1, 1) * g(d1, 2, 2) * g(d1, 0, 0)
+        + g(d1, 0, 0) * g(d1, 1, 2) ** 2
+        - 2 * g(d1, 1, 2) * g(d1, 2, 0) * g(d1, 0, 1)
+        + g(d1, 0, 1) ** 2 * g(d1, 2, 2)
+    )
+    S3b = (
+        -0.5 * (
+            g(d1, 2, 2) * g(d2, 0, 0) + g(d2, 0, 0) * g(d1, 1, 1)
+            + g(d1, 1, 1) * g(d2, 2, 2) + g(d2, 2, 2) * g(d1, 0, 0)
+            + g(d1, 0, 0) * g(d2, 1, 1) + g(d2, 1, 1) * g(d1, 2, 2)
+        )
+        + g(d2, 2, 0) * g(d1, 2, 0)
+        + g(d2, 0, 1) * g(d1, 0, 1)
+        + g(d2, 1, 2) * g(d1, 1, 2)
+    )
+    A3c = []
+    for i in range(3):
+        j = (i + 1) % 3
+        k = (i + 2) % 3
+        A3c.append(
+            g(d2, j, j) * g(d1, j, k)
+            - g(d1, j, k) * g(d2, k, k)
+            - g(d1, i, j) * g(d2, i, k)
+            - g(d1, j, j) * g(d2, j, k)
+            + g(d2, j, k) * g(d1, k, k)
+            + g(d2, i, j) * g(d1, i, k)
+        )
+    S3a = _truncate_product(S3a, n, m, dist)
+    S3b = _truncate_product(S3b, n, m, dist)
+    A3c = [_truncate_product(A, n, m, dist) for A in A3c]
+    return S3a, S3b, A3c
 
 
 def realize_particles(
@@ -267,6 +366,7 @@ def realize_particles(
     species: str = "matter",
     delta_k=None,
     scheme: str = "simple",
+    dealias: bool = False,
 ) -> ParticleState:
     """Generate particle ICs for a matter-like component at scale factor a.
 
@@ -310,7 +410,7 @@ def realize_particles(
             D1 = lin.bg.growth("D1", a)
             D2 = lin.bg.growth("D2", a)
             f2 = lin.bg.growth("f2", a)
-            S = lpt2_source(psi_k, gridsize, boxsize, dist)
+            S = lpt2_source(psi_k, gridsize, boxsize, dist, dealias=dealias)
             S_k = rfft3(S.astype(dtype), dist)
             # Ψ²(k) = +(D2/D1²)·ik/k²·S(k)  (so ∇·Ψ² = −(D2/D1²)S), with the
             # reference growth convention D2 = +3/7 a² in EdS — equivalent to
@@ -325,7 +425,46 @@ def realize_particles(
                 psi = psi.at[d].add(psi2)
                 dpsi_dt = dpsi_dt.at[d].add(H * f2 * psi2)
         if lpt_order >= 3:
-            raise NotImplementedError("3LPT planned (reference ic.py:1746-2058)")
+            # 3LPT: a, b scalar potentials + c transverse term (reference
+            # carryout_3lpt_{a,b,c}, ic.py:1621-1845; growth-ratio
+            # potential factors at :1630, :1708, :1799)
+            D3a = lin.bg.growth("D3a", a)
+            D3b = lin.bg.growth("D3b", a)
+            D3c = lin.bg.growth("D3c", a)
+            f3a = lin.bg.growth("f3a", a)
+            f3b = lin.bg.growth("f3b", a)
+            f3c = lin.bg.growth("f3c", a)
+            S3a, S3b, A3c = lpt3_sources(
+                psi_k, S_k, fac2, gridsize, boxsize, dist, dealias=dealias
+            )
+            fac3a = D3a / (D1 * D1 * D1)
+            fac3b = D3b / (D1 * D2)
+            fac3c = D3c / (D1 * D2)
+            S3a_k = rfft3(S3a.astype(dtype), dist)
+            S3b_k = rfft3(S3b.astype(dtype), dist)
+            for d in range(3):
+                kd = fourier.k_int_vectors(gridsize)[d].astype(dtype) * kfac
+                p3a = irfft3((1j * kd) * inv_k2 * (fac3a * S3a_k), gridsize, dist)
+                p3b = irfft3((1j * kd) * inv_k2 * (fac3b * S3b_k), gridsize, dist)
+                psi = psi.at[d].add(p3a + p3b)
+                dpsi_dt = dpsi_dt.at[d].add(H * (f3a * p3a + f3b * p3b))
+            # transverse: Ψ³ᶜ = ∇×A with ∇²Aᵢ-sources from lpt3_sources;
+            # Ψ³ᶜⱼ = ±∂ₖAᵢ, sign = +1 iff k == (j+1)%3 (reference ic.py:1844)
+            for i in range(3):
+                A_k = inv_k2 * (fac3c * rfft3(A3c[i].astype(dtype), dist))
+                for j in range(3):
+                    if j == i:
+                        continue
+                    k_ax = ({0, 1, 2} - {i, j}).pop()
+                    sign = 1.0 if k_ax == (j + 1) % 3 else -1.0
+                    p3c = sign * irfft3(
+                        fourier.fourier_diff(A_k, gridsize, boxsize, k_ax),
+                        gridsize, dist,
+                    )
+                    psi = psi.at[j].add(p3c)
+                    dpsi_dt = dpsi_dt.at[j].add(H * f3c * p3c)
+        if lpt_order >= 4:
+            raise NotImplementedError("LPT order > 3 (reference maximum is 3)")
 
         q = lattice_positions(gridsize, boxsize, lattice, dtype)
         # ψ grids sampled at lattice sites: for 'sc' the lattice sites are

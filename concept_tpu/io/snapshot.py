@@ -40,9 +40,25 @@ class SnapshotMeta:
 # --------------------------------------------------------------------- #
 # CONCEPT HDF5
 # --------------------------------------------------------------------- #
-def save_concept(filename: str, meta: SnapshotMeta, components: dict):
-    """components: {name: (ComponentSpec, ParticleState)} (fluids later)."""
+def save_concept(filename: str, meta: SnapshotMeta, components: dict,
+                 select: dict | None = None):
+    """components: {name: (ComponentSpec, ParticleState | FluidState)}.
+
+    Particle components store pos/mom(/ids); fluid components store the
+    Boltzmann-hierarchy grids ϱ/J(/𝒫/ς) (reference ConceptSnapshot fluid
+    datasets, snapshot.py:130-638).  ``select`` is the snapshot_select
+    save mask: {component name: {variable: bool}} (reference
+    snapshot_select semantics, param/example_explanatory:37-57).
+    """
     import h5py
+
+    def want(name, var):
+        if not select:
+            return True
+        sel = select.get(name, select.get("all", True))
+        if isinstance(sel, dict):
+            return bool(sel.get(var, sel.get("all", True)))
+        return bool(sel)
 
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     with h5py.File(filename, "w") as f:
@@ -57,11 +73,27 @@ def save_concept(filename: str, meta: SnapshotMeta, components: dict):
         for name, (spec, state) in components.items():
             g = f.create_group(f"components/{name}")
             g.attrs["species"] = spec.species
+            if getattr(spec, "representation", "particles") == "fluid" or not hasattr(state, "pos"):
+                g.attrs["gridsize"] = spec.gridsize or np.asarray(state.varrho).shape[0]
+                g.attrs["boltzmann_order"] = spec.boltzmann_order
+                g.attrs["boltzmann_closure"] = spec.boltzmann_closure
+                g.attrs["w"] = spec.w
+                if want(name, "ϱ"):
+                    g.create_dataset("ϱ", data=np.asarray(state.varrho, dtype=np.float64))
+                if state.J is not None and want(name, "J"):
+                    g.create_dataset("J", data=np.asarray(state.J, dtype=np.float64))
+                if state.P is not None and want(name, "𝒫"):
+                    g.create_dataset("𝒫", data=np.asarray(state.P, dtype=np.float64))
+                if state.sigma is not None and want(name, "ς"):
+                    g.create_dataset("ς", data=np.asarray(state.sigma, dtype=np.float64))
+                continue
             g.attrs["mass"] = spec.mass
             g.attrs["N"] = spec.N
-            g.create_dataset("pos", data=np.asarray(state.pos, dtype=np.float64))
-            g.create_dataset("mom", data=np.asarray(state.mom, dtype=np.float64))
-            if state.ids is not None:
+            if want(name, "pos"):
+                g.create_dataset("pos", data=np.asarray(state.pos, dtype=np.float64))
+            if want(name, "mom"):
+                g.create_dataset("mom", data=np.asarray(state.mom, dtype=np.float64))
+            if state.ids is not None and want(name, "ids"):
                 g.create_dataset("ids", data=np.asarray(state.ids, dtype=np.int64))
     return filename
 
@@ -82,6 +114,27 @@ def load_concept(filename: str):
             unit_mass=str(f.attrs.get("unit mass", "10*^10 m_sun")),
         )
         for name, g in f["components"].items():
+            if "gridsize" in g.attrs:  # fluid component
+                from concept_tpu.components import FluidState
+
+                spec = ComponentSpec(
+                    name=name,
+                    species=str(g.attrs["species"]),
+                    representation="fluid",
+                    gridsize=int(g.attrs["gridsize"]),
+                    w=float(g.attrs.get("w", 0.0)),
+                    boltzmann_order=int(g.attrs.get("boltzmann_order", 1)),
+                    boltzmann_closure=str(g.attrs.get("boltzmann_closure",
+                                                      "truncate")),
+                )
+                state = FluidState(
+                    varrho=np.asarray(g["ϱ"], dtype=np.float64),
+                    J=np.asarray(g["J"], dtype=np.float64) if "J" in g else None,
+                    P=np.asarray(g["𝒫"], dtype=np.float64) if "𝒫" in g else None,
+                    sigma=np.asarray(g["ς"], dtype=np.float64) if "ς" in g else None,
+                )
+                components[name] = (spec, state)
+                continue
             spec = ComponentSpec(
                 name=name,
                 species=str(g.attrs["species"]),

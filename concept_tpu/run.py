@@ -89,19 +89,63 @@ def build_components(cfg: RunConfig, bg, constants):
             out.append((spec, "realize"))
         elif gridsize:
             # fluid component (reference initial_conditions gridsize form,
-            # param/example_explanatory:18-25)
-            w = float(entry.get("w", 0.0))
+            # param/example_explanatory:18-25).  Per-component selector
+            # dicts (select_eos_w, select_boltzmann_order/closure —
+            # reference species.py:2940-3526 EoS selection) fill in what
+            # the entry itself does not specify.
+            class _S:
+                pass
+
+            s = _S()
+            s.name, s.species, s.representation = name, species, "fluid"
+            w = entry.get("w")
+            if w is None:
+                w_sel = is_selected(s, cfg.select_eos_w, default="default")
+                if isinstance(w_sel, (int, float)):
+                    w = float(w_sel)
+                elif isinstance(w_sel, str) and w_sel not in ("default", "class"):
+                    w = float(eval(w_sel, {"__builtins__": {}}, {}))  # noqa: S307
+                else:  # 'default'/'class': constant-w default per species;
+                    # ν gets the exact Fermi-Dirac spline in run_multi
+                    w = 1.0 / 3.0 if ("radiation" in species
+                                      or "photon" in species) else 0.0
+            border = entry.get("boltzmann order", entry.get("boltzmann_order"))
+            if border is None:
+                border = is_selected(s, cfg.select_boltzmann_order, default=1)
+            bclosure = entry.get("boltzmann closure",
+                                 entry.get("boltzmann_closure"))
+            if bclosure is None:
+                bclosure = is_selected(s, cfg.select_boltzmann_closure,
+                                       default="truncate")
             spec = ComponentSpec(
                 name=name, species=species, representation="fluid",
-                gridsize=int(gridsize), w=w,
-                boltzmann_order=int(entry.get("boltzmann order",
-                                              entry.get("boltzmann_order", 1))),
-                boltzmann_closure=entry.get("boltzmann closure",
-                                            entry.get("boltzmann_closure", "truncate")),
+                gridsize=int(gridsize), w=float(w),
+                boltzmann_order=int(border),
+                boltzmann_closure=str(bclosure),
             )
             out.append((spec, "realize-fluid"))
         else:
             raise ValueError(f"component entry needs N or gridsize: {entry}")
+    return out
+
+
+def shortrange_overrides(cfg: RunConfig, boxsize: float, gridsize: int) -> dict:
+    """Evaluate shortrange_params['gravity'] scale/range expressions
+    (reference param surface: scale = '1.25*boxsize/gridsize',
+    range = '4.5*scale', param/example_explanatory:211-218)."""
+    params = (cfg.shortrange_params or {}).get("gravity", cfg.shortrange_params or {})
+    out = {}
+    ns = {"boxsize": boxsize, "gridsize": gridsize}
+    scale = params.get("scale")
+    if scale is not None:
+        scale = eval(scale, ns) if isinstance(scale, str) else float(scale)  # noqa: S307
+        out["shortrange_scale"] = float(scale)
+        ns["scale"] = float(scale)
+    rng = params.get("range")
+    if rng is not None:
+        ns.setdefault("scale", 1.25 * boxsize / gridsize)
+        rng = eval(rng, ns) if isinstance(rng, str) else float(rng)  # noqa: S307
+        out["shortrange_range"] = float(rng)
     return out
 
 
@@ -217,6 +261,9 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         softening=softening,
         ewald_gridsize=cfg.ewald_gridsize,
         deposit_method=deposit_method or "auto",
+        dt_base_background_factor=cfg.Delta_t_base_background_factor,
+        dt_base_nonlinear_factor=cfg.Delta_t_base_nonlinear_factor,
+        **shortrange_overrides(cfg, cfg.boxsize, int(gridsize)),
     )
     sim = Simulation(spec, sim_config, bg, lin)
 
@@ -260,6 +307,7 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
             nongaussianity=float(
                 cfg.realization_options.get("nongaussianity", 0.0)
             ),
+            dealias=bool(cfg.realization_options.get("dealias", False)),
         )
         masterprint("done")
 
@@ -362,7 +410,8 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
     sim = MultiSimulation(pspecs, fspecs, sim_config, bg, lin,
                           light_speed=consts.light_speed,
                           fluid_Omegas=fluid_Omegas, rho_crit=rho_crit,
-                          eos=eos, fluid_seeds=fluid_seeds)
+                          eos=eos, fluid_seeds=fluid_seeds,
+                          fluid_options=cfg.fluid_options)
     lpt = int(cfg.realization_options.get("lpt", 1))
 
     def realize_p(pspec, a_at):
@@ -372,6 +421,7 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
         st = realize_particles(
             lin, pspec, cfg.boxsize, a_at, seed=seed_val,
             lpt_order=lpt, scheme=cfg.primordial_noise_imprinting,
+            dealias=bool(cfg.realization_options.get("dealias", False)),
         )
         masterprint("done")
         return st
@@ -503,11 +553,23 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
             unit_mass=cfg.unit_mass,
         )
         fn = os.path.join(dirname, f"{base}_{tag}.hdf5")
-        snap.save_concept(
-            fn, meta,
-            {name: (sim.pspecs[name], pstate) for name, pstate in state.particles.items()},
-        )
+        comps = {name: (sim.pspecs[name], pstate)
+                 for name, pstate in state.particles.items()}
+        comps.update({name: (sim.fspecs[name], fstate)
+                      for name, fstate in state.fluids.items()})
+        snap.save_concept(fn, meta, comps,
+                          select=cfg.snapshot_select.get("save")
+                          if cfg.snapshot_select else None)
         masterprint(f"Saved snapshot: {fn}")
+    elif kind == "render2D":
+        from concept_tpu.graphics.render import render2D
+
+        n = sim.config.potential_gridsize
+        for name, pstate in state.particles.items():
+            fn = os.path.join(dirname, f"{base}_{name}_{tag}.png")
+            os.makedirs(dirname, exist_ok=True)
+            render2D(pstate.pos, n, cfg.boxsize, filename=fn)
+            masterprint(f"Saved render2D ({name}): {fn}")
 
 
 def dump(cfg: RunConfig, sim, state, a, kind, units, lin):

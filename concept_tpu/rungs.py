@@ -53,20 +53,35 @@ def rung_kick_schedule(max_rung: int):
     return schedule
 
 
+def _pad_suffix(m: int, n: int, quantum: int = 256) -> int:
+    """Round the active-suffix size up to a quantum (bounds the number of
+    distinct jit specializations as rung populations drift)."""
+    return min(n, ((m + quantum - 1) // quantum) * quantum) if m else 0
+
+
 def evolve_rungs_p3m(sim, state, a_begin: float, a_end: float,
                      N_rungs: int = 4, max_steps: int = 10000):
     """Evolve with P³M gravity using adaptive rungs.
 
-    Long-range PM kicks at the base cadence; short-range kicks subcycled.
-    Host-driven schedule (rung populations update each base step); all
-    heavy work in jitted kernels.  Returns (state_with_rungs, a).
+    Long-range PM kicks at the base cadence; short-range kicks subcycled
+    with PER-RUNG COMPACTION: the state is kept sorted by rung during a
+    base step, so the particles whose rungs fire at a substep form a
+    contiguous suffix.  Only that (padded) suffix is bucketized as the
+    RECEIVER set of a one-sided pair sweep against all particles — substep
+    cost scales with the active population, the reference's rung economics
+    (main.py:1347-1443; round 1 evaluated the FULL force every substep).
+    Returns (state_with_rungs, a).
     """
     from concept_tpu.forces import pm as pm_force
-    from concept_tpu.forces.shortrange import shortrange_momentum_updates
+    from concept_tpu.forces.shortrange import (
+        shortrange_momentum_updates, shortrange_momentum_updates_on_subset,
+        cell_counts,
+    )
 
     cfg = sim.config
     bg = sim.bg
     spec = sim.spec
+    N = state.pos.shape[0]
     t = float(bg.t_of_a_np(a_begin))
     t_end = float(bg.t_of_a_np(a_end))
     a = a_begin
@@ -88,6 +103,10 @@ def evolve_rungs_p3m(sim, state, a_begin: float, a_end: float,
         )
         return dmom
 
+    def cap_of(pos_subset) -> int:
+        counts = np.asarray(cell_counts(pos_subset, cfg.boxsize, sim._sr_ncells))
+        return max(8, int(math.ceil((counts.max() + 1) / 8)) * 8)
+
     rungs = state.rungs
     steps = 0
     while t < t_end - 1e-12 * abs(t_end):
@@ -102,33 +121,52 @@ def evolve_rungs_p3m(sim, state, a_begin: float, a_end: float,
                              cfg.softening if cfg.softening > 0 else cfg.boxsize / cfg.potential_gridsize,
                              N_rungs=N_rungs)
         max_rung = int(jnp.max(rungs))
+        # sort the state by rung: active sets become suffixes
+        order = jnp.argsort(rungs)
+        state = state._replace(
+            pos=state.pos[order], mom=state.mom[order],
+            ids=None if state.ids is None else state.ids[order],
+        )
+        rungs = rungs[order]
+        rungs_np = np.asarray(rungs)
+        n_ge = [int((rungs_np >= k).sum()) for k in range(max_rung + 1)]
+        m_pad = [_pad_suffix(m, N) for m in n_ge]
+        sup_cap = cap_of(state.pos)
+
         n_sub = 1 << max_rung
         sub_edges = np.linspace(t, t + dt, n_sub + 1)
         schedule = rung_kick_schedule(max_rung)
-        # interlaced drift/kick: drift each substep, kick fired rungs over
-        # their own straddling interval
+        rungs_i32 = rungs.astype(jnp.int32)
         for i in range(n_sub):
             int_drift = bg.integrals_np(sub_edges[i], sub_edges[i + 1],
                                         keys=("a**(-2)",))["a**(-2)"]
             state = sim._drift(state, jnp.asarray(int_drift, cfg.dtype))
             fired = schedule[i]
-            if fired:
-                kmin = min(fired)
-                span = 1 << (max_rung - kmin)
-                lo_edge = sub_edges[i + 1 - span]
-                # kick intervals per rung: rung k spans 2^(max_rung−k) substeps
-                ints = {}
-                for k in fired:
-                    spank = 1 << (max_rung - k)
-                    lo = sub_edges[i + 1 - spank]
-                    ints[k] = bg.integrals_np(lo, sub_edges[i + 1],
+            if not fired:
+                continue
+            kmin = min(fired)
+            per_rung = np.zeros(N_rungs, dtype=np.float64)
+            for k in fired:
+                spank = 1 << (max_rung - k)
+                lo = sub_edges[i + 1 - spank]
+                per_rung[k] = bg.integrals_np(lo, sub_edges[i + 1],
                                               keys=("a**(-1)",))["a**(-1)"]
-                dm_unit = short_dmom(state.pos, 1.0)
-                per_rung = np.zeros(N_rungs, dtype=np.float64)
-                for k, v in ints.items():
-                    per_rung[k] = v
-                scale = jnp.asarray(per_rung, cfg.dtype)[rungs.astype(jnp.int32)]
-                state = state._replace(mom=state.mom + dm_unit * scale[:, None])
+            Mp = m_pad[kmin]
+            if Mp == 0:
+                continue
+            recv = state.pos[N - Mp:]
+            recv_cap = min(sup_cap, cap_of(recv))
+            dm_unit = shortrange_momentum_updates_on_subset(
+                recv, state.pos, spec.mass, cfg.boxsize,
+                sim._sr_scale, sim._sr_range, n_cells=sim._sr_ncells,
+                capacity_recv=recv_cap, capacity_sup=sup_cap,
+                softening=cfg.softening, G=cfg.G,
+            )
+            # per-rung kick interval; padding rows (rung < kmin) get 0
+            scale = jnp.asarray(per_rung, cfg.dtype)[rungs_i32[N - Mp:]]
+            state = state._replace(
+                mom=state.mom.at[N - Mp:].add(dm_unit * scale[:, None])
+            )
         t += dt
         a = float(bg.a_of_t_np(t))
         steps += 1

@@ -71,6 +71,10 @@ class SimConfig:
     shortrange_capacity: int = 0  # 0 → auto from mean density
     ewald_gridsize: int = 64  # reference default (example_explanatory:210)
     softening: float = 0.0
+    # Δt limiter prefactors (reference Δt_base_background_factor /
+    # Δt_base_nonlinear_factor, main.py:2401-2424)
+    dt_base_background_factor: float = 1.0
+    dt_base_nonlinear_factor: float = 1.0
 
     def derived_shortrange(self):
         scale = self.shortrange_scale
@@ -98,6 +102,17 @@ class Simulation:
         self.bg = bg
         self.lin = lin
         self.dist = dist
+        # validate through the interaction registry (reference
+        # find_interactions/register, interactions.py:2456-2827): unknown
+        # forces/methods fail loudly instead of silently running PM
+        from concept_tpu.forces.registry import get as _force_spec
+
+        gravity = _force_spec("gravity")
+        if config.method not in gravity.methods:
+            raise ValueError(
+                f"gravity has no method {config.method!r} "
+                f"(available: {gravity.methods})"
+            )
         self._ewald_table = None
         if config.method == "pp":
             from concept_tpu.forces.pp import make_ewald_table
@@ -235,11 +250,15 @@ class Simulation:
             if self.spec.N
             else 0.0
         )
+        fac_bg = self.config.dt_base_background_factor
+        fac_nl = self.config.dt_base_nonlinear_factor
         limits = []
         if rho_m_proper > 0:
-            limits.append(FAC_DYNAMICAL / math.sqrt(self.config.G * rho_m_proper))
+            limits.append(
+                fac_bg * FAC_DYNAMICAL / math.sqrt(self.config.G * rho_m_proper)
+            )
         if H > 0:
-            limits.append(FAC_HUBBLE / H)
+            limits.append(fac_bg * FAC_HUBBLE / H)
             # Δa limiters: Δt ≈ Δa/(aH)
             da_max = DELTA_A_MAX_EARLY if a < 0.1 else DELTA_A_MAX_LATE
             limits.append(da_max / (a * H))
@@ -248,10 +267,10 @@ class Simulation:
             # by a fraction of the mesh cell (PM) or the split scale (P³M)
             xdot = v_max / a
             if self.config.method == "p3m":
-                limits.append(FAC_P3M * self._sr_scale / xdot)
+                limits.append(fac_nl * FAC_P3M * self._sr_scale / xdot)
             else:
                 cell = self.config.boxsize / self.config.potential_gridsize
-                limits.append(FAC_PM * cell / xdot)
+                limits.append(fac_nl * FAC_PM * cell / xdot)
         return min(limits) if limits else float("inf")
 
     def evolve_static(self, state: ParticleState, t_total: float,

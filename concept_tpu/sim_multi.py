@@ -53,6 +53,7 @@ class MultiSimulation:
         rho_crit: float | None = None,
         eos: dict | None = None,
         fluid_seeds: dict | None = None,
+        fluid_options: dict | None = None,
     ):
         from concept_tpu.components import EquationOfState
 
@@ -76,6 +77,31 @@ class MultiSimulation:
             for name, s in self.fspecs.items()
         }
         self._fluid_seeds = fluid_seeds or {}
+        # interaction orchestration via the registry (reference
+        # find_interactions, interactions.py:2456-2645): only components
+        # selecting gravity act as PM suppliers/receivers.  Specs without
+        # any force selection (hand-built test setups) default to all.
+        from concept_tpu.forces.registry import find_interactions
+
+        all_specs = list(self.pspecs.values()) + list(self.fspecs.values())
+        groups = find_interactions(all_specs, "long-range")
+        names = {
+            s.name for (force, method, recv, _sup) in groups
+            if force == "gravity" for s in recv
+        }
+        self.gravitating = names or {s.name for s in all_specs}
+        # Kurganov-Tadmor scheme options (reference fluid_options
+        # 'Kurganov-Tadmor' block, param/example_explanatory:406-429)
+        kt_opts = {}
+        for key, val in (fluid_options or {}).items():
+            if key.lower().replace("-", "") == "kurganovtadmor":
+                kt_opts = val
+        def _first(sel, default):
+            if isinstance(sel, dict):
+                return next(iter(sel.values()), default)
+            return sel if sel is not None else default
+        self._kt_rk_order = int(_first(kt_opts.get("Runge-Kutta order"), 2))
+        self._kt_limiter = str(_first(kt_opts.get("flux_limiter_select"), "mc"))
         self._step_jit = jax.jit(self._step)
 
     # ------------------------------------------------------------------ #
@@ -89,6 +115,8 @@ class MultiSimulation:
         slab = None
         grid_p = None
         for name, pstate in state.particles.items():
+            if name not in self.gravitating:
+                continue
             g = deposit(pstate.pos, self.pspecs[name].mass, n, cfg.boxsize,
                         order=cfg.interpolation_order, method=cfg.deposit_method)
             grid_p = g if grid_p is None else grid_p + g
@@ -99,6 +127,8 @@ class MultiSimulation:
                 n, cfg.interpolation_order
             )
         for name, f in state.fluids.items():
+            if name not in self.gravitating:
+                continue
             rho = f.varrho * a ** (-3 * weff[name])
             rho_k = rfft3(rho)
             if rho.shape[0] != n:
@@ -196,6 +226,9 @@ class MultiSimulation:
                         else jnp.concatenate([dmom[name], upd[:, None]], axis=1)
                     )
             for name, f in state.fluids.items():
+                if name not in self.gravitating or f.J is None:
+                    fluid_dJ[name] = None
+                    continue
                 nf = f.varrho.shape[0]
                 phi_f = phi if nf == n else fourier.copy_modes(phi, n, nf, norm=True)
                 gradf = irfft3(fourier.fourier_diff(phi_f, nf, cfg.boxsize, d), nf)
@@ -208,7 +241,7 @@ class MultiSimulation:
             for name, pstate in state.particles.items()
         }
         for name, f in state.fluids.items():
-            if f.J is not None:
+            if f.J is not None and fluid_dJ.get(name):
                 new_fluids[name] = f._replace(
                     J=f.J + jnp.stack(fluid_dJ[name])
                 )
@@ -234,6 +267,7 @@ class MultiSimulation:
                 f.P if f.P is not None else (w[name] * self.light_speed**2) * f.varrho,
                 dt, coef_flux[name], coef_pressure[name], cfg.boxsize,
                 soundspeed, 1.0 / self.light_speed**2,
+                limiter=self._kt_limiter, rk_order=self._kt_rk_order,
                 approx_P_eq_wrho=True, w=w[name], light_speed=self.light_speed,
             )
             new_fluids[name] = FluidState(varrho=rho, J=J, P=P, sigma=f.sigma)

@@ -77,3 +77,34 @@ def test_momentum_updates_engine_equivalence():
                                     engine="pallas", **kw)
     a, b = np.asarray(a), np.asarray(b)
     assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
+
+def test_sweep_pair_one_sided_subset():
+    """One-sided subset force (the rung-subcycling kernel) equals the
+    rows of a direct all-pairs computation, across both engines."""
+    from concept_tpu.forces.shortrange import (
+        shortrange_momentum_updates_on_subset, shortrange_force_factor,
+    )
+
+    rng = np.random.default_rng(4)
+    N, M = 400, 96
+    pos = jnp.asarray(rng.uniform(0, BOX, (N, 3)).astype(np.float32))
+    recv = pos[N - M:]
+    scale, cutoff = 4.0, 18.0
+    # direct reference: force on recv rows from ALL particles
+    p = np.asarray(pos, np.float64)
+    r = p[N - M:]
+    dx = r[:, None, :] - p[None, :, :]
+    dx -= BOX * np.round(dx / BOX)
+    r2 = (dx**2).sum(-1)
+    mask = (r2 > 0) & (r2 < cutoff**2)
+    f = np.where(mask, np.asarray(shortrange_force_factor(
+        jnp.asarray(r2, jnp.float32), scale, 0.0, jnp.float32), np.float64), 0.0)
+    ref = 2.0 * 1.5**2 * (f[..., None] * dx).sum(1)  # G·m²·acc
+    for engine in ("xla", "pallas"):
+        got = np.asarray(shortrange_momentum_updates_on_subset(
+            recv, pos, 1.5, BOX, scale, cutoff, n_cells=5,
+            capacity_recv=32, capacity_sup=32, G=2.0, engine=engine,
+        ))
+        err = np.abs(got - ref).max() / np.abs(ref).max()
+        assert err < 2e-5, (engine, err)

@@ -115,3 +115,53 @@ def test_tipsy_read(tmp_path):
     assert np.isclose(spec.mass, 2.5)
     assert np.isclose(meta.a, 0.5)
     assert np.all((np.asarray(state.pos) >= 0) & (np.asarray(state.pos) <= 1))
+
+
+def test_concept_snapshot_fluid_roundtrip(tmp_path):
+    """Fluid components (ϱ/J/𝒫) round-trip through CONCEPT snapshots
+    (reference ConceptSnapshot fluid datasets, snapshot.py:130-638) —
+    round 1 could not checkpoint a ν-fluid at all."""
+    from concept_tpu.components import ComponentSpec, FluidState
+    from concept_tpu.io import snapshot as snap
+
+    n = 8
+    rng = np.random.default_rng(0)
+    spec = ComponentSpec(name="nu", species="neutrino", representation="fluid",
+                         gridsize=n, w=0.05, boltzmann_order=1)
+    state = FluidState(
+        varrho=rng.uniform(0.5, 2.0, (n, n, n)),
+        J=rng.standard_normal((3, n, n, n)),
+        P=rng.uniform(0.0, 0.1, (n, n, n)),
+    )
+    meta = snap.SnapshotMeta(a=0.3, boxsize=100.0, H0=0.07,
+                             Omega_b=0.049, Omega_cdm=0.27)
+    fn = str(tmp_path / "fluid.hdf5")
+    snap.save_concept(fn, meta, {"nu": (spec, state)})
+    meta2, comps = snap.load_concept(fn)
+    spec2, state2 = comps["nu"]
+    assert spec2.representation == "fluid"
+    assert spec2.gridsize == n and abs(spec2.w - 0.05) < 1e-12
+    np.testing.assert_allclose(state2.varrho, np.asarray(state.varrho))
+    np.testing.assert_allclose(state2.J, np.asarray(state.J))
+    np.testing.assert_allclose(state2.P, np.asarray(state.P))
+
+
+def test_snapshot_select_masks_variables(tmp_path):
+    """snapshot_select save masks (reference param surface
+    snapshot_select, example_explanatory:37-57)."""
+    from concept_tpu.components import ComponentSpec, ParticleState
+    from concept_tpu.io import snapshot as snap
+    import h5py
+
+    spec = ComponentSpec(name="m", species="matter", N=8, mass=1.0)
+    rng = np.random.default_rng(1)
+    state = ParticleState(pos=rng.uniform(0, 1, (8, 3)),
+                          mom=rng.standard_normal((8, 3)))
+    meta = snap.SnapshotMeta(a=1.0, boxsize=1.0, H0=0.07,
+                             Omega_b=0.049, Omega_cdm=0.27)
+    fn = str(tmp_path / "sel.hdf5")
+    snap.save_concept(fn, meta, {"m": (spec, state)},
+                      select={"m": {"pos": True, "mom": False}})
+    with h5py.File(fn, "r") as f:
+        g = f["components/m"]
+        assert "pos" in g and "mom" not in g
