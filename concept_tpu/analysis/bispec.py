@@ -25,13 +25,26 @@ from concept_tpu.grid.interp import deposit
 
 
 def shell_field(delta_slab, gridsize: int, k_center: float, half_width: float,
-                boxsize: float):
-    """irfft of δ(k) restricted to |k| ∈ [k−Δ, k+Δ]."""
+                boxsize: float, antialias: bool = True):
+    """irfft of δ(k) restricted to |k| ∈ [k−Δ, k+Δ].
+
+    antialias: instead of a binary in/out cut, each Fourier cell gets the
+    (linear-ramp approximation of the) fraction of its volume overlapping
+    the shell — the reference's anti-aliased cell-shell overlap weights
+    (analysis.py:2803-3030; the reference integrates the exact overlap,
+    the ramp over one k-cell reproduces it to first order and removes the
+    same mode-count aliasing noise at thin shells)."""
     kfac = 2 * math.pi / boxsize
     kmag = kfac * jnp.sqrt(fourier.k2_int_grid(gridsize).astype(jnp.float32))
-    mask = (kmag >= k_center - half_width) & (kmag < k_center + half_width)
-    return irfft3(jnp.where(mask, delta_slab, 0.0), gridsize), irfft3(
-        jnp.where(mask, 1.0 + 0.0j, 0.0), gridsize
+    if antialias:
+        lo = (kmag - (k_center - half_width)) / kfac + 0.5
+        hi = ((k_center + half_width) - kmag) / kfac + 0.5
+        w = jnp.clip(jnp.minimum(lo, hi), 0.0, 1.0)
+    else:
+        w = ((kmag >= k_center - half_width)
+             & (kmag < k_center + half_width)).astype(jnp.float32)
+    return irfft3(w * delta_slab, gridsize), irfft3(
+        w.astype(jnp.complex64), gridsize
     )
 
 
@@ -86,10 +99,15 @@ def bispec(
     interlace: bool = True,
     shell_fac: float = 0.05,
     deposit_method: str = "scatter",
+    antialias: bool = True,
+    shotnoise_correction: bool = False,
 ):
-    """Measure B(k1,k2,k3).  Returns dict with per-triangle arrays.
+    """Measure B(k1,k2,k3).  Returns dict with per-triangle arrays incl.
+    the reduced bispectrum Q = B/(P₁P₂ + P₂P₃ + P₃P₁) (reference
+    analysis.py:3244-3282).
 
     shell_fac: shell half-width = max(k_fundamental, shell_fac·k).
+    antialias: cell-shell overlap weights (reference analysis.py:2803).
     """
     n = gridsize
     V = boxsize**3
@@ -121,10 +139,12 @@ def bispec(
         key = round(float(k) / kf, 3)
         if key not in cache:
             hw = max(kf, shell_fac * k)
-            cache[key] = shell_field(slab, n, k, hw, boxsize)
+            cache[key] = shell_field(slab, n, k, hw, boxsize,
+                                     antialias=antialias)
         return cache[key]
 
-    out_B, out_T = [], []
+    out_B, out_T, out_Q = [], [], []
+    pcache = {}
     for (k1, k2, k3) in triangles:
         d1, w1 = get_shell(k1)
         d2, w2 = get_shell(k2)
@@ -134,6 +154,7 @@ def bispec(
         if den <= 0:
             out_B.append(np.nan)
             out_T.append(0.0)
+            out_Q.append(np.nan)
             continue
         # Each irfft carries 1/n³; with means over x:
         #   num/den = ⟨δ_dft δ_dft δ_dft⟩ per closed triangle,
@@ -141,9 +162,26 @@ def bispec(
         B = (V**2 / float(n) ** 9) * (num / den)
         out_B.append(B)
         out_T.append(den * float(n) ** 9)
+        Ps = []
+        for k, d, w in ((k1, d1, w1), (k2, d2, w2), (k3, d3, w3)):
+            key = round(float(k) / kf, 3)
+            if key not in pcache:
+                # Parseval: Σ_x d² = (1/n³)Σ_k w²|δ|², Σ_x w(x)² =
+                # (1/n³)Σ_k w_k² ⇒ ⟨|δ|²⟩_shell = Σd²/Σw(x)²;
+                # P = V/n⁶·⟨|δ|²⟩ (powerspec.py normalisation)
+                nume = float(jnp.sum(d * d))
+                dene = float(jnp.sum(w * w))
+                pcache[key] = (V / float(n) ** 6) * (
+                    nume / dene if dene > 0 else np.nan
+                )
+            Ps.append(pcache[key])
+        P1, P2, P3 = Ps
+        hierarchical = P1 * P2 + P2 * P3 + P3 * P1
+        out_Q.append(B / hierarchical if hierarchical > 0 else np.nan)
     return {
         "triangles": np.asarray(triangles),
         "B": np.asarray(out_B),
+        "Q": np.asarray(out_Q),
         "n_triangles": np.asarray(out_T),
     }
 

@@ -68,6 +68,10 @@ class ComponentSpec:
     softening: float = 0.0  # comoving softening length
     forces: tuple = ()  # (('gravity', 'pm'),) etc.
     life: tuple = (0.0, float("inf"))  # (a_activate, a_terminate)
+    # decaying species (reference dcdm, species.py:2812 internal sources;
+    # Γ in inverse cosmic time; decay products credited to ``decay_to``)
+    decay_rate: float = 0.0
+    decay_to: str | None = None
 
     @property
     def w_eff(self) -> float:

@@ -204,10 +204,14 @@ def kt_step(
     approx_P_eq_wrho: bool = False,
     w: float = 0.0,
     light_speed: float = 1.0,
+    sigma=None,
 ):
     """Full KT drift step with RK2 staging (reference fluid.py:103-228):
     step 0 builds the half-step state (starred), step 1 completes the full
-    step from it.  J is (3, n, n, n); P is (n,n,n).
+    step from it.  J is (3, n, n, n); P is (n,n,n).  sigma, when present,
+    is the (frozen or closure-realized) shear ς entering the momentum
+    fluxes (reference boltzmann_order ≥ 2 / 'class' closure semantics,
+    species.py:880-928).
     Returns updated (ϱ, J, P)."""
     def get_P(rho):
         return (w * light_speed**2) * rho if approx_P_eq_wrho else P
@@ -215,7 +219,7 @@ def kt_step(
     if rk_order == 1:
         drho, dJ = kurganov_tadmor_update(
             varrho, list(J), get_P(varrho), dt, coef_flux, coef_pressure,
-            boxsize, soundspeed, c2_inv, limiter,
+            boxsize, soundspeed, c2_inv, limiter, sigma=sigma,
         )
         rho1 = varrho + dt * drho
         J1 = jnp.stack([J[m] + dt * dJ[m] for m in range(3)])
@@ -223,13 +227,13 @@ def kt_step(
     # RK2: half step → starred state; full step evaluated at starred
     drho, dJ = kurganov_tadmor_update(
         varrho, list(J), get_P(varrho), dt, coef_flux, coef_pressure,
-        boxsize, soundspeed, c2_inv, limiter,
+        boxsize, soundspeed, c2_inv, limiter, sigma=sigma,
     )
     rho_s = varrho + 0.5 * dt * drho
     J_s = [J[m] + 0.5 * dt * dJ[m] for m in range(3)]
     drho2, dJ2 = kurganov_tadmor_update(
         rho_s, J_s, get_P(rho_s), dt, coef_flux, coef_pressure,
-        boxsize, soundspeed, c2_inv, limiter,
+        boxsize, soundspeed, c2_inv, limiter, sigma=sigma,
     )
     rho1 = varrho + dt * drho2
     J1 = jnp.stack([J[m] + dt * dJ2[m] for m in range(3)])
@@ -304,12 +308,47 @@ def maccormack_step(
 
 
 def vacuum_correct(varrho, J, rho_floor: float):
-    """Clamp vacuum/negative densities (reference vacuum handling,
-    fluid.py:1079-1363 — the reference redistributes from neighbors; a
-    floor clamp is the jit-friendly first version)."""
+    """Clamp vacuum/negative densities (the jit-friendly fallback; see
+    vacuum_redistribute for the reference-style conservative version)."""
     ok = varrho >= rho_floor
     varrho = jnp.maximum(varrho, rho_floor)
     J = jnp.where(ok[None], J, 0.0)
+    return varrho, J
+
+
+def vacuum_redistribute(varrho, J, rho_vacuum, smoothing: float = 1.0,
+                        passes: int = 2):
+    """Mass-conserving vacuum correction (reference MacCormack vacuum
+    machinery, fluid.py:1079-1363): cells below the vacuum density borrow
+    from their 6 face neighbors through symmetric diffusion fluxes,
+    activated only in the neighborhood of vacuum cells; J is smoothed the
+    same way so momentum stays finite where mass was injected.  A fixed
+    number of passes (the reference's max_vacuum_corrections) keeps the
+    computation jit-shaped; remaining negatives are floor-clamped by the
+    caller.  Total Σϱ is conserved exactly (antisymmetric pair fluxes).
+    """
+    fac = smoothing / 12.0  # ≤ 1/12 per pair keeps the diffusion stable
+
+    def one_pass(carry, _):
+        rho, Jc = carry
+        need = rho < rho_vacuum
+        act = need
+        for axis in range(3):
+            act = act | jnp.roll(need, 1, axis) | jnp.roll(need, -1, axis)
+        w = act.astype(rho.dtype) * fac
+        new_rho = rho
+        new_J = Jc
+        for axis in range(3):
+            for shift in (1, -1):
+                rho_nb = jnp.roll(rho, shift, axis)
+                w_pair = jnp.maximum(w, jnp.roll(w, shift, axis))
+                flux = w_pair * (rho_nb - rho)  # symmetric ⇒ conservative
+                new_rho = new_rho + flux
+                J_nb = jnp.roll(Jc, shift, axis + 1)
+                new_J = new_J + w_pair[None] * (J_nb - Jc)
+        return (new_rho, new_J), None
+
+    (varrho, J), _ = jax.lax.scan(one_pass, (varrho, J), None, length=passes)
     return varrho, J
 
 

@@ -117,11 +117,24 @@ def build_components(cfg: RunConfig, bg, constants):
             if bclosure is None:
                 bclosure = is_selected(s, cfg.select_boltzmann_closure,
                                        default="truncate")
+            # decaying cold dark matter: Γ from the entry or from the
+            # CLASS passthrough Gamma_dcdm (km/s/Mpc — reference dcdm
+            # species, linear.py:3552-3560)
+            decay_rate = float(entry.get("decay rate",
+                                         entry.get("decay_rate", 0.0)))
+            if not decay_rate and ("dcdm" in species or "decaying" in species):
+                gam = cfg.class_params.get("Gamma_dcdm")
+                if gam:
+                    u = cfg.units
+                    km_per_s = constants.light_speed / 299792.458
+                    decay_rate = float(gam) * km_per_s / u.Mpc
             spec = ComponentSpec(
                 name=name, species=species, representation="fluid",
                 gridsize=int(gridsize), w=float(w),
                 boltzmann_order=int(border),
                 boltzmann_closure=str(bclosure),
+                decay_rate=decay_rate,
+                decay_to=entry.get("decay to", entry.get("decay_to")),
             )
             out.append((spec, "realize-fluid"))
         else:

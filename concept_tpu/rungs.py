@@ -60,7 +60,8 @@ def _pad_suffix(m: int, n: int, quantum: int = 256) -> int:
 
 
 def evolve_rungs_p3m(sim, state, a_begin: float, a_end: float,
-                     N_rungs: int = 4, max_steps: int = 10000):
+                     N_rungs: int = 4, max_steps: int = 10000,
+                     stats: dict | None = None):
     """Evolve with P³M gravity using adaptive rungs.
 
     Long-range PM kicks at the base cadence; short-range kicks subcycled
@@ -109,6 +110,9 @@ def evolve_rungs_p3m(sim, state, a_begin: float, a_end: float,
 
     rungs = state.rungs
     steps = 0
+    if stats is not None:
+        stats.setdefault("receiver_rows", 0)  # Σ substep receiver rows
+        stats.setdefault("full_rows", 0)      # what round-1 masking paid
     while t < t_end - 1e-12 * abs(t_end):
         dt = min(sim.timestep_size(a), t_end - t)
         # long-range kick over the full base step (base cadence)
@@ -121,6 +125,8 @@ def evolve_rungs_p3m(sim, state, a_begin: float, a_end: float,
                              cfg.softening if cfg.softening > 0 else cfg.boxsize / cfg.potential_gridsize,
                              N_rungs=N_rungs)
         max_rung = int(jnp.max(rungs))
+        if stats is not None:
+            stats["max_rung"] = max(stats.get("max_rung", 0), max_rung)
         # sort the state by rung: active sets become suffixes
         order = jnp.argsort(rungs)
         state = state._replace(
@@ -152,6 +158,9 @@ def evolve_rungs_p3m(sim, state, a_begin: float, a_end: float,
                 per_rung[k] = bg.integrals_np(lo, sub_edges[i + 1],
                                               keys=("a**(-1)",))["a**(-1)"]
             Mp = m_pad[kmin]
+            if stats is not None:
+                stats["receiver_rows"] += Mp
+                stats["full_rows"] += N
             if Mp == 0:
                 continue
             recv = state.pos[N - Mp:]

@@ -173,7 +173,9 @@ class MultiSimulation:
 
     def _apply_realize_if_linear(self, state: MultiState, a, weff, w):
         """Re-realize the linear fluid scalars before the force evaluation
-        (reference kick_long → realize_if_linear cadence, main.py:1104)."""
+        (reference kick_long → realize_if_linear cadence, main.py:1104).
+        boltzmann_order −1: ϱ; order 0 'class': + J; order 1 'class':
+        + the linear closure 𝒫 (reference species.py:880-928 table)."""
         new_fluids = dict(state.fluids)
         for name, f in state.fluids.items():
             spec = self.fspecs[name]
@@ -185,6 +187,43 @@ class MultiSimulation:
             elif spec.boltzmann_order == 0:
                 new_fluids[name] = self._realize_linear(
                     name, a, weff[name], w[name], f, want_J=True)
+            elif spec.boltzmann_order == 1 and f.P is not None:
+                # linear 𝒫 closure: 𝒫 = w·c²·ϱ̄(1+δ_lin) from the
+                # component's own linear realization (tables' δP when a
+                # CLASS source is installed; the P = wρ form otherwise —
+                # reference linear closure, species.py:911-916)
+                lin_state = self._realize_linear(
+                    name, a, weff[name], w[name],
+                    FluidState(varrho=f.varrho, J=None,
+                               P=f.P, sigma=None),
+                    want_J=False)
+                new_fluids[name] = f._replace(P=lin_state.P)
+        return MultiState(particles=state.particles, fluids=new_fluids)
+
+    def _apply_internal_sources(self, state: MultiState, decay_fac: dict,
+                                decay_gain: dict):
+        """Decaying-species internal sources (reference
+        apply_internal_sources, species.py:2812): over a step, comoving
+        ϱ_dcdm(t) = ϱ e^{−ΓΔt} exactly (matter-like dcdm), with the lost
+        energy credited to the ``decay_to`` companion as
+        Δϱ_r = Γ·ϱ_d(t₀)·ᔑ a·e^{−Γ(t−t₀)} dt (radiation comoving scaling).
+        decay_fac / decay_gain: host-computed per-fluid scalars."""
+        if not decay_fac:
+            return state
+        new_fluids = dict(state.fluids)
+        for name, fac in decay_fac.items():
+            f = new_fluids[name]
+            new_fluids[name] = f._replace(
+                varrho=f.varrho * fac,
+                J=None if f.J is None else f.J * fac,
+                P=None if f.P is None else f.P * fac,
+            )
+            target = self.fspecs[name].decay_to
+            if target and target in new_fluids:
+                g = new_fluids[target]
+                new_fluids[target] = g._replace(
+                    varrho=g.varrho + decay_gain[name] * f.varrho
+                )
         return MultiState(particles=state.particles, fluids=new_fluids)
 
     def _fluid_rho_mean(self, name: str) -> float:
@@ -261,20 +300,44 @@ class MultiSimulation:
             if f.J is None:
                 new_fluids[name] = f
                 continue
+            spec = self.fspecs[name]
             soundspeed = self.light_speed * jnp.sqrt(jnp.abs(w[name])) / a
+            # 𝒫 handling per boltzmann_order/closure (reference table,
+            # species.py:880-928): evolved/realized 𝒫 (order ≥ 2 frozen,
+            # or order 1 'class' re-realized) enters the fluxes as stored;
+            # otherwise the P = wϱc² approximation.
+            own_P = (
+                spec.boltzmann_order >= 2
+                or (spec.boltzmann_order == 1
+                    and spec.boltzmann_closure == "class")
+            ) and f.P is not None
+            sigma_mat = None
+            if f.sigma is not None:
+                s6 = f.sigma  # packed (xx,xy,xz,yy,yz,zz)
+                _idx = {(0, 0): 0, (0, 1): 1, (0, 2): 2,
+                        (1, 1): 3, (1, 2): 4, (2, 2): 5}
+                sigma_mat = [
+                    [s6[_idx[tuple(sorted((m, ax)))]] for ax in range(3)]
+                    for m in range(3)
+                ]
             rho, J, P = kt_step(
                 f.varrho, f.J,
                 f.P if f.P is not None else (w[name] * self.light_speed**2) * f.varrho,
                 dt, coef_flux[name], coef_pressure[name], cfg.boxsize,
                 soundspeed, 1.0 / self.light_speed**2,
                 limiter=self._kt_limiter, rk_order=self._kt_rk_order,
-                approx_P_eq_wrho=True, w=w[name], light_speed=self.light_speed,
+                approx_P_eq_wrho=not own_P, w=w[name],
+                light_speed=self.light_speed, sigma=sigma_mat,
             )
+            if own_P and spec.boltzmann_order >= 2:
+                P = f.P  # frozen (reference: no 𝒫 evolution equation)
             new_fluids[name] = FluidState(varrho=rho, J=J, P=P, sigma=f.sigma)
         return MultiState(particles=particles, fluids=new_fluids)
 
     def _step(self, state, int_kick, int_a2, dt, coef_flux, coef_pressure, a,
-              weff, w):
+              weff, w, decay_fac=None, decay_gain=None):
+        state = self._apply_internal_sources(state, decay_fac or {},
+                                             decay_gain or {})
         state = self._kick(state, int_kick, a, weff, w)
         return self._drift(state, int_a2, dt, coef_flux, coef_pressure, a, w)
 
@@ -340,6 +403,25 @@ class MultiSimulation:
             wv[name] = jnp.asarray(e.w_np(a_kick), dtype)
         return coef_flux, coef_pressure, weff, wv
 
+    def decay_step_scalars(self, t0, t1):
+        """Per-fluid decay factors over [t0, t1] (see
+        _apply_internal_sources; reference 'a**(-3*w_eff)*Γ/H' integral
+        keys, main.py:1002-1025)."""
+        import math as _math
+
+        dtype = self.config.dtype
+        decay_fac, decay_gain = {}, {}
+        for name, spec in self.fspecs.items():
+            if spec.decay_rate <= 0:
+                continue
+            G = spec.decay_rate
+            dt = t1 - t0
+            decay_fac[name] = jnp.asarray(_math.exp(-G * dt), dtype)
+            gain = G * self.bg.integral_custom_np(
+                t0, t1, lambda av: av) * _math.exp(-0.5 * G * dt)
+            decay_gain[name] = jnp.asarray(gain, dtype)
+        return decay_fac, decay_gain
+
     def evolve(self, state: MultiState, a_begin: float, a_end: float,
                max_steps: int = 100000):
         bg = self.bg
@@ -362,6 +444,7 @@ class MultiSimulation:
             coef_flux, coef_pressure, weff, wv = fluid_scalars(
                 t, t + dt, a_kick, dt
             )
+            decay_fac, decay_gain = self.decay_step_scalars(t, t + dt)
             state = self._step_jit(
                 state,
                 jnp.asarray(int_kick, dtype),
@@ -372,6 +455,8 @@ class MultiSimulation:
                 jnp.asarray(a_kick, dtype),
                 weff,
                 wv,
+                decay_fac,
+                decay_gain,
             )
             t_mom = t_mid
             t += dt

@@ -116,3 +116,41 @@ def test_render3d(tmp_path):
     pos = rng.uniform(0, 10.0, (2000, 3)).astype(np.float32)
     fn = render3D(pos, 10.0, str(tmp_path / "r3d.png"), resolution=200)
     assert (tmp_path / "r3d.png").exists()
+
+
+def test_bispec_reduced_Q_gaussian():
+    """Reduced bispectrum Q of a Gaussian random field is consistent with
+    zero (reference reduced bispectrum, analysis.py:3244-3282)."""
+    rng = np.random.default_rng(5)
+    box = 100.0
+    n = 32
+    N = 4096
+    pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
+    out = bispec([pos], [1.0], n, box, configuration="equilateral 4")
+    assert "Q" in out and out["Q"].shape == out["B"].shape
+    finite = np.isfinite(out["Q"])
+    assert finite.any()
+    # Poisson points: B is pure shot noise; Q = B/(ΣPP) stays O(1)
+    assert np.all(np.abs(out["Q"][finite]) < 50)
+
+
+def test_bispec_antialias_improves_mode_counts():
+    """Anti-aliased shell weights give triangle counts at least as close
+    to the analytic expectation as the binary cut (reference anti-aliased
+    cell-shell overlap, analysis.py:2803-3030)."""
+    box = 100.0
+    n = 32
+    kf = 2 * math.pi / box
+    pos = jnp.asarray(
+        np.random.default_rng(0).uniform(0, box, (512, 3)).astype(np.float32)
+    )
+    k = 8 * kf
+    tri = [(k, k, k)]
+    hw = kf
+    expect = 8 * math.pi**2 * (k**3) * (2 * hw) ** 3 * box**6 / (2 * math.pi) ** 6
+    errs = {}
+    for aa in (False, True):
+        out = bispec([pos], [1.0], n, box, configuration=tri, shell_fac=0.0,
+                     antialias=aa)
+        errs[aa] = abs(out["n_triangles"][0] / expect - 1)
+    assert errs[True] <= errs[False] * 1.2  # never much worse, usually better

@@ -72,3 +72,29 @@ def test_distributed_evolution_matches_single():
     d = np.minimum(d, box - d)
     cell = box / n_grid
     assert np.max(d) < 1e-3 * cell, f"max pos diff {np.max(d)/cell} cells"
+
+
+def test_pencil_2d_fft_roundtrip_matches_single():
+    """2D pencil decomposition (GridDistribution2D) matches the
+    single-device transform — lifts the 1D slab n_devices ≤ gridsize
+    limit (reference fft.c:34-73; SURVEY §5.7)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+    from concept_tpu.grid.fft import rfft3, irfft3, GridDistribution2D
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("a", "b"))
+    dist = GridDistribution2D(mesh=mesh, axis_a="a", axis_b="b")
+    n = 16
+    rng = np.random.default_rng(3)
+    grid = jnp.asarray(rng.standard_normal((n, n, n)).astype(np.float32))
+    gd = jax.device_put(grid, dist.real_sharding())
+    slab = rfft3(gd, dist)
+    ref = jnp.fft.rfftn(grid)
+    np.testing.assert_allclose(np.asarray(slab), np.asarray(ref),
+                               rtol=2e-4, atol=2e-3)
+    back = irfft3(slab, n, dist)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(grid),
+                               rtol=2e-4, atol=2e-5)

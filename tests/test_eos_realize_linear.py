@@ -140,3 +140,52 @@ def test_order0_class_realizes_J(cosmo):
     out = sim._apply_realize_if_linear(state, jnp.float32(0.5), weff, w)
     J = np.asarray(out.fluids["f"].J)
     assert np.abs(J).max() > 0  # J realized, not left at zero
+
+
+def test_dcdm_decay_conserves_energy_books(cosmo):
+    """Decaying dark matter: ϱ_dcdm decays exactly as e^{−ΓΔt} and the
+    companion radiation fluid gains the a-weighted energy (reference
+    apply_internal_sources, species.py:2812)."""
+    bg, lin = cosmo
+    n = 8
+    G = constants.G_Newton
+    rho_crit = bg.rho_crit_of(G)
+    gamma = 0.5 / float(bg.t_of_a_np(1.0))  # decays on ~2 Hubble times
+    dcdm = ComponentSpec(name="dcdm", species="dcdm", representation="fluid",
+                         gridsize=n, w=0.0, boltzmann_order=1,
+                         decay_rate=gamma, decay_to="dr")
+    dr = ComponentSpec(name="dr", species="radiation", representation="fluid",
+                       gridsize=n, w=1 / 3, boltzmann_order=-1)
+    cfg = SimConfig(boxsize=100 * units.Mpc, potential_gridsize=n, G=G)
+    sim = MultiSimulation(None, [dcdm, dr], cfg, bg, lin,
+                          light_speed=constants.light_speed,
+                          fluid_Omegas={"dcdm": 0.27, "dr": 1e-5},
+                          rho_crit=rho_crit)
+    t0 = float(bg.t_of_a_np(0.5))
+    t1 = float(bg.t_of_a_np(0.55))
+    fac, gain = sim.decay_step_scalars(t0, t1)
+    assert np.isclose(float(fac["dcdm"]), math.exp(-gamma * (t1 - t0)),
+                      rtol=1e-6)
+    assert float(gain["dcdm"]) > 0
+    # applying the sources moves comoving density dcdm → dr
+    f_d = FluidState(varrho=jnp.full((n, n, n), 2.0, jnp.float32),
+                     J=jnp.zeros((3, n, n, n), jnp.float32))
+    f_r = FluidState(varrho=jnp.full((n, n, n), 0.1, jnp.float32))
+    state = MultiState(particles={}, fluids={"dcdm": f_d, "dr": f_r})
+    out = sim._apply_internal_sources(state, fac, gain)
+    assert float(out.fluids["dcdm"].varrho[0, 0, 0]) < 2.0
+    assert float(out.fluids["dr"].varrho[0, 0, 0]) > 0.1
+
+
+def test_vacuum_redistribute_conserves_mass():
+    from concept_tpu.fluid import vacuum_redistribute
+
+    rng = np.random.default_rng(2)
+    n = 16
+    rho = jnp.asarray(rng.uniform(0.5, 2.0, (n, n, n)).astype(np.float32))
+    rho = rho.at[3, 4, 5].set(-0.3)  # a vacuum cell
+    J = jnp.asarray(rng.standard_normal((3, n, n, n)).astype(np.float32))
+    total0 = float(jnp.sum(rho))
+    rho2, J2 = vacuum_redistribute(rho, J, rho_vacuum=0.01)
+    assert np.isclose(float(jnp.sum(rho2)), total0, rtol=1e-5)
+    assert float(rho2[3, 4, 5]) > float(rho[3, 4, 5])  # filled toward ok
