@@ -217,6 +217,76 @@ def tabulate_eh(lin, k=None, a=None, species=("matter", "cb", "nu")):
                           aux=aux, gauge="synchronous")
 
 
+def construct_metric_delta(tables: TransferTables, bg, G_Newton: float,
+                           light_speed: float, rho_metric: float):
+    """Add the 'metric' fictitious species δ (synchronous gauge) to the
+    tables — the N-body gauge GR correction as an effective density
+    (reference construct_delta_metric, linear.py:845-906):
+
+        k²γ  = −aH(a·∂ₐH_Tʹ + H_Tʹ) + k²(φ − ψ)
+        δᴺᵇ  = k²γ / (4πG a² ρ̄_metric)
+        δˢ   = δᴺᵇ − 3aH/c²·θ_tot/k²            (w_metric = 0)
+
+    Requires aux tables 'H_T_prime', 'phi', 'psi', 'theta_tot' (the
+    reference gets H_Tʹ from its patched CLASS; stock classy lacks it, so
+    this path activates only when the table source provides them).
+    rho_metric: the arbitrary constant comoving mean density ϱ̄ assigned
+    to the species (δ scales inversely; ϱ̄δ is what gravitates).
+    """
+    for key in ("H_T_prime", "phi", "psi", "theta_tot"):
+        if key not in tables.aux:
+            raise ValueError(f"metric species needs aux[{key!r}]")
+    a = tables.a
+    k = tables.k
+    H = np.asarray([float(bg.hubble_np(ai)) for ai in a])
+    aH = a * H
+    HT = np.asarray(tables.aux["H_T_prime"], np.float64)
+    dHT_da = np.gradient(HT, a, axis=0)
+    phi = np.asarray(tables.aux["phi"], np.float64)
+    psi = np.asarray(tables.aux["psi"], np.float64)
+    theta_tot = np.asarray(tables.aux["theta_tot"], np.float64)
+    k2 = k[None, :] ** 2
+    k2_gamma = -(aH)[:, None] * (a[:, None] * dHT_da + HT) + k2 * (phi - psi)
+    rho_bar = rho_metric / a**3  # matter-like background convention
+    delta_nb = k2_gamma / (4 * math.pi * G_Newton * (a**2 * rho_bar)[:, None])
+    delta_s = delta_nb - (3 * aH / light_speed**2)[:, None] * theta_tot / k2
+    tables.tables[("metric", "delta")] = delta_s
+    return tables
+
+
+def construct_lapse_delta(tables: TransferTables, bg, G_Newton: float,
+                          light_speed: float, rho_lapse: float):
+    """Add the 'lapse' fictitious species δ (synchronous gauge) — the GR
+    correction potential for decaying species (reference
+    construct_delta_lapse, linear.py:908-985):
+
+        k²γ_lapse = −⅓a(aH·∂ₐH_Tʹ + (H − Ḣ/H)·H_Tʹ)
+        δᴺᵇ = k²γ_lapse/(4πG a² ρ̄_lapse);  δˢ likewise gauge-shifted.
+    """
+    for key in ("H_T_prime", "theta_tot"):
+        if key not in tables.aux:
+            raise ValueError(f"lapse species needs aux[{key!r}]")
+    a = tables.a
+    k = tables.k
+    H = np.asarray([float(bg.hubble_np(ai)) for ai in a])
+    # Ḣ = ä/a − H²
+    addot = np.asarray([float(bg.addot_np(ai)) for ai in a])
+    Hdot = addot / a - H**2
+    aH = a * H
+    HT = np.asarray(tables.aux["H_T_prime"], np.float64)
+    dHT_da = np.gradient(HT, a, axis=0)
+    theta_tot = np.asarray(tables.aux["theta_tot"], np.float64)
+    k2 = k[None, :] ** 2
+    k2_gamma = -(a / 3.0)[:, None] * (
+        (aH)[:, None] * dHT_da + (H - Hdot / H)[:, None] * HT
+    )
+    rho_bar = rho_lapse / a**3
+    delta_nb = k2_gamma / (4 * math.pi * G_Newton * (a**2 * rho_bar)[:, None])
+    delta_s = delta_nb - (3 * aH / light_speed**2)[:, None] * theta_tot / k2
+    tables.tables[("lapse", "delta")] = delta_s
+    return tables
+
+
 def tabulate_class(bridge, lin_norm, k=None, a=None,
                    species_map=None):
     """TransferTables from a ClassBridge (classy).
@@ -237,8 +307,11 @@ def tabulate_class(bridge, lin_norm, k=None, a=None,
     if a is None:
         a = np.logspace(-3, 0, 120)
     tabs = {}
-    aux_tt = []
-    aux_hp = []
+    aux_rows = {"theta_tot": [], "h_prime": [], "phi": [], "psi": [],
+                "H_T_prime": []}
+    aux_keys = {"theta_tot": ("t_tot", 1), "h_prime": ("h_prime", 1),
+                "phi": ("phi", 0), "psi": ("psi", 0),
+                "H_T_prime": ("H_T_prime", 1)}
     k_int = None
     rows = {name: [] for name in set(species_map.values())}
     rows_t = {name: [] for name in set(species_map.values())}
@@ -253,18 +326,18 @@ def tabulate_class(bridge, lin_norm, k=None, a=None,
                 tkey = "t" + ckey[1:]
                 if tkey in tr:
                     rows_t[name].append(np.asarray(tr[tkey], np.float64) / Mpc)
-        aux_tt.append(np.asarray(tr.get("t_tot", np.zeros_like(k_mpc)),
-                                 np.float64) / Mpc)
-        if "h_prime" in tr:
-            aux_hp.append(np.asarray(tr["h_prime"], np.float64) / Mpc)
+        for name, (ckey, per_mpc) in aux_keys.items():
+            if ckey in tr:
+                val = np.asarray(tr[ckey], np.float64)
+                aux_rows[name].append(val / Mpc if per_mpc else val)
+            elif name == "theta_tot":
+                aux_rows[name].append(np.zeros_like(k_mpc))
     for name, lst in rows.items():
         if lst:
             tabs[(name, "delta")] = np.stack(lst)
     for name, lst in rows_t.items():
         if lst:
             tabs[(name, "theta")] = np.stack(lst)
-    aux = {"theta_tot": np.stack(aux_tt)}
-    if aux_hp:
-        aux["h_prime"] = np.stack(aux_hp)
+    aux = {name: np.stack(lst) for name, lst in aux_rows.items() if lst}
     return TransferTables(k=k_int, a=np.asarray(a), tables=tabs, aux=aux,
                           gauge="synchronous")

@@ -161,3 +161,45 @@ def test_class_bridge_with_fake_classy(tmp_path, monkeypatch, lin):
     nb = tables.to_gauge("nbody", lin.bg, constants.light_speed)
     assert nb.gauge == "nbody"
     assert nb.has("matter", "theta")
+
+
+def test_metric_and_lapse_species_construction(lin):
+    """Fictitious metric/lapse species δ from metric perturbation tables
+    (reference construct_delta_metric/lapse, linear.py:845-985): verified
+    against the hand formulas on synthetic H_Tʹ/φ/ψ/θ_tot tables."""
+    from concept_tpu.cosmology.boltzmann import (
+        TransferTables, construct_metric_delta, construct_lapse_delta,
+        k_grid_log,
+    )
+
+    k = k_grid_log(1e-3 / lin.Mpc, 1.0 / lin.Mpc, 12)
+    a = np.logspace(-2, 0, 30)
+    Na, Nk = len(a), len(k)
+    rng = np.random.default_rng(0)
+    HT = np.outer(a, k)  # smooth synthetic H_Tʹ(a, k)
+    phi = np.outer(np.ones(Na), 1 / k**2)
+    psi = 0.9 * phi
+    theta = -np.outer(a**0.5, k)
+    tabs = TransferTables(k=k, a=a, tables={},
+                          aux={"H_T_prime": HT, "phi": phi, "psi": psi,
+                               "theta_tot": theta})
+    G = constants.G_Newton
+    c = constants.light_speed
+    rho_m = 1.7
+    construct_metric_delta(tabs, lin.bg, G, c, rho_m)
+    assert tabs.has("metric", "delta")
+    # hand formula at one (a, k) point (interior, away from edges)
+    ia, ik = 10, 5
+    H = float(lin.bg.hubble_np(a[ia]))
+    dHT_da = np.gradient(HT, a, axis=0)[ia, ik]
+    k2g = -a[ia] * H * (a[ia] * dHT_da + HT[ia, ik]) + k[ik] ** 2 * (
+        phi[ia, ik] - psi[ia, ik]
+    )
+    rho_bar = rho_m / a[ia] ** 3
+    expect = k2g / (4 * np.pi * G * a[ia] ** 2 * rho_bar)
+    expect -= 3 * a[ia] * H / c**2 * theta[ia, ik] / k[ik] ** 2
+    np.testing.assert_allclose(tabs.tables[("metric", "delta")][ia, ik],
+                               expect, rtol=1e-12)
+    construct_lapse_delta(tabs, lin.bg, G, c, rho_m)
+    assert tabs.has("lapse", "delta")
+    assert np.isfinite(tabs.tables[("lapse", "delta")]).all()
