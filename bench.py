@@ -119,7 +119,7 @@ def bench_p3m(n_part=256):
     return (time.perf_counter() - t0) / n_iter
 
 
-def bench_pm_sustained(n_grid=128, a_end=0.2):
+def bench_pm_sustained(n_grid=256, a_end=0.2):
     """Sustained PM throughput on an EVOLVING (clustering) state: 2LPT ICs
     evolved to z = 1/a_end − 1, then the mean of the next 10 steps —
     includes stragglers, rebucketing and capacity growth (the round-1
@@ -140,7 +140,7 @@ def bench_pm_sustained(n_grid=128, a_end=0.2):
         Omega_cdm=0.27, light_speed=constants.light_speed, Mpc=units.Mpc,
     )
     G = constants.G_Newton
-    box = 128 * units.Mpc
+    box = n_grid * units.Mpc  # 1 Mpc mean separation: nonlinear by z=4
     N = n_grid**3
     mass = particle_mass(0.319, bg.rho_crit_of(G), box, N)
     spec = ComponentSpec(name="m", species="matter", N=N, mass=mass)
@@ -173,8 +173,9 @@ def main():
     target = 1e8  # particle-updates/s/chip (BASELINE.json north star)
     extra = {}
     try:
-        dt = bench_pm_sustained(128)
-        extra["pm_sustained_clustered_128_updates_per_s"] = 128**3 / dt
+        ng = 256  # gridsize 128 crashes this libtpu build's compile helper
+        dt = bench_pm_sustained(ng)
+        extra[f"pm_sustained_clustered_{ng}_updates_per_s"] = ng**3 / dt
     except Exception as e:  # noqa: BLE001
         print(f"# sustained bench failed: {type(e).__name__}: {str(e)[:200]}",
               file=sys.stderr)
