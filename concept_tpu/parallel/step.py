@@ -69,3 +69,87 @@ def replicate(arr, dist: GridDistribution):
     return jax.lax.with_sharding_constraint(
         arr, NamedSharding(dist.mesh, P(*([None] * arr.ndim)))
     )
+
+
+def sort_to_slabs(pos, dist: GridDistribution, boxsize: float,
+                  capacity: int | None = None):
+    """Re-shard particles so device i holds exactly the particles of
+    x-slab i — the TPU analogue of the reference's exchange()
+    (communication.py:135), done as one global sort + fixed-capacity
+    padding instead of data-dependent message passing.
+
+    Returns (pos_slabbed (d·C, 3) sharded P(ax, None), weight (d·C,)
+    with 0 for padding rows, n_overflow).  Padding rows carry position 0
+    of their own slab (deposits nothing: weight 0).  Overflowing
+    particles (slab count > capacity) are DROPPED from the output —
+    callers must check n_overflow and re-run with a larger capacity.
+    """
+    d = dist.n_devices
+    N = pos.shape[0]
+    C = capacity or (2 * N) // d
+    slab_w = boxsize / d
+    owner = jnp.clip((pos[:, 0] / slab_w).astype(jnp.int32), 0, d - 1)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    owner_s, px, py, pz = jax.lax.sort(
+        [owner, pos[:, 0], pos[:, 1], pos[:, 2]], num_keys=1
+    )
+    starts = jnp.searchsorted(owner_s, jnp.arange(d, dtype=jnp.int32))
+    rank = jnp.arange(N) - starts[owner_s]
+    ok = rank < C
+    slot = jnp.where(ok, owner_s * C + rank, d * C)
+    out = jnp.zeros((d * C, 3), pos.dtype)
+    vals = jnp.stack([px, py, pz], axis=1)
+    out = out.at[slot].set(vals, mode="drop", unique_indices=True)
+    w = jnp.zeros((d * C,), pos.dtype).at[slot].set(1.0, mode="drop",
+                                                    unique_indices=True)
+    n_overflow = N - jnp.sum(ok)
+    # padding rows sit at x = slab center of their own slab (weight 0)
+    slab_center = (jnp.arange(d * C) // C).astype(pos.dtype) * slab_w + 0.5 * slab_w
+    out = jnp.where(w[:, None] > 0, out, slab_center[:, None] * jnp.asarray([1.0, 0.0, 0.0], pos.dtype) + 0.5 * boxsize * jnp.asarray([0.0, 1.0, 1.0], pos.dtype))
+    out = jax.lax.with_sharding_constraint(out, particle_sharding(dist))
+    w = jax.lax.with_sharding_constraint(
+        w, NamedSharding(dist.mesh, P(dist.axis))
+    )
+    return out, w, n_overflow
+
+
+def deposit_distributed_halo(pos, weight, quantity, gridsize: int,
+                             boxsize: float, order: int,
+                             dist: GridDistribution,
+                             deposit_method: str = "scatter"):
+    """Halo-exchange deposit: particles must be slab-resident (see
+    sort_to_slabs).  Each device deposits locally, keeps its own slab
+    rows and ships only the ``halo`` boundary planes to its neighbors
+    via ppermute — 2·halo·n² ICI traffic per device instead of the full
+    n³ psum_scatter (the reference's communicate_ghosts '+=' pattern,
+    communication.py:563).
+    """
+    ax = dist.axis
+    d = dist.n_devices
+    n = gridsize
+    assert n % d == 0
+    rows = n // d
+    halo = max(1, (order + 1) // 2)
+    assert halo <= rows
+
+    def kernel(pos_local, w_local):
+        i = jax.lax.axis_index(ax)
+        g = deposit(pos_local, quantity * w_local, n, boxsize, order=order,
+                    method=deposit_method)
+        start = i * rows
+        own = jax.lax.dynamic_slice(g, (start, 0, 0), (rows, n, n))
+        lo = jax.lax.dynamic_slice(g, ((start - halo) % n, 0, 0), (halo, n, n))
+        hi = jax.lax.dynamic_slice(g, ((start + rows) % n, 0, 0), (halo, n, n))
+        # my 'hi' planes belong to device i+1's first rows; send forward
+        from_prev = jax.lax.ppermute(hi, ax, [(j, (j + 1) % d) for j in range(d)])
+        from_next = jax.lax.ppermute(lo, ax, [(j, (j - 1) % d) for j in range(d)])
+        own = own.at[:halo].add(from_prev)
+        own = own.at[rows - halo:].add(from_next)
+        return own
+
+    return shard_map(
+        kernel,
+        mesh=dist.mesh,
+        in_specs=(P(ax, None), P(ax)),
+        out_specs=P(ax, None, None),
+    )(pos, weight)

@@ -276,10 +276,17 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
 def canonicalize_potential_options(value, cfg: RunConfig) -> dict:
     """potential_options may be an int (the global grid size), or a dict
     (reference param/example_explanatory:163-208).  Canonical form:
-    {'gridsize': int, 'interpolation': order, 'deconvolve': (bool,bool),
-    'interlace': (bool,bool), 'differentiation': order}."""
+    {'gridsize': int, 'gridsize_per_method': {'pm': int, 'p3m': int},
+    'interpolation': order, 'deconvolve': (bool,bool),
+    'interlace': (bool,bool), 'differentiation': order}.
+
+    Per-method grid sizes (reference 'gridsize': {'global': {'gravity':
+    {'pm': n1, 'p3m': n2}}}) are preserved so the PM potential of a
+    mixed run and the P³M long-range mesh can differ (reference
+    multigrid semantics, mesh.py:808/1018)."""
     out = dict(
         gridsize=None,
+        gridsize_per_method={},
         interpolation=2,
         deconvolve=(True, True),
         interlace=False,
@@ -290,7 +297,19 @@ def canonicalize_potential_options(value, cfg: RunConfig) -> dict:
     elif isinstance(value, dict):
         gs = value.get("gridsize", None)
         if isinstance(gs, dict):
-            # e.g. {'global': n} or per-force dicts — take the max int found
+            # walk nested dicts collecting per-method sizes
+            per_method = {}
+
+            def walk(d):
+                for k, v in d.items():
+                    if isinstance(v, dict):
+                        walk(v)
+                    elif isinstance(v, (int, float)) and str(k) in (
+                        "pm", "p3m", "pp", "ppnonperiodic"
+                    ):
+                        per_method[str(k)] = int(v)
+            walk(gs)
+            out["gridsize_per_method"] = per_method
             ints = [v for v in _flatten(gs) if isinstance(v, (int, float))]
             out["gridsize"] = int(max(ints)) if ints else None
         elif gs is not None:

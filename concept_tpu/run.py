@@ -258,7 +258,8 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
     method = spec.force_method("gravity") or "p3m"
 
     pot = cfg.potential_options
-    gridsize = pot.get("gridsize") or (
+    per_method = pot.get("gridsize_per_method", {})
+    gridsize = per_method.get(method) or pot.get("gridsize") or (
         2 * round(spec.N ** (1 / 3)) if method == "p3m" else round(spec.N ** (1 / 3))
     )
     softening = 0.025 * cfg.boxsize / spec.N ** (1 / 3)
@@ -383,7 +384,11 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
               if src == "realize" and s.representation == "particles"]
     fspecs = [with_life(s) for s, src in comps if src == "realize-fluid"]
     pot = cfg.potential_options
-    gridsize = pot.get("gridsize") or max(
+    # the shared PM potential uses the 'pm' per-method size when given
+    # (reference multigrid: pm/p3m grids differ, param/example_nonlinnu)
+    gridsize = pot.get("gridsize_per_method", {}).get("pm") or pot.get(
+        "gridsize"
+    ) or max(
         [2 * round(s.N ** (1 / 3)) for s in pspecs]
         + [s.gridsize for s in fspecs]
     )

@@ -98,3 +98,35 @@ def test_pencil_2d_fft_roundtrip_matches_single():
     back = irfft3(slab, n, dist)
     np.testing.assert_allclose(np.asarray(back), np.asarray(grid),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_halo_exchange_deposit_matches_psum_scatter():
+    """sort_to_slabs + halo-plane deposit equals the full psum_scatter
+    deposit (boundary-planes-only ICI traffic — reference
+    communicate_ghosts '+=', communication.py:563)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from concept_tpu.grid.fft import GridDistribution
+    from concept_tpu.parallel.step import (
+        deposit_distributed, deposit_distributed_halo, sort_to_slabs,
+        particle_sharding,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    dist = GridDistribution(mesh=mesh, axis="x")
+    n = 16
+    box = 100.0
+    rng = np.random.default_rng(4)
+    N = 2048
+    pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
+    pos_sh = jax.device_put(pos, particle_sharding(dist))
+    ref = deposit_distributed(pos_sh, 1.0, n, box, order=2, dist=dist)
+    slabbed, w, nover = sort_to_slabs(pos, dist, box)
+    assert int(nover) == 0
+    got = deposit_distributed_halo(slabbed, w, 1.0, n, box, order=2,
+                                   dist=dist)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert np.isclose(float(jnp.sum(got)), N, rtol=1e-6)

@@ -218,3 +218,19 @@ primordial_spectrum = {'A_s': 2.1e-9, 'n_s': 0.96}
     assert not list(out.glob("powerspec_late fluid_a=0.15*"))
     assert not list(out.glob("powerspec_late fluid_a=0.3*"))
     assert list(out.glob("powerspec_matter_a=0.3*"))
+
+
+def test_potential_options_per_method_gridsizes():
+    """Per-force grid sizes survive canonicalization (reference multigrid
+    semantics: pm and p3m meshes differ, param/example_nonlinnu)."""
+    from concept_tpu.param import load_params
+
+    cfg = load_params(None, text="""
+boxsize = 100*Mpc
+potential_options = {
+    'gridsize': {'global': {'gravity': {'pm': 40, 'p3m': 160}}},
+}
+initial_conditions = {'species': 'matter', 'N': 8**3}
+""")
+    assert cfg.potential_options["gridsize_per_method"] == {"pm": 40, "p3m": 160}
+    assert cfg.potential_options["gridsize"] == 160
