@@ -344,6 +344,9 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
     t_wall0 = _time.time()
     last_autosave = t_wall0
     step_total = 0
+    from concept_tpu.timestep import prepare_static_timestepping
+
+    static_dt = prepare_static_timestepping(cfg.static_timestepping)
     while events:
         a_next = events[0][0]
         masterprint(f"Evolving to a = {a_next:.4g} ...")
@@ -352,7 +355,10 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
             nonlocal step_total
             step_total = n
 
-        state, a = sim.evolve(state, a, a_next, callback=cb, max_steps=max_steps)
+        state, a = sim.evolve(
+            state, a, a_next, callback=cb, max_steps=max_steps,
+            static_dt=static_dt,
+        )
         masterprint("done")
         while events and events[0][0] <= a + 1e-9:
             _, kind = events.pop(0)
@@ -482,10 +488,14 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
             dump_multi(cfg, sim, state, a, kind, units, lin)
     events = [e for e in events if e[0] > a + 1e-12]
     all_specs = {s.name: s for s in pspecs + fspecs}
+    from concept_tpu.timestep import prepare_static_timestepping
+
+    static_dt = prepare_static_timestepping(cfg.static_timestepping)
     while events:
         a_next = events[0][0]
         masterprint(f"Evolving to a = {a_next:.4g} ...")
-        state, a = sim.evolve(state, a, a_next, max_steps=max_steps)
+        state, a = sim.evolve(state, a, a_next, max_steps=max_steps,
+                              static_dt=static_dt)
         masterprint("done")
         while events and events[0][0] <= a + 1e-9:
             _, kind = events.pop(0)

@@ -238,11 +238,13 @@ class Simulation:
             self._step_jit = jax.jit(self._step, donate_argnums=0)
 
     # ------------------------------------------------------------------ #
-    def timestep_size(self, a: float, v_max: float | None = None) -> float:
-        """Base Δt from limiters (reference main.py:697-996, 2345-2433):
-        dynamical time, Hubble time, Δa_max, and — when the maximum
-        particle speed is supplied — the PM/P³M displacement bounds
-        fac_pm·cell / fac_p3m·split-scale per step."""
+    def base_timestep_size(
+        self, a: float, v_max: float | None = None
+    ) -> tuple[float, str]:
+        """Base Δt_max and its bottleneck (reference get_base_timestep_size,
+        main.py:697-996): dynamical time, Hubble time, Δa_max, and — when
+        the maximum particle speed is supplied — the PM/P³M displacement
+        bounds fac_pm·cell / fac_p3m·split-scale per step."""
         bg = self.bg
         H = float(bg.hubble_np(a))
         rho_m_proper = (
@@ -252,26 +254,35 @@ class Simulation:
         )
         fac_bg = self.config.dt_base_background_factor
         fac_nl = self.config.dt_base_nonlinear_factor
-        limits = []
+        limits: list[tuple[float, str]] = []
         if rho_m_proper > 0:
-            limits.append(
-                fac_bg * FAC_DYNAMICAL / math.sqrt(self.config.G * rho_m_proper)
-            )
+            limits.append((
+                fac_bg * FAC_DYNAMICAL / math.sqrt(self.config.G * rho_m_proper),
+                "the dynamical time scale",
+            ))
         if H > 0:
-            limits.append(fac_bg * FAC_HUBBLE / H)
+            limits.append((fac_bg * FAC_HUBBLE / H, "the Hubble time"))
             # Δa limiters: Δt ≈ Δa/(aH)
             da_max = DELTA_A_MAX_EARLY if a < 0.1 else DELTA_A_MAX_LATE
-            limits.append(da_max / (a * H))
+            limits.append((da_max / (a * H), "Δa"))
         if v_max is not None and v_max > 0:
             # comoving drift speed ẋ = v_pec/a; displacement per step bounded
             # by a fraction of the mesh cell (PM) or the split scale (P³M)
             xdot = v_max / a
             if self.config.method == "p3m":
-                limits.append(fac_nl * FAC_P3M * self._sr_scale / xdot)
+                limits.append((
+                    fac_nl * FAC_P3M * self._sr_scale / xdot,
+                    "the P³M split scale",
+                ))
             else:
                 cell = self.config.boxsize / self.config.potential_gridsize
-                limits.append(fac_nl * FAC_PM * cell / xdot)
-        return min(limits) if limits else float("inf")
+                limits.append((fac_nl * FAC_PM * cell / xdot, "the PM grid"))
+        if not limits:
+            return float("inf"), ""
+        return min(limits, key=lambda lb: lb[0])
+
+    def timestep_size(self, a: float, v_max: float | None = None) -> float:
+        return self.base_timestep_size(a, v_max=v_max)[0]
 
     def evolve_static(self, state: ParticleState, t_total: float,
                       n_steps: int):
@@ -296,13 +307,23 @@ class Simulation:
         max_steps: int = 100000,
         print_interval: int = 0,
         dt_fac: float = 1.0,
+        static_dt=None,
     ):
         """Evolve from a_begin to a_end with leapfrog KDK.
 
         Kicks are centered between drifts: the first kick covers Δt/2, each
         subsequent kick covers the straddling interval, the last kick closes
         the remaining half step so mom and pos end synchronized at a_end.
+
+        Δt follows the reference's hysteresis (main.py:920-983): it starts
+        at Δt_initial_fac·Δt_max, is reduced immediately whenever a limiter
+        binds (warn/abort ratios enforced), and may only *increase* once
+        Δt_period steps have passed since the last change, ramped by
+        Δt_increase_max_factor.  ``static_dt`` is a
+        :class:`concept_tpu.timestep.StaticTimestepping` (record/replay).
         """
+        from concept_tpu import timestep as ts
+
         bg = self.bg
         t = float(bg.t_of_a_np(a_begin))
         t_end = float(bg.t_of_a_np(a_end))
@@ -311,15 +332,70 @@ class Simulation:
         v_max = None
         # momentum currently synchronized at t
         t_mom = t
+        replay = static_dt is not None and static_dt.applies
+
+        def dt_max_at(a_now, v_now):
+            """(Δt_max, bottleneck) — static replay overrides limiters
+            (reference get_base_timestep_size with
+            static_timestepping_func, main.py:787-800)."""
+            if replay:
+                da = static_dt.delta_a(a_now)
+                a_next = a_now + da
+                if a_next > 1.0:
+                    # reference: Δt = ထ once a+Δa passes 1 (main.py:615);
+                    # the t_end clamp bounds the actual step
+                    return float("inf"), "static time-stepping"
+                dtm = float(bg.t_of_a_np(a_next)) - float(bg.t_of_a_np(a_now))
+                return dtm * dt_fac, "static time-stepping"
+            dtm, bn = self.base_timestep_size(a_now, v_max=v_now)
+            return dtm * dt_fac, bn
+
+        def refresh_v(a_now, st):
+            if not self.spec.mass:
+                return None
+            # velocity-based limiters, refreshed at period boundaries
+            # (reference Δt re-evaluation cadence, main.py:2380)
+            v2 = jnp.max(jnp.sum(st.mom * st.mom, axis=1))
+            return float(jnp.sqrt(v2)) / (a_now * self.spec.mass)
+
+        v_max = refresh_v(a, state)
+        if self.config.method == "p3m":
+            self._refresh_shortrange_capacity(state)
+        dt_max, bottleneck = dt_max_at(a, v_max)
+        if static_dt is not None and static_dt.records and math.isfinite(dt_max):
+            static_dt.record(a, float(bg.a_of_t_np(min(t + dt_max, t_end))) - a)
+        dt = ts.DT_INITIAL_FAC * dt_max if math.isfinite(dt_max) else t_end - t
+        dt_min = 1e-4 * dt  # reference Δt_min = 1e-4·Δt_begin (main.py:192)
+        step_last_sync = 0
         while t < t_end - 1e-12 * abs(t_end):
-            if step_count % DT_PERIOD == 0 and self.spec.mass:
-                # refresh the velocity-based limiters every Δt_period steps
-                # (reference Δt re-evaluation cadence, main.py:2380)
-                v2 = jnp.max(jnp.sum(state.mom * state.mom, axis=1))
-                v_max = float(jnp.sqrt(v2)) / (a * self.spec.mass)
+            if step_count and (step_count - step_last_sync) >= ts.DT_PERIOD:
+                # period boundary: full limiter refresh, Δt may increase
+                v_max = refresh_v(a, state)
                 if self.config.method == "p3m":
                     self._refresh_shortrange_capacity(state)
-            dt = self.timestep_size(a, v_max=v_max) * dt_fac
+                dt_max, bn = dt_max_at(a, v_max)
+                if static_dt is not None and static_dt.records and math.isfinite(dt_max):
+                    static_dt.record(
+                        a, float(bg.a_of_t_np(min(t + dt_max, t_end))) - a
+                    )
+                if dt > dt_max or dt_max > ts.DT_INCREASE_MIN_FAC * dt:
+                    dt, bottleneck = ts.update_base_timestep_size(
+                        dt, dt_min, dt_max, bn,
+                        step_count - step_last_sync,
+                        dt_increase_max_factor=DT_INCREASE_MAX_FAC,
+                        tolerate_danger=replay,
+                    )
+                    step_last_sync = step_count
+            else:
+                # mid-period: reduction only (background limiters are cheap;
+                # v_max is the last refreshed value)
+                dt_max, bn = dt_max_at(a, v_max)
+                if dt > dt_max:
+                    dt, bottleneck = ts.update_base_timestep_size(
+                        dt, dt_min, dt_max, bn,
+                        allow_increase=False, tolerate_danger=replay,
+                    )
+                    step_last_sync = step_count
             dt = min(dt, t_end - t)
             # kick target: midpoint of upcoming drift (or t_end at last step)
             t_mid = min(t + 0.5 * dt, t_end)
@@ -338,9 +414,10 @@ class Simulation:
                 from concept_tpu.utils.terminal import masterprint
 
                 z = 1 / a - 1 if a > 0 else float("inf")
+                bn = f" [{bottleneck}]" if bottleneck else ""
                 masterprint(
                     f"step {step_count}: t = {t:.6g}, a = {a:.6g}, "
-                    f"z = {z:.4g}, Δt = {dt:.4g}"
+                    f"z = {z:.4g}, Δt = {dt:.4g}{bn}"
                 )
             if callback is not None:
                 callback(state, t, a, step_count)

@@ -30,7 +30,7 @@ from concept_tpu.grid import fourier
 from concept_tpu.grid.interp import deposit, gather
 from concept_tpu.forces.pm import gravity_potential_slab
 from concept_tpu.fluid import kt_step
-from concept_tpu.sim import SimConfig, FAC_DYNAMICAL, FAC_HUBBLE, DELTA_A_MAX_EARLY, DELTA_A_MAX_LATE
+from concept_tpu.sim import SimConfig, FAC_DYNAMICAL, FAC_HUBBLE, DELTA_A_MAX_EARLY, DELTA_A_MAX_LATE, DT_INCREASE_MAX_FAC
 
 
 class MultiState(NamedTuple):
@@ -423,7 +423,9 @@ class MultiSimulation:
         return decay_fac, decay_gain
 
     def evolve(self, state: MultiState, a_begin: float, a_end: float,
-               max_steps: int = 100000):
+               max_steps: int = 100000, static_dt=None):
+        from concept_tpu import timestep as tstep
+
         bg = self.bg
         t = float(bg.t_of_a_np(a_begin))
         t_end = float(bg.t_of_a_np(a_end))
@@ -433,8 +435,45 @@ class MultiSimulation:
         dtype = self.config.dtype
         fluid_scalars = self.fluid_step_scalars
 
+        replay = static_dt is not None and static_dt.applies
+
+        def dt_max_at(a_now):
+            if replay:
+                da = static_dt.delta_a(a_now)
+                a_next = a_now + da
+                if a_next > 1.0:
+                    # reference: Δt = ထ once a+Δa passes 1 (main.py:615)
+                    return float("inf")
+                return float(bg.t_of_a_np(a_next)) - float(bg.t_of_a_np(a_now))
+            return self.timestep_size(a_now)
+
+        # Δt hysteresis, as Simulation.evolve (reference main.py:920-983)
+        dt_max = dt_max_at(a)
+        if static_dt is not None and static_dt.records and math.isfinite(dt_max):
+            static_dt.record(a, float(bg.a_of_t_np(min(t + dt_max, t_end))) - a)
+        dt = tstep.DT_INITIAL_FAC * dt_max if math.isfinite(dt_max) else t_end - t
+        dt_min = 1e-4 * dt
+        step_last_sync = 0
         while t < t_end - 1e-12 * abs(t_end):
-            dt = min(self.timestep_size(a), t_end - t)
+            dt_max = dt_max_at(a)
+            at_period = steps and (steps - step_last_sync) >= tstep.DT_PERIOD
+            if at_period and static_dt is not None and static_dt.records and (
+                math.isfinite(dt_max)
+            ):
+                static_dt.record(
+                    a, float(bg.a_of_t_np(min(t + dt_max, t_end))) - a
+                )
+            if dt > dt_max or (
+                at_period and dt_max > tstep.DT_INCREASE_MIN_FAC * dt
+            ):
+                dt, _ = tstep.update_base_timestep_size(
+                    dt, dt_min, dt_max, "fluid/background limiter",
+                    steps - step_last_sync,
+                    dt_increase_max_factor=DT_INCREASE_MAX_FAC,
+                    allow_increase=at_period, tolerate_danger=replay,
+                )
+                step_last_sync = steps
+            dt = min(dt, t_end - t)
             t_mid = min(t + 0.5 * dt, t_end)
             a_kick = float(bg.a_of_t_np(t_mid))
             # receiver-side kick integral ∫ a^{−3w_r−1}dt with the supplier
