@@ -104,7 +104,13 @@ def _bucketize_core(px0, py0, pz0, mx0, my0, mz0, boxsize,
         [key, px0, py0, pz0, mx0, my0, mz0],
         num_keys=1,
     )
-    starts = jnp.searchsorted(key_s, jnp.arange(C, dtype=jnp.int32))
+    # starts via sorted segment-sum + cumsum (searchsorted costs ~75x
+    # more at C = 16.7M: per-query binary-search gathers)
+    counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), key_s, num_segments=C,
+        indices_are_sorted=True,
+    )
+    starts = jnp.cumsum(counts) - counts
     rank = iota - starts[key_s]
     in_bucket = rank < K
     # slot-major flat index; overflow routed out of bounds (mode="drop")

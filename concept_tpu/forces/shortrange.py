@@ -77,18 +77,36 @@ _FULL_OFFSETS_27 = [
 
 @partial(jax.jit, static_argnames=("n_cells",))
 def cell_counts(pos, boxsize, n_cells: int):
-    """Per-cell occupancy (C,) — the host-side capacity-sizing probe."""
+    """Per-cell occupancy (C,) — the host-side capacity-sizing probe.
+    pos: (N,3) or 3-tuple of components."""
+    px, py, pz = _split_components(pos)
     cw = boxsize / n_cells
-    ijk = jnp.clip((pos / cw).astype(jnp.int32), 0, n_cells - 1)
-    cell = (ijk[:, 0] * n_cells + ijk[:, 1]) * n_cells + ijk[:, 2]
+    cell = jnp.zeros((px.shape[0],), jnp.int32)
+    for comp in (px, py, pz):
+        idx = jnp.clip((comp / cw).astype(jnp.int32), 0, n_cells - 1)
+        cell = cell * n_cells + idx
     return jax.ops.segment_sum(
-        jnp.ones((pos.shape[0],), jnp.int32), cell, num_segments=n_cells**3
+        jnp.ones((px.shape[0],), jnp.int32), cell, num_segments=n_cells**3
     )
+
+
+def _split_components(pos):
+    """(N,3) array or 3-tuple of (N,) components → component triple.
+
+    Large-N TPU callers should pass the tuple form: a device-resident
+    (N,3) f32 array is lane-padded ~42× by the (8,128) tiling."""
+    if isinstance(pos, (tuple, list)):
+        px, py, pz = pos
+        return jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz)
+    return pos[:, 0], pos[:, 1], pos[:, 2]
 
 
 @partial(jax.jit, static_argnames=("n_cells", "capacity"))
 def bucketize(pos, boxsize, n_cells: int, capacity: int):
     """Sort particles into slot-major (K, C) cell buckets.
+
+    pos: (N,3) or a 3-tuple of (N,) component arrays (preferred at large
+    N — see _split_components).
 
     Returns a dict:
       hx, hy, hz : (K, C) position components (0 in empty slots)
@@ -100,43 +118,46 @@ def bucketize(pos, boxsize, n_cells: int, capacity: int):
       counts     : (C,) cell occupancy (unclamped)
     No particle is ever dropped: callers route rank ≥ capacity through
     the exact straggler path (see shortrange_momentum_updates).
+
+    TPU cost note: the slot arrays are built by a MONOTONE (K,C)-shaped
+    gather from the sorted stream (slot (k,c) reads sorted index
+    starts[c]+k) — no scatters.  Scatter ≈ 1.3e8 updates/s on TPU while
+    gather/sort run ≈ 6e8/s, so the gather formulation is ~5× cheaper at
+    16M particles.
     """
-    N = pos.shape[0]
-    dtype = pos.dtype
+    px0, py0, pz0 = _split_components(pos)
+    N = px0.shape[0]
     C = n_cells**3
     K = capacity
     cw = boxsize / n_cells
-    ijk = jnp.clip((pos / cw).astype(jnp.int32), 0, n_cells - 1)
-    cell = (ijk[:, 0] * n_cells + ijk[:, 1]) * n_cells + ijk[:, 2]
+    cell = jnp.zeros((N,), jnp.int32)
+    for comp in (px0, py0, pz0):
+        idx = jnp.clip((comp / cw).astype(jnp.int32), 0, n_cells - 1)
+        cell = cell * n_cells + idx
     iota = jnp.arange(N, dtype=jnp.int32)
     cell_s, px, py, pz, order = jax.lax.sort(
-        [cell, pos[:, 0], pos[:, 1], pos[:, 2], iota], num_keys=1
+        [cell, px0, py0, pz0, iota], num_keys=1
     )
-    starts = jnp.searchsorted(cell_s, jnp.arange(C, dtype=jnp.int32))
-    rank = iota - starts[cell_s]
+    # per-cell starts via sorted segment-sum + cumsum: jnp.searchsorted
+    # (binary-search gathers per query) costs ~75× more at 16M cells
     counts = jax.ops.segment_sum(
         jnp.ones((N,), jnp.int32), cell_s, num_segments=C,
         indices_are_sorted=True,
     )
-    in_bucket = rank < K
-    slot = jnp.where(in_bucket, rank * C + cell_s, K * C)
+    starts = jnp.cumsum(counts) - counts
+    rank = iota - starts[cell_s]
+    # slot (k, c) ← sorted index starts[c] + k while k < counts[c]
+    slot_src = starts[None, :] + jnp.arange(K, dtype=jnp.int32)[:, None]
+    valid = slot_src < (starts + counts)[None, :]
+    src = jnp.minimum(slot_src, N - 1)
 
-    def scat(vals, fill=0.0):
-        return (
-            jnp.full((K * C,), fill, vals.dtype)
-            .at[slot].set(vals, mode="drop", unique_indices=True)
-            .reshape(K, C)
-        )
+    def pick(arr):
+        return jnp.where(valid, arr[src], 0.0)
 
-    hx, hy, hz = scat(px), scat(py), scat(pz)
-    valid = (
-        jnp.zeros((K * C,), bool)
-        .at[slot].set(True, mode="drop", unique_indices=True)
-        .reshape(K, C)
-    )
+    hx, hy, hz = pick(px), pick(py), pick(pz)
     return dict(hx=hx, hy=hy, hz=hz, valid=valid, order=order,
                 cell=cell_s, rank=rank, counts=counts,
-                px=px, py=py, pz=pz)
+                px=px, py=py, pz=pz, starts=starts)
 
 
 def shortrange_force_factor(r2, scale, softening2, dtype):
@@ -379,16 +400,20 @@ def shortrange_momentum_updates(
     return_overflow=True.
 
     kick_integral: ᔑ a^(−1) dt over the kick interval (matter).
+    pos: (N,3) or 3-tuple of (N,) components; the return matches (tuple
+    in → (dmx, dmy, dmz) tuple out).
     Memory is O(C·K + N); capacity overflow is handled exactly through
     the straggler path as long as the number of overflowing particles is
     ≤ max_overflow — hosts should monitor n_overflow and grow capacity.
     """
-    N = pos.shape[0]
-    dtype = pos.dtype
+    tuple_in = isinstance(pos, (tuple, list))
+    px0, py0, pz0 = _split_components(pos)
+    N = px0.shape[0]
+    dtype = px0.dtype
     n = n_cells
     C = n**3
     K = capacity
-    b = bucketize(pos, boxsize, n_cells, capacity)
+    b = bucketize((px0, py0, pz0), boxsize, n_cells, capacity)
     hx, hy, hz, valid = b["hx"], b["hy"], b["hz"], b["valid"]
     cutoff2 = jnp.asarray(cutoff, dtype) ** 2
     soft2 = jnp.asarray(softening, dtype) ** 2
@@ -485,13 +510,24 @@ def shortrange_momentum_updates(
     )
 
     # ---- gather per-particle updates back through the sort ------------- #
+    # Component-wise 1D gathers + an argsort-built inverse permutation:
+    # TPU scatters run ~5× slower than gathers/sorts, and (N,3)-shaped
+    # scatters hit the 42× lane-padded layout on top.
     slot = jnp.where(b["rank"] < K, b["rank"] * C + b["cell"], 0)
     accf = acc.reshape(3, K * C)
-    dmom_sorted = accf[:, slot].T  # (N, 3); overflow rows fixed up below
-    dmom_sorted = jnp.where((b["rank"] < K)[:, None], dmom_sorted, 0.0)
-    dmom_sorted = dmom_sorted.at[s_sorted_idx].set(s_acc, mode="drop")
+    in_bucket = b["rank"] < K
     coef = G * mass * mass * kick_integral
-    dmom = jnp.zeros((N, 3), dtype).at[b["order"]].set(coef * dmom_sorted)
+    inv_order = jax.lax.sort(
+        [b["order"], jnp.arange(N, dtype=jnp.int32)], num_keys=1
+    )[1]
+    dms = []
+    for d in range(3):
+        dm_d = jnp.where(in_bucket, accf[d][slot], 0.0)
+        dm_d = dm_d.at[s_sorted_idx].set(s_acc[:, d], mode="drop")
+        dms.append((coef * dm_d)[inv_order])
+    if tuple_in:
+        return (tuple(dms), n_overflow) if return_overflow else tuple(dms)
+    dmom = jnp.stack(dms, axis=1)
     if return_overflow:
         return dmom, n_overflow
     return dmom

@@ -85,8 +85,13 @@ def bucketize_blocks(pos, q, gridsize: int, boxsize: float, capacity: int,
             num_keys=1,
         )
     C = nb**3
-    starts = jnp.searchsorted(key_s, jnp.arange(C, dtype=jnp.int32))
-    counts = jnp.diff(jnp.concatenate([starts, jnp.array([N], starts.dtype)]))
+    # starts via sorted segment-sum + cumsum (searchsorted costs ~75x
+    # more at large C: per-query binary-search gathers)
+    counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), key_s, num_segments=C,
+        indices_are_sorted=True,
+    )
+    starts = jnp.cumsum(counts) - counts
     rank = iota - starts[key_s]
     in_bucket = rank < capacity
     slot = jnp.where(in_bucket, key_s * capacity + rank, C * capacity)
