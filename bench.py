@@ -75,15 +75,32 @@ def bench_once(n_grid):
     return dt
 
 
-def bench_p3m(n_part=256):
-    """Full P³M gravity at n_part³ particles, mesh 2·n_part (reference
-    default), per-step bucketize: long-range (PM + Gaussian split) +
-    short-range (Pallas pencil-pair sweep).  Returns seconds/step."""
+def _jittered_lattice_components(n_part, box, seed=0, amp=0.3):
     import numpy as np
-    from concept_tpu.forces import pm as pm_force
-    from concept_tpu.forces.shortrange import (
-        shortrange_momentum_updates, cell_grid_shape, auto_capacity,
+
+    N = n_part**3
+    rng = np.random.default_rng(seed)
+    lin = (np.arange(n_part, dtype=np.float32) + 0.5) * (box / n_part)
+    comps = (
+        np.broadcast_to(lin[:, None, None], (n_part,) * 3).reshape(-1),
+        np.broadcast_to(lin[None, :, None], (n_part,) * 3).reshape(-1),
+        np.broadcast_to(lin[None, None, :], (n_part,) * 3).reshape(-1),
     )
+    jit_amp = amp * (box / n_part)
+    return tuple(
+        jnp.asarray(
+            np.mod(c + rng.standard_normal(N).astype(np.float32) * jit_amp, box)
+        )
+        for c in comps
+    )
+
+
+def bench_p3m(n_part=256):
+    """Full fused P³M kick (forces/p3m.p3m_kick_components): short-range
+    Pallas pencil sweep + Gaussian-split PM long range at mesh 2·n_part
+    (reference default), per-eval bucketize.  Returns seconds/eval."""
+    from concept_tpu.forces.p3m import p3m_kick_components, pm_block_capacity
+    from concept_tpu.forces.shortrange import cell_grid_shape, auto_capacity
 
     box = 512.0
     mesh = 2 * n_part
@@ -92,30 +109,45 @@ def bench_p3m(n_part=256):
     cutoff = 4.5 * scale
     nc = cell_grid_shape(box, cutoff)
     K = auto_capacity(N, nc)
-    rng = np.random.default_rng(0)
-    lin = (np.arange(n_part, dtype=np.float32) + 0.5) * (box / n_part)
-    pos = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
-    pos += rng.standard_normal(pos.shape).astype(np.float32) * (0.3 * box / n_part)
-    pos = jnp.asarray(np.mod(pos, box))
+    comps = _jittered_lattice_components(n_part, box)
 
-    def p3m_kick(p):
-        (dl,) = pm_force.pm_gravity_momentum_updates(
-            [p], [2.0], mesh, box, 1.0, kick_integral=1e-3, order=2,
-            longrange_scale=scale, deposit_method="pallas",
+    def kick():
+        (dx, dy, dz), n_sr, n_pm = p3m_kick_components(
+            *comps, 2.0, box, scale, cutoff, 1e-3, mesh, nc, K,
+            k_pm=pm_block_capacity(N, mesh), G=1.0,
+            max_overflow=max(2048, N // 1024),
         )
-        ds = shortrange_momentum_updates(
-            p, 2.0, box, scale, cutoff, 1e-3, n_cells=nc, capacity=K,
-            G=1.0, max_overflow=max(2048, N // 1024),
-        )
-        return dl + ds
+        return dx
 
-    dm = p3m_kick(pos)
-    _ = float(jnp.sum(jnp.abs(dm[:2])))  # hard sync (see module doc)
+    dm = kick()
+    _ = float(dm[0])  # hard sync (see module doc)
     n_iter = 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        dm = p3m_kick(pos)
-        _ = float(dm[0, 0])
+        dm = kick()
+        _ = float(dm[0])
+    return (time.perf_counter() - t0) / n_iter
+
+
+def bench_p3m_persistent(n_part=256):
+    """Persistent-layout P³M stepper (p3msim): full KDK step/s with the
+    short-range state resident in the slot layout (no per-step SR
+    bucketize/write-back)."""
+    from concept_tpu.p3msim import P3MSimulation
+
+    box = 512.0
+    N = n_part**3
+    comps = _jittered_lattice_components(n_part, box)
+    mom = tuple(jnp.zeros((N,), jnp.float32) for _ in range(3))
+    sim = P3MSimulation(n_part, box, mass=2.0, G=1.0)
+    state = sim.init_state(comps, mom)
+    state, _ = sim.step(state, 1e-3, 1e-3)  # warmup/compile
+    _ = float(state.pos[0, 0, 0])
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, _ = sim.step(state, 1e-3, 1e-3)
+    _ = float(state.pos[0, 0, 0])
     return (time.perf_counter() - t0) / n_iter
 
 
@@ -178,6 +210,12 @@ def main():
         extra[f"pm_sustained_clustered_{ng}_updates_per_s"] = ng**3 / dt
     except Exception as e:  # noqa: BLE001
         print(f"# sustained bench failed: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
+    try:
+        dt = bench_p3m_persistent(256)
+        extra["p3m_step_persistent_256_updates_per_s"] = 256**3 / dt
+    except Exception as e:  # noqa: BLE001
+        print(f"# p3m persistent bench failed: {type(e).__name__}: {str(e)[:200]}",
               file=sys.stderr)
     try:
         dt = bench_p3m(256)

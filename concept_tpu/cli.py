@@ -87,6 +87,15 @@ class _Tee:
     def isatty(self):
         return self.streams[0].isatty()
 
+    def close(self):
+        # never close the real stdout/stderr (streams[0]); only the log
+        # file — absl's logging shutdown calls close() at exit
+        for s in self.streams[1:]:
+            try:
+                s.close()
+            except Exception:
+                pass
+
 
 from contextlib import contextmanager
 

@@ -86,16 +86,22 @@ def pm_longrange_components(
         indices_are_sorted=True,
     )
     starts = jnp.cumsum(counts) - counts
-    ends = starts + counts
     rank = iota - starts[key_s]
-    # monotone slot-gather build (see module doc): slot (k, c) reads
-    # sorted index starts[c] + k
-    slot_src = starts[None, :] + jnp.arange(K, dtype=jnp.int32)[:, None]
-    valid = slot_src < ends[None, :]
-    src = jnp.minimum(slot_src, N - 1)
-    bx = jnp.where(valid, pxs[src], 0.0)
-    by = jnp.where(valid, pys[src], 0.0)
-    bz = jnp.where(valid, pzs[src], 0.0)
+    # slot SCATTER build: N writes regardless of capacity (a (K,C)-shaped
+    # gather build costs K×N reads — 3.7 s at K=8, C=16.7M on chip);
+    # validity is derived from counts, no scatter needed
+    in_bucket = rank < K
+    slot = jnp.where(in_bucket, rank * C + key_s, K * C)
+
+    def scat(vals):
+        return (
+            jnp.zeros((K * C,), vals.dtype)
+            .at[slot].set(vals, mode="drop", unique_indices=True)
+            .reshape(K, C)
+        )
+
+    bx, by, bz = scat(pxs), scat(pys), scat(pzs)
+    valid = jnp.arange(K, dtype=jnp.int32)[:, None] < counts[None, :]
     w1 = valid.astype(dtype)
 
     grid = deposit_pallas_pos(
@@ -138,10 +144,20 @@ def pm_longrange_components(
         slab, n, boxsize, G, deconv_order=4, longrange_scale=longrange_scale
     )
 
+    # per-particle slot index in ORIGINAL order (one argsort + one
+    # gather), so each force component needs a single 1D gather — no
+    # per-component double permutation
     inv_order = jax.lax.sort([order, iota], num_keys=1)[1]
-    in_bucket = rank < K
     Cp = bx.shape[1]
-    back_slot = jnp.where(in_bucket, rank * Cp + key_s, 0)
+    back_slot = jnp.where(in_bucket, rank * Cp + key_s, K * Cp)
+    back_slot_orig = back_slot[inv_order]
+    s_orig_idx = jnp.where(
+        sidx < N,
+        jnp.concatenate([order, jnp.zeros((1,), jnp.int32)])[
+            jnp.minimum(sidx, N)
+        ],
+        N,
+    )
     coef = -mass * kick_integral
 
     dms = []
@@ -164,16 +180,17 @@ def pm_longrange_components(
                 bx, by, bz, w1, grad, n, boxsize, nchunks=nchunks,
                 interpret=interpret,
             )
-        val = jnp.where(in_bucket, fd.reshape(-1)[back_slot], 0.0)
+        fdp = jnp.concatenate([fd.reshape(-1), jnp.zeros((1,), dtype)])
+        val = fdp[back_slot_orig]
         val = jax.lax.cond(
             has_over,
-            lambda v, gr=grad: v.at[sidx].set(
+            lambda v, gr=grad: v.at[s_orig_idx].set(
                 gather(gr, s_pos, boxsize, order=2) * s_ok, mode="drop"
             ),
             lambda v: v,
             val,
         )
-        dms.append((coef * val)[inv_order])
+        dms.append(coef * val)
     return tuple(dms), n_overflow
 
 

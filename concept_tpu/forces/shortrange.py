@@ -146,15 +146,20 @@ def bucketize(pos, boxsize, n_cells: int, capacity: int):
     )
     starts = jnp.cumsum(counts) - counts
     rank = iota - starts[cell_s]
-    # slot (k, c) ← sorted index starts[c] + k while k < counts[c]
-    slot_src = starts[None, :] + jnp.arange(K, dtype=jnp.int32)[:, None]
-    valid = slot_src < (starts + counts)[None, :]
-    src = jnp.minimum(slot_src, N - 1)
+    # slot SCATTER build: N writes regardless of capacity (a (K,C)-shaped
+    # gather build costs K·C reads); validity comes from counts for free
+    in_bucket = rank < K
+    slot = jnp.where(in_bucket, rank * C + cell_s, K * C)
 
-    def pick(arr):
-        return jnp.where(valid, arr[src], 0.0)
+    def scat(vals):
+        return (
+            jnp.zeros((K * C,), vals.dtype)
+            .at[slot].set(vals, mode="drop", unique_indices=True)
+            .reshape(K, C)
+        )
 
-    hx, hy, hz = pick(px), pick(py), pick(pz)
+    hx, hy, hz = scat(px), scat(py), scat(pz)
+    valid = jnp.arange(K, dtype=jnp.int32)[:, None] < counts[None, :]
     return dict(hx=hx, hy=hy, hz=hz, valid=valid, order=order,
                 cell=cell_s, rank=rank, counts=counts,
                 px=px, py=py, pz=pz, starts=starts)
@@ -510,21 +515,32 @@ def shortrange_momentum_updates(
     )
 
     # ---- gather per-particle updates back through the sort ------------- #
-    # Component-wise 1D gathers + an argsort-built inverse permutation:
-    # TPU scatters run ~5× slower than gathers/sorts, and (N,3)-shaped
-    # scatters hit the 42× lane-padded layout on top.
-    slot = jnp.where(b["rank"] < K, b["rank"] * C + b["cell"], 0)
-    accf = acc.reshape(3, K * C)
-    in_bucket = b["rank"] < K
+    # Build each particle's slot index in ORIGINAL order once (argsort +
+    # one gather), then read the acc arrays with three 1D gathers — no
+    # scatters, no per-component double permutation.  ((N,3)-shaped ops
+    # hit the 42× lane-padded layout; scatters run ~gather speed at best.)
+    slot = jnp.where(b["rank"] < K, b["rank"] * C + b["cell"], K * C)
+    accf = jnp.concatenate(
+        [acc.reshape(3, K * C), jnp.zeros((3, 1), dtype)], axis=1
+    )
     coef = G * mass * mass * kick_integral
     inv_order = jax.lax.sort(
         [b["order"], jnp.arange(N, dtype=jnp.int32)], num_keys=1
     )[1]
+    slot_orig = slot[inv_order]
+    # stragglers: fix-ups indexed in original order (small, fixed size)
+    s_orig_idx = jnp.where(
+        s_sorted_idx < N,
+        jnp.concatenate([b["order"], jnp.zeros((1,), jnp.int32)])[
+            jnp.minimum(s_sorted_idx, N)
+        ],
+        N,
+    )
     dms = []
     for d in range(3):
-        dm_d = jnp.where(in_bucket, accf[d][slot], 0.0)
-        dm_d = dm_d.at[s_sorted_idx].set(s_acc[:, d], mode="drop")
-        dms.append((coef * dm_d)[inv_order])
+        dm_d = accf[d][slot_orig]
+        dm_d = dm_d.at[s_orig_idx].set(s_acc[:, d], mode="drop")
+        dms.append(coef * dm_d)
     if tuple_in:
         return (tuple(dms), n_overflow) if return_overflow else tuple(dms)
     dmom = jnp.stack(dms, axis=1)

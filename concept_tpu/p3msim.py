@@ -1,0 +1,474 @@
+"""Persistent-bucket P³M simulation: the TPU production P³M stepper.
+
+The flat P³M kick (forces/p3m.py) pays a full short-range bucketize and
+write-back every evaluation (~1.5 s of a ~5 s step at 256³).  This
+stepper keeps the particle state IN the short-range slot-major (K, C)
+cell layout across steps (the P³M sibling of bucketsim.BucketSimulation,
+and the TPU analogue of the reference's persistent tile-sorted storage,
+species.py:2657):
+
+  * state: pos/mom as (3, K, C) slot-major arrays over MARGIN cells —
+    cell width ≥ cutoff·(1+margin), so the 27-neighbour sweep stays
+    exact while the total drift since the last re-bucketize is below
+    margin/2 per particle (a pair can only be missed if the two
+    particles' combined drift exceeds width − cutoff);
+  * the Pallas pencil sweep runs directly on the stored layout — no
+    per-step sort, no slot scatter, no write-back: the kick applies
+    elementwise in layout;
+  * the PM long range is built per step from the flattened slots
+    (sort → deposit-block scatter → chunked Pallas deposit/gather →
+    per-slot back-gathers), with the exact fixed-size overflow fallback;
+  * each step returns the max particle speed; the host integrates the
+    resulting displacement bound and re-bucketizes before the margin
+    budget is spent.  Occupancy growth re-sizes K (a static → retrace).
+
+Reference: interactions.py:1353-1984 + gravity.py:263-373 (short range),
+interactions.py:1985-2415 (mesh), species.py:438-850 (tiling).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from concept_tpu.grid.bucketed import B, _block_count
+from concept_tpu.grid.fft import rfft3, irfft3
+from concept_tpu.grid import fourier
+from concept_tpu.grid.interp import deposit, gather
+from concept_tpu.grid.pallas_pm import deposit_pallas_pos, gather_pallas_pos
+from concept_tpu.forces.pm import gravity_potential_slab
+
+
+class P3MState(NamedTuple):
+    pos: jax.Array   # (3, K, C) slot-major positions (0 in empty slots)
+    mom: jax.Array   # (3, K, C)
+    valid: jax.Array  # (K, C) bool
+
+
+def margin_cell_count(boxsize: float, cutoff: float, margin_frac: float,
+                      max_cells: int = 512) -> int:
+    """Cells per dimension with width ≥ cutoff·(1+margin_frac)."""
+    n = int(boxsize / (cutoff * (1.0 + margin_frac)))
+    return max(1, min(n, max_cells))
+
+
+@partial(jax.jit, static_argnames=("boxsize", "nc", "capacity"),
+         donate_argnums=(0, 1, 2, 3, 4, 5))
+def _bucketize_p3m(px0, py0, pz0, mx0, my0, mz0, boxsize: float,
+                   nc: int, capacity: int):
+    """Component arrays → P3MState (one sort + 6 slot scatters).
+    Inputs are donated.  Returns (state, n_kept)."""
+    N = px0.shape[0]
+    C = nc**3
+    K = capacity
+    cw = boxsize / nc
+    cell = jnp.zeros((N,), jnp.int32)
+    for comp in (px0, py0, pz0):
+        idx = jnp.clip((comp / cw).astype(jnp.int32), 0, nc - 1)
+        cell = cell * nc + idx
+    iota = jnp.arange(N, dtype=jnp.int32)
+    cell_s, px, py, pz, mx, my, mz = jax.lax.sort(
+        [cell, px0, py0, pz0, mx0, my0, mz0], num_keys=1
+    )
+    counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), cell_s, num_segments=C,
+        indices_are_sorted=True,
+    )
+    starts = jnp.cumsum(counts) - counts
+    rank = iota - starts[cell_s]
+    in_b = rank < K
+    slot = jnp.where(in_b, rank * C + cell_s, K * C)
+
+    def scat(vals):
+        return (
+            jnp.zeros((K * C,), vals.dtype)
+            .at[slot].set(vals, mode="drop", unique_indices=True)
+            .reshape(K, C)
+        )
+
+    pos = jnp.stack([scat(px), scat(py), scat(pz)])
+    mom = jnp.stack([scat(mx), scat(my), scat(mz)])
+    valid = jnp.arange(K, dtype=jnp.int32)[:, None] < jnp.minimum(counts, K)[None, :]
+    n_kept = jnp.sum(jnp.minimum(counts, K))
+    return P3MState(pos=pos, mom=mom, valid=valid), n_kept
+
+
+@partial(jax.jit, static_argnames=("boxsize", "nc", "capacity"))
+def _rebucketize_state(state: P3MState, boxsize: float, nc: int,
+                       capacity: int):
+    """Device-side re-bucketize: flatten the (possibly drifted) slots and
+    rebuild at (possibly grown) capacity.  Invalid slots sort to the end
+    via a sentinel key and are dropped by the slot scatter."""
+    K_old, C_old = state.valid.shape
+    M = K_old * C_old
+    C = nc**3
+    K = capacity
+    cw = boxsize / nc
+    validf = state.valid.reshape(M)
+    flat = state.pos.reshape(3, M)
+    mflat = state.mom.reshape(3, M)
+    cell = jnp.zeros((M,), jnp.int32)
+    for d in range(3):
+        idx = jnp.clip((flat[d] / cw).astype(jnp.int32), 0, nc - 1)
+        cell = cell * nc + idx
+    cell = jnp.where(validf, cell, C)  # invalid → sentinel, sorts last
+    iota = jnp.arange(M, dtype=jnp.int32)
+    cell_s, px, py, pz, mx, my, mz = jax.lax.sort(
+        [cell, flat[0], flat[1], flat[2], mflat[0], mflat[1], mflat[2]],
+        num_keys=1,
+    )
+    ok = cell_s < C
+    counts = jax.ops.segment_sum(
+        ok.astype(jnp.int32), jnp.minimum(cell_s, C - 1), num_segments=C,
+        indices_are_sorted=True,
+    )
+    starts = jnp.cumsum(counts) - counts
+    rank = iota - starts[jnp.minimum(cell_s, C - 1)]
+    in_b = ok & (rank < K)
+    slot = jnp.where(in_b, rank * C + jnp.minimum(cell_s, C - 1), K * C)
+
+    def scat(vals):
+        return (
+            jnp.zeros((K * C,), vals.dtype)
+            .at[slot].set(vals, mode="drop", unique_indices=True)
+            .reshape(K, C)
+        )
+
+    pos = jnp.stack([scat(px), scat(py), scat(pz)])
+    mom = jnp.stack([scat(mx), scat(my), scat(mz)])
+    valid = jnp.arange(K, dtype=jnp.int32)[:, None] < jnp.minimum(counts, K)[None, :]
+    n_kept = jnp.sum(jnp.minimum(counts, K))
+    return P3MState(pos=pos, mom=mom, valid=valid), n_kept, jnp.max(counts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("boxsize", "mesh", "nc", "k_pm", "pm_max_overflow",
+                     "engine", "interpret"),
+    donate_argnums=(0,),
+)
+def p3m_bucket_step(
+    state: P3MState,
+    mass,
+    G,
+    int_a1,
+    int_a2,
+    boxsize: float,
+    mesh: int,
+    nc: int,
+    scale,
+    cutoff,
+    softening,
+    k_pm: int = 8,
+    pm_max_overflow: int = 262144,
+    engine: str = "auto",
+    interpret: bool = False,
+):
+    """One KDK step in the persistent short-range layout.
+
+    Returns (state', info) with info = (n_pm_overflow, vmax2):
+    vmax2 = max over particles of |mom|² — the host converts it to the
+    step's displacement bound for the margin budget.
+    """
+    K, C = state.valid.shape
+    M = K * C
+    dtype = state.pos.dtype
+    n = mesh
+    nb = _block_count(n)
+    C_pm = nb**3
+    h = boxsize / n
+    cell_volume = h**3
+    nchunks = 8 if n >= 512 else 1
+
+    # ---- short-range acceleration, directly on the layout ------------- #
+    if engine == "auto":
+        engine = "pallas" if (jax.default_backend() == "tpu" and nc >= 3) else "xla"
+    if engine == "pallas":
+        from concept_tpu.forces.pallas_shortrange import sweep_pallas
+
+        acc_sr = sweep_pallas(
+            state.pos[0], state.pos[1], state.pos[2], state.valid, nc,
+            jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
+            jnp.asarray(cutoff, dtype), jnp.asarray(softening, dtype),
+            interpret=(jax.default_backend() != "tpu"),
+        )
+    else:
+        from concept_tpu.forces.shortrange import _sweep
+
+        acc_sr = _sweep(
+            state.pos[0], state.pos[1], state.pos[2], state.valid, nc,
+            jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
+            jnp.asarray(cutoff, dtype) ** 2, jnp.asarray(softening, dtype) ** 2,
+            halve=(nc >= 3),
+        )
+
+    # ---- PM long range from the flattened slots ------------------------ #
+    validf = state.valid.reshape(M)
+    fx, fy, fz = state.pos[0].reshape(M), state.pos[1].reshape(M), state.pos[2].reshape(M)
+    key = jnp.zeros((M,), jnp.int32)
+    for comp in (fz, fy, fx):
+        blk = jnp.clip((comp / h).astype(jnp.int32), 0, n - 1) // B
+        key = key * nb + blk
+    key = jnp.where(validf, key, C_pm)  # invalid slots sort last
+    iota = jnp.arange(M, dtype=jnp.int32)
+    key_s, pxs, pys, pzs, order = jax.lax.sort(
+        [key, fx, fy, fz, iota], num_keys=1
+    )
+    ok = key_s < C_pm
+    key_c = jnp.minimum(key_s, C_pm - 1)
+    counts = jax.ops.segment_sum(
+        ok.astype(jnp.int32), key_c, num_segments=C_pm,
+        indices_are_sorted=True,
+    )
+    starts = jnp.cumsum(counts) - counts
+    rank = iota - starts[key_c]
+    in_b = ok & (rank < k_pm)
+    slot = jnp.where(in_b, rank * C_pm + key_c, k_pm * C_pm)
+
+    def scat(vals):
+        return (
+            jnp.zeros((k_pm * C_pm,), vals.dtype)
+            .at[slot].set(vals, mode="drop", unique_indices=True)
+            .reshape(k_pm, C_pm)
+        )
+
+    bx, by, bz = scat(pxs), scat(pys), scat(pzs)
+    w1 = (
+        jnp.arange(k_pm, dtype=jnp.int32)[:, None]
+        < jnp.minimum(counts, k_pm)[None, :]
+    ).astype(dtype)
+
+    grid = deposit_pallas_pos(
+        bx, by, bz, w1 * mass, n, boxsize, nchunks=nchunks,
+        interpret=interpret,
+    )
+
+    n_pm_overflow = jnp.sum(ok) - jnp.sum(jnp.minimum(counts, k_pm))
+    S = pm_max_overflow
+    has_over = n_pm_overflow > 0
+
+    def compact(_):
+        sidx = jnp.nonzero(ok & (rank >= k_pm), size=S, fill_value=M)[0]
+        okk = sidx < M
+        safe = jnp.minimum(sidx, M - 1)
+        s_pos = jnp.stack([pxs[safe], pys[safe], pzs[safe]], axis=1)
+        return sidx, okk, s_pos
+
+    def no_compact(_):
+        return (
+            jnp.full((S,), M, jnp.int32),
+            jnp.zeros((S,), bool),
+            jnp.zeros((S, 3), dtype),
+        )
+
+    sidx, s_ok, s_pos = jax.lax.cond(has_over, compact, no_compact, 0)
+    grid = jax.lax.cond(
+        has_over,
+        lambda g: g + deposit(
+            s_pos, jnp.where(s_ok, mass, 0.0).astype(dtype), n, boxsize,
+            order=2,
+        ),
+        lambda g: g,
+        grid,
+    )
+
+    slab = rfft3(grid / cell_volume)
+    phi = gravity_potential_slab(
+        slab, n, boxsize, G, deconv_order=4, longrange_scale=scale
+    )
+
+    # per-slot (original layout order) PM slot index: argsort + gather
+    inv_order = jax.lax.sort([order, iota], num_keys=1)[1]
+    back_slot_orig = jnp.where(in_b, slot, k_pm * C_pm)[inv_order]
+    s_orig_idx = jnp.where(
+        sidx < M,
+        jnp.concatenate([order, jnp.zeros((1,), jnp.int32)])[
+            jnp.minimum(sidx, M)
+        ],
+        M,
+    )
+
+    coef_sr = G * mass * mass * int_a1
+    coef_pm = -mass * int_a1
+    inv_mass = int_a2 / mass
+    new_pos, new_mom = [], []
+    if nchunks == 1:
+        grads = tuple(
+            irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
+            for d in range(3)
+        )
+        fds = gather_pallas_pos(
+            bx, by, bz, w1, grads, n, boxsize, nchunks=nchunks,
+            interpret=interpret,
+        )
+    for d in range(3):
+        if nchunks == 1:
+            grad, fd = grads[d], fds[d]
+        else:
+            grad = irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
+            fd = gather_pallas_pos(
+                bx, by, bz, w1, grad, n, boxsize, nchunks=nchunks,
+                interpret=interpret,
+            )
+        fdp = jnp.concatenate([fd.reshape(-1), jnp.zeros((1,), dtype)])
+        val = fdp[back_slot_orig]
+        val = jax.lax.cond(
+            has_over,
+            lambda v, gr=grad: v.at[s_orig_idx].set(
+                gather(gr, s_pos, boxsize, order=2) * s_ok, mode="drop"
+            ),
+            lambda v: v,
+            val,
+        )
+        fd_layout = val.reshape(K, C)
+        md = state.mom[d] + coef_sr * acc_sr[d] + coef_pm * fd_layout
+        md = jnp.where(state.valid, md, 0.0)
+        pd = jnp.where(
+            state.valid, jnp.mod(state.pos[d] + md * inv_mass, boxsize), 0.0
+        )
+        new_mom.append(md)
+        new_pos.append(pd)
+    mom = jnp.stack(new_mom)
+    pos = jnp.stack(new_pos)
+    vmax2 = jnp.max(
+        jnp.where(state.valid, mom[0] ** 2 + mom[1] ** 2 + mom[2] ** 2, 0.0)
+    )
+    return (
+        P3MState(pos=pos, mom=mom, valid=state.valid),
+        (n_pm_overflow, vmax2),
+    )
+
+
+class P3MSimulation:
+    """Production P³M stepper over the persistent short-range layout."""
+
+    def __init__(self, n_part: int, boxsize: float, mass: float, G: float,
+                 mesh: int | None = None, bg=None,
+                 margin_frac: float = 0.12, capacity: int | None = None,
+                 k_pm: int = 8, softening: float = 0.0,
+                 rebucket_every_max: int = 64):
+        self.N = n_part**3
+        self.boxsize = boxsize
+        self.mass = mass
+        self.G = G
+        self.bg = bg
+        self.mesh = mesh or 2 * n_part
+        # reference split defaults (param/example_explanatory:211-218)
+        self.scale = 1.25 * boxsize / self.mesh
+        self.cutoff = 4.5 * self.scale
+        self.margin_frac = margin_frac
+        self.nc = margin_cell_count(boxsize, self.cutoff, margin_frac)
+        self.cell_width = boxsize / self.nc
+        self.margin = self.cell_width - self.cutoff
+        self.softening = softening
+        self.k_pm = k_pm
+        self.rebucket_every_max = rebucket_every_max
+        self.interpret = jax.default_backend() != "tpu"
+        if capacity is None:
+            mean = self.N / self.nc**3
+            capacity = max(8, int(math.ceil(1.3 * mean / 8)) * 8)
+        self.capacity = capacity
+        # accumulated per-particle displacement bound since last rebucket
+        self._drift_used = 0.0
+
+    # -------------------------------------------------------------- #
+    def init_state(self, pos, mom) -> P3MState:
+        """pos/mom: 3-tuples of (N,) component arrays (donated)."""
+        pos_h = [np.asarray(p) for p in pos]
+        mom_h = [np.asarray(m) for m in mom]
+        while True:
+            state, kept = _bucketize_p3m(
+                *(jnp.asarray(p) for p in pos_h),
+                *(jnp.asarray(m) for m in mom_h),
+                boxsize=self.boxsize, nc=self.nc, capacity=self.capacity,
+            )
+            if int(kept) == self.N:
+                self._drift_used = 0.0
+                return state
+            self.capacity = max(8, int(self.capacity * 2))
+
+    def step(self, state: P3MState, int_a1: float, int_a2: float):
+        dtype = state.pos.dtype
+        state, (n_pm_over, vmax2) = p3m_bucket_step(
+            state, self.mass, self.G,
+            jnp.asarray(int_a1, dtype), jnp.asarray(int_a2, dtype),
+            self.boxsize, self.mesh, self.nc,
+            jnp.asarray(self.scale, dtype), jnp.asarray(self.cutoff, dtype),
+            jnp.asarray(self.softening, dtype),
+            k_pm=self.k_pm, interpret=self.interpret,
+        )
+        # margin budget: each particle moved ≤ vmax/mass·∫a⁻²dt comoving
+        vmax = float(jnp.sqrt(vmax2))
+        self._drift_used += vmax / self.mass * float(int_a2)
+        return state, (int(n_pm_over), vmax)
+
+    @property
+    def needs_rebucket(self) -> bool:
+        # a pair is safe while the combined drift of both partners stays
+        # below the margin: rebucket at 45% per particle
+        return self._drift_used > 0.45 * self.margin
+
+    def rebucket(self, state: P3MState) -> P3MState:
+        while True:
+            new_state, kept, max_count = _rebucketize_state(
+                state, self.boxsize, self.nc, self.capacity
+            )
+            if int(kept) == self.N:
+                # grow ahead of clustering: keep ≥ 15% headroom
+                if int(max_count) > 0.87 * self.capacity:
+                    self.capacity = max(
+                        8, int(math.ceil(1.3 * int(max_count) / 8)) * 8
+                    )
+                self._drift_used = 0.0
+                return new_state
+            self.capacity = max(8, int(self.capacity * 2))
+
+    # -------------------------------------------------------------- #
+    def _timestep(self, a: float, vmax: float) -> float:
+        from concept_tpu.sim import (
+            FAC_DYNAMICAL, FAC_HUBBLE, FAC_P3M,
+            DELTA_A_MAX_EARLY, DELTA_A_MAX_LATE,
+        )
+
+        H = float(self.bg.hubble_np(a))
+        rho = self.mass * self.N / self.boxsize**3 / a**3
+        limits = [FAC_DYNAMICAL / math.sqrt(self.G * rho)]
+        if H > 0:
+            limits.append(FAC_HUBBLE / H)
+            da = DELTA_A_MAX_EARLY if a < 0.1 else DELTA_A_MAX_LATE
+            limits.append(da / (a * H))
+        if vmax > 0:
+            limits.append(FAC_P3M * self.scale / (vmax / a))
+        return min(limits)
+
+    def evolve(self, state: P3MState, t0: float, t1: float,
+               max_steps: int = 100000):
+        """Leapfrog evolution with margin-budget re-bucketize."""
+        bg = self.bg
+        t = t0
+        t_mom = t0
+        steps = 0
+        vmax = 0.0
+        while t < t1 - 1e-12 * abs(t1):
+            a = float(bg.a_of_t_np(t))
+            dt = min(self._timestep(a, vmax / (a * self.mass)), t1 - t)
+            t_mid = min(t + 0.5 * dt, t1)
+            int_a1 = bg.integrals_np(t_mom, t_mid, keys=("a**(-1)",))["a**(-1)"]
+            int_a2 = bg.integrals_np(t, t + dt, keys=("a**(-2)",))["a**(-2)"]
+            state, (n_over, vmax) = self.step(state, int_a1, int_a2)
+            steps += 1
+            if self.needs_rebucket or steps % self.rebucket_every_max == 0:
+                state = self.rebucket(state)
+            t_mom = t_mid
+            t += dt
+            if steps > max_steps:
+                raise RuntimeError("max_steps exceeded")
+        if t_mom < t1 - 1e-12 * abs(t1):
+            int_a1 = bg.integrals_np(t_mom, t1, keys=("a**(-1)",))["a**(-1)"]
+            state, _ = self.step(state, int_a1, 0.0)
+        return state

@@ -148,7 +148,30 @@ class Simulation:
     def _kick(self, state: ParticleState, int_a1) -> ParticleState:
         cfg = self.config
         method = cfg.method
-        if method in ("pm", "p3m"):
+        if method == "p3m" and (
+            cfg.interpolation_order == 2
+            and cfg.differentiation in ("fourier", 0)
+            and not cfg.interlace
+            and tuple(cfg.deconvolve) == (True, True)
+            and (self.dist is None or self.dist.mesh is None)
+        ):
+            # fused component-wise path: short-range Pallas sweep + chunked
+            # Pallas PM kernels — the only formulation that compiles and
+            # runs at 256³/mesh-512 on the current TPU stack (forces/p3m)
+            from concept_tpu.forces.p3m import p3m_kick_components, pm_block_capacity
+
+            (dx, dy, dz), _, _ = p3m_kick_components(
+                state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+                self.spec.mass, cfg.boxsize, self._sr_scale, self._sr_range,
+                int_a1, cfg.potential_gridsize, self._sr_ncells,
+                self._sr_capacity,
+                k_pm=pm_block_capacity(self.spec.N, cfg.potential_gridsize),
+                softening=cfg.softening, G=cfg.G,
+                max_overflow=self._sr_max_overflow,
+                interpret=(jax.default_backend() != "tpu"),
+            )
+            dmom = jnp.stack([dx, dy, dz], axis=1)
+        elif method in ("pm", "p3m"):
             longrange_scale = self._sr_scale if method == "p3m" else None
             (dmom,) = pm_force.pm_gravity_momentum_updates(
                 [state.pos], [self.spec.mass],

@@ -1,0 +1,162 @@
+"""Persistent-layout P³M stepper (p3msim) vs the flat fused kick."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from concept_tpu.forces.p3m import p3m_kick_components
+from concept_tpu.p3msim import (
+    P3MSimulation, _bucketize_p3m, _rebucketize_state, p3m_bucket_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    box = 64.0
+    n_part = 16
+    N = n_part**3
+    lin = (np.arange(n_part) + 0.5) * (box / n_part)
+    pos = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
+    pos += rng.standard_normal(pos.shape) * (0.45 * box / n_part)
+    pos = np.mod(pos, box).astype(np.float32)
+    mom = (rng.standard_normal((N, 3)) * 0.1).astype(np.float32)
+    return box, n_part, pos, mom
+
+
+def make_sim(box, n_part, **kw):
+    return P3MSimulation(n_part, box, mass=2.0, G=1.0, mesh=2 * n_part, **kw)
+
+
+def flatten(sim, state):
+    v = np.asarray(state.valid).reshape(-1)
+    pos = np.asarray(state.pos).reshape(3, -1).T[v]
+    mom = np.asarray(state.mom).reshape(3, -1).T[v]
+    return pos, mom
+
+
+class TestBucketize:
+    def test_roundtrip_keeps_all_particles(self, setup):
+        box, n_part, pos, mom = setup
+        sim = make_sim(box, n_part)
+        state = sim.init_state(
+            tuple(jnp.asarray(pos[:, d]) for d in range(3)),
+            tuple(jnp.asarray(mom[:, d]) for d in range(3)),
+        )
+        assert int(jnp.sum(state.valid)) == pos.shape[0]
+        p2, m2 = flatten(sim, state)
+        # same multiset of particles (sort both for comparison)
+        a = np.lexsort(pos.T)
+        b = np.lexsort(p2.T)
+        np.testing.assert_allclose(p2[b], pos[a], atol=0)
+        np.testing.assert_allclose(m2[b], mom[a], atol=0)
+
+    def test_rebucketize_after_drift(self, setup):
+        box, n_part, pos, mom = setup
+        sim = make_sim(box, n_part)
+        state = sim.init_state(
+            tuple(jnp.asarray(pos[:, d]) for d in range(3)),
+            tuple(jnp.asarray(mom[:, d]) for d in range(3)),
+        )
+        # artificially drift positions by a full cell and rebucket
+        drift = sim.cell_width
+        state = state._replace(
+            pos=jnp.where(state.valid[None], jnp.mod(state.pos + drift, box), 0.0)
+        )
+        state2 = sim.rebucket(state)
+        assert int(jnp.sum(state2.valid)) == pos.shape[0]
+
+
+class TestStepMatchesFlatKick:
+    def test_one_step(self, setup):
+        box, n_part, pos, mom = setup
+        N = pos.shape[0]
+        sim = make_sim(box, n_part)
+        state = sim.init_state(
+            tuple(jnp.asarray(pos[:, d]) for d in range(3)),
+            tuple(jnp.asarray(mom[:, d]) for d in range(3)),
+        )
+        int_a1, int_a2 = 1e-3, 2e-3
+        state, (n_over, vmax) = sim.step(state, int_a1, int_a2)
+        assert n_over == 0
+
+        # flat reference: kick with the SAME split parameters, then drift
+        comps = tuple(jnp.asarray(pos[:, d]) for d in range(3))
+        (dx, dy, dz), _, _ = p3m_kick_components(
+            *comps, 2.0, box, sim.scale, sim.cutoff, int_a1,
+            sim.mesh, sim.nc, sim.capacity, k_pm=sim.k_pm, G=1.0,
+            interpret=True,
+        )
+        mom_ref = mom + np.stack(
+            [np.asarray(dx), np.asarray(dy), np.asarray(dz)], 1
+        )
+        pos_ref = np.mod(pos + mom_ref * (int_a2 / 2.0), box)
+
+        p2, m2 = flatten(sim, state)
+        a = np.lexsort(pos_ref.T)
+        b = np.lexsort(p2.T)
+        np.testing.assert_allclose(p2[b], pos_ref[a], rtol=0, atol=2e-4)
+        np.testing.assert_allclose(m2[b], mom_ref[a], rtol=0, atol=2e-4)
+        assert vmax == pytest.approx(
+            float(np.max(np.linalg.norm(mom_ref, axis=1))), rel=1e-4
+        )
+
+    def test_multi_step_with_rebucket_matches_flat_evolution(self, setup):
+        box, n_part, pos, mom = setup
+        N = pos.shape[0]
+        sim = make_sim(box, n_part, margin_frac=0.15)
+        state = sim.init_state(
+            tuple(jnp.asarray(pos[:, d]) for d in range(3)),
+            tuple(jnp.asarray(mom[:, d]) for d in range(3)),
+        )
+        int_a1, int_a2 = 5e-4, 1e-3
+        pos_ref, mom_ref = pos.copy(), mom.copy()
+        for step in range(4):
+            state, _ = sim.step(state, int_a1, int_a2)
+            if sim.needs_rebucket:
+                state = sim.rebucket(state)
+            comps = tuple(jnp.asarray(pos_ref[:, d]) for d in range(3))
+            (dx, dy, dz), _, _ = p3m_kick_components(
+                *comps, 2.0, box, sim.scale, sim.cutoff, int_a1,
+                sim.mesh, sim.nc, sim.capacity, k_pm=sim.k_pm, G=1.0,
+                interpret=True,
+            )
+            mom_ref = mom_ref + np.stack(
+                [np.asarray(dx), np.asarray(dy), np.asarray(dz)], 1
+            )
+            pos_ref = np.mod(pos_ref + mom_ref * (int_a2 / 2.0), box)
+        p2, m2 = flatten(sim, state)
+        a = np.lexsort(pos_ref.T)
+        b = np.lexsort(p2.T)
+        np.testing.assert_allclose(p2[b], pos_ref[a], rtol=0, atol=1e-3)
+        np.testing.assert_allclose(m2[b], mom_ref[a], rtol=0, atol=1e-3)
+
+
+class TestClusteredOverflow:
+    def test_pm_overflow_counted_and_exact(self, setup):
+        # cram particles into one deposit block: k_pm=8 overflows, the
+        # compacted plain path must reproduce the flat kick exactly
+        box, n_part, pos, mom = setup
+        rng = np.random.default_rng(5)
+        p = np.asarray(pos).copy()
+        p[:128] = 32.0 + rng.uniform(0, 1.5, (128, 3))
+        p = p.astype(np.float32)
+        sim = make_sim(box, n_part, k_pm=8)
+        state = sim.init_state(
+            tuple(jnp.asarray(p[:, d]) for d in range(3)),
+            tuple(jnp.zeros((p.shape[0],), jnp.float32) for _ in range(3)),
+        )
+        int_a1, int_a2 = 1e-3, 0.0
+        state, (n_over, _) = sim.step(state, int_a1, int_a2)
+        assert n_over > 0
+        comps = tuple(jnp.asarray(p[:, d]) for d in range(3))
+        (dx, dy, dz), _, _ = p3m_kick_components(
+            *comps, 2.0, box, sim.scale, sim.cutoff, int_a1,
+            sim.mesh, sim.nc, sim.capacity, k_pm=8, G=1.0, interpret=True,
+        )
+        mom_ref = np.stack([np.asarray(dx), np.asarray(dy), np.asarray(dz)], 1)
+        p2, m2 = flatten(sim, state)
+        a = np.lexsort(p.T)
+        b = np.lexsort(p2.T)
+        np.testing.assert_allclose(m2[b], mom_ref[a], rtol=0, atol=2e-4)
