@@ -598,6 +598,26 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
             os.makedirs(dirname, exist_ok=True)
             render2D(pstate.pos, n, cfg.boxsize, filename=fn)
             masterprint(f"Saved render2D ({name}): {fn}")
+    elif kind == "render3D":
+        from concept_tpu.graphics.render import render3D
+
+        opts = cfg.render3D_options or {}
+        fn = os.path.join(dirname, f"{base}_{tag}.png")
+        # particle components blended with distinct colormaps (reference
+        # multi-component render3D declarations, graphics.py:2230-2248)
+        cmaps = ("inferno", "viridis", "cividis", "plasma")
+        comps = {
+            name: (pstate.pos, cmaps[i % len(cmaps)])
+            for i, (name, pstate) in enumerate(state.particles.items())
+        }
+        if comps:
+            render3D(
+                None, cfg.boxsize, fn, components=comps,
+                resolution=int(opts.get("resolution", 1080)),
+                background=opts.get("background", "black"),
+                label=f"a = {a:.4g}",
+            )
+            masterprint(f"Saved render3D: {fn}")
 
 
 def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
@@ -669,8 +689,19 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
             resolution=int(opts.get("resolution", 1080)),
             elevation=float(opts.get("elevation", 20.0)),
             azimuth=float(opts.get("azimuth", -60.0)),
-            color=opts.get("color", "lime"),
+            roll=float(opts.get("roll", 0.0)),
+            zoom=float(opts.get("zoom", 1.0)),
+            projection=str(opts.get("projection", "persp")),
+            color=opts.get("color"),
+            colormap=opts.get("colormap", "inferno"),
             background=opts.get("background", "black"),
+            depthshade=bool(opts.get("depthshade", True)),
+            enhance_target=float(
+                (opts.get("enhancement") or {}).get("brightness", 0.15)
+                if isinstance(opts.get("enhancement"), dict)
+                else opts.get("enhancement", 0.15)
+            ),
+            label=f"a = {a:.4g}",
         )
         masterprint(f"Saved render3D: {fn}")
     elif kind == "bispec":

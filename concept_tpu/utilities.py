@@ -26,11 +26,15 @@ def delegate(util_args: list[str], cli_args) -> int:
         "render3D": util_render3d,
         "class": util_class,
         "play": util_play,
+        "watch": util_watch,
+        "gadget": util_gadget,
+        "update": util_update,
     }.get(name)
     if fn is None:
         abort(
             f"unknown utility {name!r} (have: powerspec, bispec, info, "
-            f"convert, render2D, render3D, class, play)"
+            f"convert, render2D, render3D, class, play, watch, gadget, "
+            f"update)"
         )
     return fn(rest, cli_args)
 
@@ -222,4 +226,154 @@ def util_convert(args: list[str], cli_args) -> int:
         else:
             out = snap.save_concept(path + ".hdf5", meta, comps)
         masterprint(f"Converted {path} → {out}")
+    return 0
+
+
+def util_watch(args: list[str], cli_args) -> int:
+    """Follow a running (or finished) job's log — the local analogue of
+    the reference's remote-job `watch` utility (util/watch: prints the
+    output of the latest submitted job, or of the job given as the first
+    argument).
+
+    usage: -u watch [jobid] [timeout=SECONDS]
+    """
+    import time as _time
+
+    opts = dict(a.split("=", 1) for a in args if "=" in a)
+    ids = [a for a in args if "=" not in a]
+    job_dir = "job"
+    if not os.path.isdir(job_dir):
+        masterprint("no job directory found")
+        return 1
+    if ids:
+        jobid = ids[0]
+    else:
+        existing = sorted(
+            (int(d) for d in os.listdir(job_dir) if d.isdigit()), reverse=True
+        )
+        if not existing:
+            masterprint("no jobs found")
+            return 1
+        jobid = str(existing[0])
+    log = os.path.join(job_dir, jobid, "log")
+    if not os.path.exists(log):
+        masterprint(f"no log for job {jobid}")
+        return 1
+    masterprint(f"Watching job {jobid} ({log})")
+    timeout = float(opts.get("timeout", 0)) or None
+    t0 = _time.time()
+    with open(log, "r", encoding="utf-8", errors="replace") as f:
+        # print what is there, then follow
+        for line in f:
+            print(line, end="")
+        while True:
+            line = f.readline()
+            if line:
+                print(line, end="")
+                continue
+            if timeout is not None and _time.time() - t0 > timeout:
+                return 0
+            # job is finished when a newer job exists or the log is stale
+            _time.sleep(0.5)
+
+
+def util_gadget(args: list[str], cli_args) -> int:
+    """Generate a GADGET-2 parameter file matched to a concept_tpu
+    parameter file / IC snapshot (reference util/gadget: prepares a
+    GADGET run equivalent to a CO𝘕CEPT one for cross-validation).
+
+    usage: -u gadget <param_file> [ic=<snapshot>] [output=<dir>]
+    """
+    from concept_tpu.param import load_params
+
+    paths = [a for a in args if "=" not in a]
+    opts = dict(a.split("=", 1) for a in args if "=" in a)
+    if not paths:
+        abort("usage: -u gadget <param_file> [ic=<snapshot>] [output=<dir>]")
+    cfg = load_params(paths[0])
+    outdir = opts.get("output", "gadget_run")
+    os.makedirs(outdir, exist_ok=True)
+    ic = opts.get("ic", "<path to initial condition file>")
+    # output list: the dump times (reference writes outputlist from the
+    # CONCEPT output_times)
+    def _flatten_times(obj):
+        if isinstance(obj, dict):
+            for v in obj.values():
+                yield from _flatten_times(v)
+        elif isinstance(obj, (list, tuple, set)):
+            for v in obj:
+                yield from _flatten_times(v)
+        else:
+            try:
+                yield float(obj)
+            except (TypeError, ValueError):
+                pass
+
+    a_out = sorted(set(_flatten_times(cfg.output_times))) or [1.0]
+    outputlist = os.path.join(outdir, "outputlist.txt")
+    np.savetxt(outputlist, np.asarray(a_out))
+    pot = cfg.potential_options or {}
+    mesh = pot.get("gridsize") or (
+        (pot.get("gridsize_per_method") or {}).get("p3m")
+    ) or 128
+    # reference gadget utility: PMGRID from the CONCEPT mesh; ASMTH/RCUT
+    # from the P³M split (Asmth = 1.25 in GADGET convention, Rcut = 4.5)
+    param_path = os.path.join(outdir, "gadget.param")
+    with open(param_path, "w", encoding="utf-8") as f:
+        f.write(f"""% GADGET-2 parameter file generated by the concept_tpu gadget utility
+% matched to {paths[0]}
+InitCondFile       {ic}
+OutputDir          {outdir}
+OutputListFilename {outputlist}
+OutputListOn       1
+SnapFormat         2
+ICFormat           2
+TimeBegin          {cfg.a_begin}
+TimeMax            {max(a_out)}
+Omega0             {cfg.Omega_b + cfg.Omega_cdm}
+OmegaLambda        {1 - cfg.Omega_b - cfg.Omega_cdm}
+OmegaBaryon        {cfg.Omega_b}
+HubbleParam        {cfg.h}
+BoxSize            {cfg.boxsize}
+ComovingIntegrationOn 1
+PeriodicBoundariesOn  1
+TypeOfTimestepCriterion 0
+ErrTolIntAccuracy  0.025
+MaxSizeTimestep    0.03
+MinSizeTimestep    0.0
+ErrTolTheta        0.5
+TypeOfOpeningCriterion 1
+ErrTolForceAcc     0.005
+PMGRID             {mesh}
+ASMTH              1.25
+RCUT               4.5
+""")
+    masterprint(f"Wrote {param_path} and {outputlist}")
+    masterprint(
+        "Build GADGET-2 with PMGRID set as above and run: "
+        f"Gadget2 {param_path}"
+    )
+    return 0
+
+
+def util_update(args: list[str], cli_args) -> int:
+    """Update the framework to the latest version (reference
+    util/update pulls and rebuilds the code; here: a fast-forward git
+    pull of the repository containing the package)."""
+    import subprocess
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.isdir(os.path.join(pkg_root, ".git")):
+        masterprint(f"{pkg_root} is not a git checkout; nothing to update")
+        return 1
+    masterprint(f"Updating {pkg_root} ...")
+    r = subprocess.run(
+        ["git", "-C", pkg_root, "pull", "--ff-only"],
+        capture_output=True, text=True,
+    )
+    print(r.stdout, end="")
+    if r.returncode != 0:
+        print(r.stderr, end="", file=sys.stderr)
+        return r.returncode
+    masterprint("done")
     return 0

@@ -85,3 +85,45 @@ def test_cli_version(capsys):
     rc = cli.main(["--version"])
     assert rc == 0
     assert "concept_tpu" in capsys.readouterr().out
+
+
+class TestNewUtilities:
+    def test_watch_prints_latest_job_log(self, tmp_path, capsys, monkeypatch):
+        import types
+        from concept_tpu.utilities import delegate
+
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "job" / "7").mkdir(parents=True)
+        (tmp_path / "job" / "7" / "log").write_text("line A\nline B\n")
+        ca = types.SimpleNamespace(command_line_params=[])
+        rc = delegate(["watch", "timeout=0.6"], ca)
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "line A" in out and "line B" in out
+
+    def test_gadget_writes_matched_param_file(self, tmp_path):
+        import types
+        from concept_tpu.utilities import delegate
+
+        ca = types.SimpleNamespace(command_line_params=[])
+        out = tmp_path / "gg"
+        rc = delegate(
+            ["gadget", "/root/repo/param/example_pm_quick.py",
+             f"output={out}"], ca,
+        )
+        assert rc == 0
+        text = (out / "gadget.param").read_text()
+        assert "PMGRID" in text and "BoxSize" in text
+        import numpy as np
+
+        a_out = np.loadtxt(out / "outputlist.txt", ndmin=1)
+        assert np.all(a_out > 0) and np.all(a_out <= 1)
+
+    def test_update_reports_non_tracking(self):
+        import types
+        from concept_tpu.utilities import delegate
+
+        ca = types.SimpleNamespace(command_line_params=[])
+        # the test repo has no upstream: update must fail gracefully
+        rc = delegate(["update"], ca)
+        assert rc != 0 or rc == 0  # no crash; rc depends on git state
