@@ -68,7 +68,52 @@ def bin_indices_and_k(gridsize: int, boxsize: float,
     return bins, k_phys, n_bins
 
 
+def _delta_power_impl(
+    pos_list, weight_list, gridsize, boxsize, order, deconvolve, interlace,
+    deposit_method, dist,
+):
+    n = gridsize
+
+    def _dep(p, w):
+        if dist is not None and dist.mesh is not None:
+            from concept_tpu.parallel.step import deposit_distributed
+
+            return deposit_distributed(p, w, n, boxsize, order, dist,
+                                       deposit_method)
+        return deposit(p, w, n, boxsize, order=order, method=deposit_method)
+
+    grid = None
+    for p, w in zip(pos_list, weight_list):
+        g = _dep(p, w)
+        grid = g if grid is None else grid + g
+    mean = jnp.mean(grid)
+    delta = grid / mean - 1.0
+    slab = rfft3(delta, dist)
+    if interlace:
+        h = boxsize / n
+        grid2 = None
+        for p, w in zip(pos_list, weight_list):
+            g = _dep(jnp.mod(p + 0.5 * h, boxsize), w)
+            grid2 = g if grid2 is None else grid2 + g
+        slab2 = rfft3(grid2 / mean - 1.0, dist)
+        phase = fourier.interlace_phase(n, boxsize, (-0.5, -0.5, -0.5))
+        slab = 0.5 * (slab + slab2 * phase)
+    if deconvolve:
+        slab = slab * fourier.deconvolution_factor(n, order)
+    return jnp.abs(slab) ** 2
+
+
 @partial(jax.jit, static_argnames=("gridsize", "order", "deconvolve", "interlace", "deposit_method"))
+def _delta_power_grid_jit(
+    pos_list, weight_list, gridsize: int, boxsize: float, order: int,
+    deconvolve: bool, interlace: bool, deposit_method: str,
+):
+    return _delta_power_impl(
+        pos_list, weight_list, gridsize, boxsize, order, deconvolve,
+        interlace, deposit_method, None,
+    )
+
+
 def delta_power_grid(
     pos_list,
     weight_list,
@@ -78,33 +123,29 @@ def delta_power_grid(
     deconvolve: bool = True,
     interlace: bool = True,
     deposit_method: str = "scatter",
+    dist=None,
 ):
     """|δ(k)|² over the rfft layout, deconvolved/interlaced.
 
     weight_list: per-particle-group mass weights (used for multi-component
     total spectra; for a single component any constant works since δ is
     normalized by the mean).
+
+    With ``dist`` (a GridDistribution with a live mesh), the deposit runs
+    sharded (psum_scatter) and the FFT distributed — the measurement
+    scales over the device mesh (GSPMD inserts the collectives; the
+    binned reductions below all-reduce automatically).  Callers should
+    jit closing over dist.
     """
-    n = gridsize
-    grid = None
-    for p, w in zip(pos_list, weight_list):
-        g = deposit(p, w, n, boxsize, order=order, method=deposit_method)
-        grid = g if grid is None else grid + g
-    mean = jnp.mean(grid)
-    delta = grid / mean - 1.0
-    slab = rfft3(delta)
-    if interlace:
-        h = boxsize / n
-        grid2 = None
-        for p, w in zip(pos_list, weight_list):
-            g = deposit(jnp.mod(p + 0.5 * h, boxsize), w, n, boxsize, order=order, method=deposit_method)
-            grid2 = g if grid2 is None else grid2 + g
-        slab2 = rfft3(grid2 / mean - 1.0)
-        phase = fourier.interlace_phase(n, boxsize, (-0.5, -0.5, -0.5))
-        slab = 0.5 * (slab + slab2 * phase)
-    if deconvolve:
-        slab = slab * fourier.deconvolution_factor(n, order)
-    return jnp.abs(slab) ** 2
+    if dist is None or dist.mesh is None:
+        return _delta_power_grid_jit(
+            tuple(pos_list), tuple(weight_list), gridsize, boxsize, order,
+            deconvolve, interlace, deposit_method,
+        )
+    return _delta_power_impl(
+        pos_list, weight_list, gridsize, boxsize, order, deconvolve,
+        interlace, deposit_method, dist,
+    )
 
 
 def powerspec(
@@ -118,18 +159,21 @@ def powerspec(
     interlace: bool = True,
     shotnoise_correction: bool = True,
     deposit_method: str = "scatter",
+    dist=None,
 ):
     """Measure P(k).  Returns dict with k, modes, power, power_corrected.
 
     Estimator: P̂(bin) = (V/N_cells²)·Σ_bin w_herm |δ_dft|² / Σ_bin w_herm,
     with w_herm the Hermitian multiplicity (grid/fourier.py).  Shot noise
     V/N_particles subtracted for the 'corrected' spectrum (reference
-    analysis.py:610-795).
+    analysis.py:610-795).  ``dist``: distributed measurement (see
+    delta_power_grid).
     """
     n = gridsize
     V = boxsize**3
     p2 = delta_power_grid(
-        tuple(pos_list), tuple(weight_list), n, boxsize, order, deconvolve, interlace, deposit_method
+        tuple(pos_list), tuple(weight_list), n, boxsize, order, deconvolve,
+        interlace, deposit_method, dist=dist,
     )
     bins, k_phys, nbins = bin_indices_and_k(n, boxsize)
     mult = jnp.broadcast_to(fourier.hermitian_multiplicity(n), p2.shape)

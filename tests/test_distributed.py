@@ -130,3 +130,25 @@ def test_halo_exchange_deposit_matches_psum_scatter():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
     assert np.isclose(float(jnp.sum(got)), N, rtol=1e-6)
+
+
+def test_distributed_powerspec_matches_single():
+    """powerspec with a live GridDistribution (sharded deposit +
+    distributed FFT) reproduces the single-device measurement."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from concept_tpu.analysis.powerspec import powerspec
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devs), ("x",))
+    dist = GridDistribution(mesh=mesh, axis="x")
+    rng = np.random.default_rng(0)
+    N = 4096
+    box = 32.0
+    n = 16
+    pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
+    ref = powerspec([pos], [1.0], n, box, n_particles=N)
+    got = powerspec([pos], [1.0], n, box, n_particles=N, dist=dist)
+    np.testing.assert_allclose(got["k"], ref["k"], rtol=1e-6)
+    np.testing.assert_allclose(got["modes"], ref["modes"])
+    np.testing.assert_allclose(got["power"], ref["power"], rtol=2e-5)
