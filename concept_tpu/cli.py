@@ -34,6 +34,9 @@ def make_parser():
     )
     p.add_argument("-n", "--nprocs", type=int, default=0,
                    help="(virtual) device count; 0 = all available")
+    p.add_argument("-t", "--test", nargs="?", const="all", default=None,
+                   help="run the test suite (optionally a single test "
+                        "file/pattern), reference `concept -t` analogue")
     p.add_argument("--seed", type=int, default=None, help="override primordial seed")
     p.add_argument("--version", action="store_true")
     p.add_argument("--local", action="store_true",
@@ -51,6 +54,19 @@ def main(argv=None):
 
         print(f"concept_tpu {__version__}")
         return 0
+    if args.test is not None:
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        target = os.path.join(repo, "tests")
+        cmd = [sys.executable, "-m", "pytest", "-q"]
+        if args.test == "all":
+            cmd.append(target)
+        elif os.path.exists(args.test):
+            cmd.append(args.test)
+        else:
+            cmd += [target, "-k", args.test]
+        return subprocess.call(cmd)
     if args.utility:
         from concept_tpu.utilities import delegate
 
