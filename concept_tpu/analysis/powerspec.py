@@ -89,15 +89,21 @@ def _delta_power_impl(
     mean = jnp.mean(grid)
     delta = grid / mean - 1.0
     slab = rfft3(delta, dist)
-    if interlace:
+    from concept_tpu.forces.pm import INTERLACE_SHIFTS, interlace_lattice
+
+    for shift in INTERLACE_SHIFTS[interlace_lattice(interlace)][1:]:
         h = boxsize / n
+        off = jnp.asarray(shift) * h
         grid2 = None
         for p, w in zip(pos_list, weight_list):
-            g = _dep(jnp.mod(p + 0.5 * h, boxsize), w)
+            g = _dep(jnp.mod(p + off, boxsize), w)
             grid2 = g if grid2 is None else grid2 + g
         slab2 = rfft3(grid2 / mean - 1.0, dist)
-        phase = fourier.interlace_phase(n, boxsize, (-0.5, -0.5, -0.5))
-        slab = 0.5 * (slab + slab2 * phase)
+        phase = fourier.interlace_phase(n, boxsize, tuple(-c for c in shift))
+        slab = slab + slab2 * phase
+    n_prim = len(INTERLACE_SHIFTS[interlace_lattice(interlace)])
+    if n_prim > 1:
+        slab = slab / n_prim
     if deconvolve:
         slab = slab * fourier.deconvolution_factor(n, order)
     return jnp.abs(slab) ** 2

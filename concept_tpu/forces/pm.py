@@ -29,6 +29,42 @@ from concept_tpu.grid import fourier
 from concept_tpu.grid.interp import deposit, gather
 
 
+# Interlacing lattices (reference mesh.py:78-183 Lattice): shifts in
+# cell units applied to particles; each shifted deposit is phase-rotated
+# back in k-space and the primitives averaged, cancelling the leading
+# image aliases ('bcc': odd images; 'fcc': odd + half of the even).
+INTERLACE_SHIFTS = {
+    "sc": [(0.0, 0.0, 0.0)],
+    "bcc": [(0.0, 0.0, 0.0), (0.5, 0.5, 0.5)],
+    "fcc": [
+        (0.0, 0.0, 0.0),
+        (0.0, 0.5, 0.5),
+        (0.5, 0.0, 0.5),
+        (0.5, 0.5, 0.0),
+    ],
+}
+
+
+def interlace_lattice(interlace) -> str:
+    """Canonicalize an interlace option (bool or lattice name) to a
+    lattice kind ('sc' = no interlacing; True = 'bcc', the reference
+    default interlacing)."""
+    if interlace is True:
+        return "bcc"
+    if interlace in (False, None):
+        return "sc"
+    kind = str(interlace).lower()
+    if "body" in kind:
+        kind = "bcc"
+    elif "face" in kind:
+        kind = "fcc"
+    elif "simple" in kind or kind == "":
+        kind = "sc"
+    if kind not in INTERLACE_SHIFTS:
+        raise ValueError(f"unknown interlacing lattice {interlace!r}")
+    return kind
+
+
 def density_slab(
     pos,
     masses,
@@ -37,14 +73,14 @@ def density_slab(
     order: int = 2,
     dist: GridDistribution | None = None,
     deposit_method: str = "scatter",
-    interlace: bool = False,
+    interlace=False,
 ):
     """Deposit particles → comoving density ϱ(k) (rfft layout).
 
     pos: (N,3) or list of (N_i,3); masses: scalar or list.
-    With ``interlace``, a second deposit shifted by half a cell diagonal is
-    combined in k-space (reference Lattice 'sc' interlacing,
-    mesh.py:77-183), suppressing odd-image aliases.
+    ``interlace``: False/'sc' (none), True/'bcc' (half-cell diagonal
+    2-point) or 'fcc' (4-point face shifts) — shifted deposits combined
+    in k-space (reference Lattice interlacing, mesh.py:77-183).
     """
     n = gridsize
     cell_volume = (boxsize / n) ** 3
@@ -58,23 +94,24 @@ def density_slab(
             return deposit_distributed(p, m, n, boxsize, order, dist, deposit_method)
         return deposit(p, m, n, boxsize, order=order, method=deposit_method)
 
-    grid = None
-    for p, m in zip(pos_list, mass_list):
-        g = _deposit(p, m)
-        grid = g if grid is None else grid + g
-    slab = rfft3(grid / cell_volume, dist)
-    if interlace:
-        h = boxsize / n
-        shift = 0.5 * h
-        grid2 = None
+    h = boxsize / n
+    shifts = INTERLACE_SHIFTS[interlace_lattice(interlace)]
+    slab = None
+    for shift in shifts:
+        grid = None
+        off = jnp.asarray(shift) * h
         for p, m in zip(pos_list, mass_list):
-            g = _deposit(jnp.mod(p + shift, boxsize), m)
-            grid2 = g if grid2 is None else grid2 + g
-        slab2 = rfft3(grid2 / cell_volume, dist)
-        # Undo the half-cell shift in k-space and average
-        phase = fourier.interlace_phase(n, boxsize, (-0.5, -0.5, -0.5))
-        slab = 0.5 * (slab + slab2 * phase)
-    return slab
+            pp = jnp.mod(p + off, boxsize) if any(shift) else p
+            g = _deposit(pp, m)
+            grid = g if grid is None else grid + g
+        s = rfft3(grid / cell_volume, dist)
+        if any(shift):
+            # undo the particle shift in k-space
+            s = s * fourier.interlace_phase(
+                n, boxsize, tuple(-c for c in shift)
+            )
+        slab = s if slab is None else slab + s
+    return slab / len(shifts)
 
 
 def gravity_potential_slab(
@@ -149,7 +186,7 @@ def pm_gravity_momentum_updates(
     force-interpolation window (reference potential_options['deconvolve'],
     promotion to a global factor at interactions.py:2060-2080).
     """
-    if deposit_method == "pallas" and order == 2 and not interlace and (
+    if deposit_method == "pallas" and order == 2 and interlace_lattice(interlace) == "sc" and (
         dist is None or dist.mesh is None
     ):
         return _pm_updates_pallas(

@@ -154,3 +154,63 @@ def test_bispec_antialias_improves_mode_counts():
                      antialias=aa)
         errs[aa] = abs(out["n_triangles"][0] / expect - 1)
     assert errs[True] <= errs[False] * 1.2  # never much worse, usually better
+
+
+class TestInterlaceLattices:
+    """Lattice interlacing families (reference mesh.py:78-183):
+    'bcc' (2-point) and 'fcc' (4-point) alias suppression."""
+
+    def test_canonicalization(self):
+        from concept_tpu.forces.pm import interlace_lattice
+
+        assert interlace_lattice(False) == "sc"
+        assert interlace_lattice(True) == "bcc"
+        assert interlace_lattice("body-centered") == "bcc"
+        assert interlace_lattice("fcc") == "fcc"
+        assert interlace_lattice("face-centered cubic") == "fcc"
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            interlace_lattice("hexagonal")
+
+    def test_bool_equals_bcc(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from concept_tpu.forces.pm import density_slab
+
+        rng = np.random.default_rng(0)
+        pos = jnp.asarray(rng.uniform(0, 32.0, (512, 3)).astype(np.float32))
+        s1 = density_slab(pos, 1.0, 16, 32.0, interlace=True)
+        s2 = density_slab(pos, 1.0, 16, 32.0, interlace="bcc")
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+        s3 = density_slab(pos, 1.0, 16, 32.0, interlace=False)
+        s4 = density_slab(pos, 1.0, 16, 32.0, interlace="sc")
+        np.testing.assert_allclose(np.asarray(s3), np.asarray(s4))
+
+    def test_alias_suppression_ordering(self):
+        """For a Poisson field the truth is pure shot noise V/N; the
+        residual of P_corrected near the mesh Nyquist is image aliasing.
+        Interlacing must suppress it: fcc < bcc < none (measured
+        deviations ~0.18 / 0.35 / 1.32 of shot noise at order 2)."""
+        import jax.numpy as jnp
+        import numpy as np
+        from concept_tpu.analysis.powerspec import powerspec
+
+        box = 32.0
+        rng = np.random.default_rng(2)
+        N = 20000
+        pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
+        V = box**3
+
+        def nyquist_dev(interlace):
+            out = powerspec([pos], [1.0], 32, box, n_particles=N, order=2,
+                            interlace=interlace)
+            k = out["k"]
+            sel = k > 0.75 * np.max(k) / np.sqrt(3)
+            return float(np.mean(np.abs(out["power_corrected"][sel])) / (V / N))
+
+        d_none = nyquist_dev(False)
+        d_bcc = nyquist_dev("bcc")
+        d_fcc = nyquist_dev("fcc")
+        assert d_bcc < 0.5 * d_none, (d_bcc, d_none)
+        assert d_fcc < 0.75 * d_bcc, (d_fcc, d_bcc)
