@@ -344,31 +344,84 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
     t_wall0 = _time.time()
     last_autosave = t_wall0
     step_total = 0
+    t_evolve = 0.0
+    t_dump = 0.0
     from concept_tpu.timestep import prepare_static_timestepping
 
     static_dt = prepare_static_timestepping(cfg.static_timestepping)
-    while events:
-        a_next = events[0][0]
-        masterprint(f"Evolving to a = {a_next:.4g} ...")
 
-        def cb(st, t, a_now, n):
-            nonlocal step_total
-            step_total = n
+    # interrupted-run trap (reference failure handling: an autosave is
+    # written on termination signals so the run can resume, main.py
+    # timeloop + commons abort machinery)
+    import signal as _signal
 
-        state, a = sim.evolve(
-            state, a, a_next, callback=cb, max_steps=max_steps,
-            static_dt=static_dt,
+    trap_state = {"state": state, "a": a, "events": events}
+
+    def _on_signal(signum, frame):
+        masterprint(
+            f"Received signal {_signal.Signals(signum).name}: "
+            f"writing autosave before exiting ..."
         )
-        masterprint("done")
-        while events and events[0][0] <= a + 1e-9:
-            _, kind = events.pop(0)
-            dump(cfg, sim, state, a, kind, units, lin)
-        if _time.time() - last_autosave > cfg.autosave_interval and events:
-            write_autosave(cfg, sim, state, a, events, units)
-            last_autosave = _time.time()
+        try:
+            write_autosave(
+                cfg, sim, trap_state["state"], trap_state["a"],
+                trap_state["events"], units,
+            )
+        finally:
+            raise SystemExit(128 + signum)
+
+    old_handlers = {}
+    for sig in (_signal.SIGINT, _signal.SIGTERM):
+        try:
+            old_handlers[sig] = _signal.signal(sig, _on_signal)
+        except (ValueError, OSError):
+            pass  # non-main thread / unsupported
+
+    try:
+        while events:
+            a_next = events[0][0]
+            masterprint(f"Evolving to a = {a_next:.4g} ...")
+
+            def cb(st, t, a_now, n):
+                nonlocal step_total
+                step_total = n
+                trap_state["state"] = st
+                trap_state["a"] = a_now
+
+            t0 = _time.time()
+            state, a = sim.evolve(
+                state, a, a_next, callback=cb, max_steps=max_steps,
+                static_dt=static_dt,
+            )
+            t_evolve += _time.time() - t0
+            trap_state["state"], trap_state["a"] = state, a
+            masterprint("done")
+            t0 = _time.time()
+            while events and events[0][0] <= a + 1e-9:
+                _, kind = events.pop(0)
+                dump(cfg, sim, state, a, kind, units, lin)
+            t_dump += _time.time() - t0
+            trap_state["events"] = events
+            if _time.time() - last_autosave > cfg.autosave_interval and events:
+                write_autosave(cfg, sim, state, a, events, units)
+                last_autosave = _time.time()
+    finally:
+        for sig, h in old_handlers.items():
+            _signal.signal(sig, h)
     clear_autosave(cfg)  # reference removes the autosave on success
+    # time-step footer (reference print_timestep_footer, main.py:2117 —
+    # the MPI load-imbalance column is N/A under single-controller GSPMD;
+    # the wall-clock accounting is the TPU-meaningful part)
+    wall = _time.time() - t_wall0
+    if step_total:
+        masterprint(
+            f"Time-step summary: {step_total} steps, "
+            f"{t_evolve:.1f} s evolution "
+            f"({1e3 * t_evolve / max(step_total, 1):.0f} ms/step), "
+            f"{t_dump:.1f} s output"
+        )
     masterprint(
-        f"Simulation complete: a = {a:.6g}, wall time {_time.time()-t_wall0:.1f} s"
+        f"Simulation complete: a = {a:.6g}, wall time {wall:.1f} s"
     )
     return sim, state, a
 
