@@ -89,19 +89,24 @@ def pm_longrange_components(
     rank = iota - starts[key_s]
     # slot SCATTER build: N writes regardless of capacity (a (K,C)-shaped
     # gather build costs K×N reads — 3.7 s at K=8, C=16.7M on chip);
-    # validity is derived from counts, no scatter needed
+    # validity is derived from counts, no scatter needed.  The column
+    # count is padded to the kernel lane multiple (small meshes).
+    from concept_tpu.grid.pallas_pm import LANES
+
+    Cp = ((C + LANES - 1) // LANES) * LANES
     in_bucket = rank < K
-    slot = jnp.where(in_bucket, rank * C + key_s, K * C)
+    slot = jnp.where(in_bucket, rank * Cp + key_s, K * Cp)
 
     def scat(vals):
         return (
-            jnp.zeros((K * C,), vals.dtype)
+            jnp.zeros((K * Cp,), vals.dtype)
             .at[slot].set(vals, mode="drop", unique_indices=True)
-            .reshape(K, C)
+            .reshape(K, Cp)
         )
 
     bx, by, bz = scat(pxs), scat(pys), scat(pzs)
-    valid = jnp.arange(K, dtype=jnp.int32)[:, None] < counts[None, :]
+    counts_p = jnp.pad(counts, (0, Cp - C))
+    valid = jnp.arange(K, dtype=jnp.int32)[:, None] < counts_p[None, :]
     w1 = valid.astype(dtype)
 
     grid = deposit_pallas_pos(

@@ -228,19 +228,23 @@ def p3m_bucket_step(
     starts = jnp.cumsum(counts) - counts
     rank = iota - starts[key_c]
     in_b = ok & (rank < k_pm)
-    slot = jnp.where(in_b, rank * C_pm + key_c, k_pm * C_pm)
+    # columns padded to the kernel lane multiple (small meshes)
+    from concept_tpu.grid.pallas_pm import LANES
+
+    Cp_pm = ((C_pm + LANES - 1) // LANES) * LANES
+    slot = jnp.where(in_b, rank * Cp_pm + key_c, k_pm * Cp_pm)
 
     def scat(vals):
         return (
-            jnp.zeros((k_pm * C_pm,), vals.dtype)
+            jnp.zeros((k_pm * Cp_pm,), vals.dtype)
             .at[slot].set(vals, mode="drop", unique_indices=True)
-            .reshape(k_pm, C_pm)
+            .reshape(k_pm, Cp_pm)
         )
 
     bx, by, bz = scat(pxs), scat(pys), scat(pzs)
+    counts_p = jnp.pad(jnp.minimum(counts, k_pm), (0, Cp_pm - C_pm))
     w1 = (
-        jnp.arange(k_pm, dtype=jnp.int32)[:, None]
-        < jnp.minimum(counts, k_pm)[None, :]
+        jnp.arange(k_pm, dtype=jnp.int32)[:, None] < counts_p[None, :]
     ).astype(dtype)
 
     grid = deposit_pallas_pos(
@@ -284,7 +288,7 @@ def p3m_bucket_step(
 
     # per-slot (original layout order) PM slot index: argsort + gather
     inv_order = jax.lax.sort([order, iota], num_keys=1)[1]
-    back_slot_orig = jnp.where(in_b, slot, k_pm * C_pm)[inv_order]
+    back_slot_orig = jnp.where(in_b, slot, k_pm * Cp_pm)[inv_order]
     s_orig_idx = jnp.where(
         sidx < M,
         jnp.concatenate([order, jnp.zeros((1,), jnp.int32)])[

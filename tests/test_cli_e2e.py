@@ -63,3 +63,35 @@ def test_example_relativistic_shrunk_runs(tmp_path):
     ])
     assert rc == 0
     assert glob.glob(os.path.join(out, "powerspec*"))
+
+
+def test_pure_python_full_run(tmp_path):
+    """A FULL (shrunk) simulation in --pure-python (eager, jit-disabled)
+    mode: the reference pure-Python mode analogue must complete end-to-end
+    and produce output (reference test/pure_python_p3m role; VERDICT row 6)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "out"
+    param = tmp_path / "p.py"
+    param.write_text(
+        "initial_conditions = {'species': 'matter', 'N': 4**3}\n"
+        "potential_options = 8\n"
+        f"output_dirs = '{out}'\n"
+        "output_times = {'powerspec': 1.0}\n"
+        "a_begin = 0.5\n"
+        "boxsize = 64*Mpc\n"
+    )
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "from concept_tpu.cli import main; "
+        f"sys.exit(main(['-p', r'{param}', '--pure-python']))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=tmp_path, capture_output=True,
+        text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "Simulation complete" in r.stdout
+    assert (out / "powerspec_a=1.txt").exists()
