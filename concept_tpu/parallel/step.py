@@ -153,3 +153,68 @@ def deposit_distributed_halo(pos, weight, quantity, gridsize: int,
         in_specs=(P(ax, None), P(ax)),
         out_specs=P(ax, None, None),
     )(pos, weight)
+
+
+def deposit_distributed_2d(pos, quantity, gridsize: int, boxsize: float,
+                           order: int, dist2d,
+                           deposit_method: str = "scatter"):
+    """Deposit sharded particles → pencil-sharded grid P(a, b, None).
+
+    2D-mesh companion of deposit_distributed (SURVEY §5.7: pencils lift
+    the 1D n_devices ≤ gridsize slab limit): each device deposits its
+    particle shard into a full-size local grid; two tiled psum_scatters
+    (over axis_b along dim 1, then axis_a along dim 0) sum the partials
+    and leave the result z-pencil-sharded — matching GridDistribution2D's
+    real-space layout, ready for its rfft3.
+    """
+    aa, ab = dist2d.axis_a, dist2d.axis_b
+    n = gridsize
+
+    def kernel(pos_local):
+        g = deposit(pos_local, quantity, n, boxsize, order=order,
+                    method=deposit_method)
+        g = jax.lax.psum_scatter(g, ab, scatter_dimension=1, tiled=True)
+        return jax.lax.psum_scatter(g, aa, scatter_dimension=0, tiled=True)
+
+    return shard_map(
+        kernel,
+        mesh=dist2d.mesh,
+        in_specs=(P((aa, ab), None),),
+        out_specs=P(aa, ab, None),
+    )(pos)
+
+
+def pm_step_distributed_2d(pos, mom, mass, gridsize: int, boxsize: float,
+                           G, int_a1, int_a2, dist2d, order: int = 2):
+    """One PM KDK step over a 2D pencil mesh: 2D-sharded deposit →
+    distributed pencil FFT → Poisson → per-dim gradient (distributed
+    irfft) → replicated gather → kick+drift on the particle shards.
+
+    The gradient grids are replicated for the gather (all_gather over
+    ICI) — the same tradeoff as the 1D path's replicate(); a
+    halo-resident gather is the known optimization."""
+    from concept_tpu.grid.fft import rfft3, irfft3
+    from concept_tpu.grid import fourier
+    from concept_tpu.forces.pm import gravity_potential_slab
+    from concept_tpu.grid.interp import gather
+    from jax.sharding import NamedSharding
+
+    n = gridsize
+    aa, ab = dist2d.axis_a, dist2d.axis_b
+    cell_volume = (boxsize / n) ** 3
+    grid = deposit_distributed_2d(pos, mass, n, boxsize, order, dist2d)
+    slab = rfft3(grid / cell_volume, dist2d)
+    deconv = 2 * order
+    phi = gravity_potential_slab(slab, n, boxsize, G, deconv_order=deconv)
+    mom_new = mom
+    psharding = NamedSharding(dist2d.mesh, P((aa, ab), None))
+    for d in range(3):
+        grad = irfft3(fourier.fourier_diff(phi, n, boxsize, d), n, dist2d)
+        grad = jax.lax.with_sharding_constraint(
+            grad, NamedSharding(dist2d.mesh, P(None, None, None))
+        )
+        comp = gather(grad, pos, boxsize, order=order)
+        mom_new = mom_new.at[:, d].add((-mass * int_a1) * comp)
+    pos_new = jnp.mod(pos + mom_new * (int_a2 / mass), boxsize)
+    pos_new = jax.lax.with_sharding_constraint(pos_new, psharding)
+    return pos_new, mom_new

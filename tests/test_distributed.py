@@ -152,3 +152,42 @@ def test_distributed_powerspec_matches_single():
     np.testing.assert_allclose(got["k"], ref["k"], rtol=1e-6)
     np.testing.assert_allclose(got["modes"], ref["modes"])
     np.testing.assert_allclose(got["power"], ref["power"], rtol=2e-5)
+
+
+def test_pm_step_2d_pencil_matches_single():
+    """Full PM KDK step over a 2×4 pencil mesh (deposit via two
+    psum_scatters + GridDistribution2D FFTs) matches the single-device
+    step."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from concept_tpu.grid.fft import GridDistribution2D
+    from concept_tpu.parallel.step import pm_step_distributed_2d
+    from concept_tpu.forces.pm import pm_gravity_momentum_updates
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("a", "b"))
+    dist = GridDistribution2D(mesh=mesh, axis_a="a", axis_b="b")
+    rng = np.random.default_rng(0)
+    n = 16
+    box = 32.0
+    N = 2048
+    pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
+    mom = jnp.asarray(rng.standard_normal((N, 3)).astype(np.float32) * 0.01)
+    int1, int2 = 1e-3, 2e-3
+
+    step = jax.jit(
+        lambda p, m: pm_step_distributed_2d(
+            p, m, 2.0, n, box, 1.0, int1, int2, dist
+        )
+    )
+    p2, m2 = step(pos, mom)
+
+    (dm,) = pm_gravity_momentum_updates(
+        [pos], [2.0], n, box, 1.0, kick_integral=int1, order=2,
+    )
+    m_ref = mom + dm
+    p_ref = jnp.mod(pos + m_ref * (int2 / 2.0), box)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m_ref),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p_ref),
+                               rtol=0, atol=1e-5)
