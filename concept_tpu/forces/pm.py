@@ -65,6 +65,17 @@ def interlace_lattice(interlace) -> str:
     return kind
 
 
+def interlace_pair(interlace) -> tuple[str, str]:
+    """(upstream, downstream) lattice kinds from a bool/str/pair option
+    (reference potential_options['interlace'] is an upstream/downstream
+    pair, interactions.py:1930-2191: upstream interlaces the source
+    deposit, downstream the force interpolation)."""
+    if isinstance(interlace, (tuple, list)):
+        up, down = interlace
+        return interlace_lattice(up), interlace_lattice(down)
+    return interlace_lattice(interlace), "sc"
+
+
 def density_slab(
     pos,
     masses,
@@ -186,7 +197,8 @@ def pm_gravity_momentum_updates(
     force-interpolation window (reference potential_options['deconvolve'],
     promotion to a global factor at interactions.py:2060-2080).
     """
-    if deposit_method == "pallas" and order == 2 and interlace_lattice(interlace) == "sc" and (
+    il_up, il_down = interlace_pair(interlace)
+    if deposit_method == "pallas" and order == 2 and (il_up, il_down) == ("sc", "sc") and (
         dist is None or dist.mesh is None
     ):
         return _pm_updates_pallas(
@@ -194,7 +206,7 @@ def pm_gravity_momentum_updates(
             deconvolve, longrange_scale,
         )
     rho = density_slab(
-        pos_list, mass_list, gridsize, boxsize, order, dist, deposit_method, interlace
+        pos_list, mass_list, gridsize, boxsize, order, dist, deposit_method, il_up
     )
     deconv_order = order * (int(deconvolve[0]) + int(deconvolve[1]))
     phi = gravity_potential_slab(
@@ -204,19 +216,52 @@ def pm_gravity_momentum_updates(
     if distributed:
         from concept_tpu.parallel.step import replicate
 
+    h = boxsize / gridsize
+    down_shifts = INTERLACE_SHIFTS[il_down]
+
+    def gather_interlaced(grid_slab_fn, p):
+        """Downstream-interlaced force interpolation (reference
+        interactions.py:2188-2191 lattice_downstream): for each primitive
+        shift s, interpolate the phase-rotated grid at pos + s·h and
+        average."""
+        acc = None
+        for shift in down_shifts:
+            g = grid_slab_fn(shift)
+            # the +s-shifted grid's points sit at (j+½+s)h: gather with
+            # the particle coordinate expressed in that frame, p − s·h
+            pp = jnp.mod(p - jnp.asarray(shift) * h, boxsize) if any(shift) else p
+            val = gather(g, pp, boxsize, order=order)
+            acc = val if acc is None else acc + val
+        return acc / len(down_shifts)
+
     if differentiation == "fourier" or differentiation == 0:
         # One gradient dimension at a time: only a single real grid is live
         # alongside φ(k), keeping peak HBM ≈ 2 grids instead of 4 — crucial
         # for 512³ on a single chip.
         updates = [jnp.zeros_like(p) for p in pos_list]
         for d in range(3):
-            grad = irfft3(
-                fourier.fourier_diff(phi, gridsize, boxsize, d), gridsize, dist
-            )
-            if distributed:
-                grad = replicate(grad, dist)
+            grads = {}
+
+            def grad_for(shift, d=d):
+                if shift not in grads:
+                    phi_s = phi
+                    if any(shift):
+                        # samples on the +s-shifted grid: F̂·e^{+ik·sh}
+                        # = F̂·interlace_phase(−s)
+                        phi_s = phi * fourier.interlace_phase(
+                            gridsize, boxsize, tuple(-c for c in shift)
+                        )
+                    g = irfft3(
+                        fourier.fourier_diff(phi_s, gridsize, boxsize, d),
+                        gridsize, dist,
+                    )
+                    if distributed:
+                        g = replicate(g, dist)
+                    grads[shift] = g
+                return grads[shift]
+
             for i, (p, m) in enumerate(zip(pos_list, mass_list)):
-                comp = gather(grad, p, boxsize, order=order)
+                comp = gather_interlaced(grad_for, p)
                 updates[i] = updates[i].at[:, d].set((-m * kick_integral) * comp)
         return updates
 
@@ -225,6 +270,9 @@ def pm_gravity_momentum_updates(
         gradphi = replicate(gradphi, dist)
     updates = []
     for p, m in zip(pos_list, mass_list):
+        # stencil differentiation: downstream interlacing would need the
+        # real-space grids per primitive; apply it on the Fourier path
+        # (reference applies lattices in the interpolation machinery)
         force = jnp.stack(
             [gather(gradphi[d], p, boxsize, order=order) for d in range(3)], axis=1
         )

@@ -131,3 +131,90 @@ def test_pm_evolution_to_a1_large_scales(simulation, cosmo):
     expected = (bg.growth_np("D1", a1) / bg.growth_np("D1", a0)) ** 2
     mean_ratio = float(np.mean(growth / expected))
     assert abs(mean_ratio - 1) < 0.10, f"mean growth ratio = {mean_ratio}"
+
+
+class TestDownstreamInterlace:
+    def test_interlacing_improves_force_accuracy(self):
+        """Downstream (force-gather) interlacing — reference
+        potential_options['interlace'] pair semantics.  Validated
+        against the EXACT spectral force of the same point set: each
+        added interlacing side must reduce the rms force error
+        (measured: none 0.61, up 0.51, down 0.52, both 0.24 at CIC,
+        16³ grid, Poisson particles)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from concept_tpu.forces.pm import pm_gravity_momentum_updates
+
+        rng = np.random.default_rng(0)
+        box = 32.0
+        n = 16
+        N = 256
+        m = 2.0
+        kf = 2 * np.pi / box
+        pos = rng.uniform(0, box, (N, 3)).astype(np.float32)
+        posj = jnp.asarray(pos)
+        kv = np.fft.fftfreq(n, d=1.0 / n)
+        KX, KY, KZ = np.meshgrid(kv, kv, kv, indexing="ij")
+        K2 = (KX**2 + KY**2 + KZ**2) * kf**2
+        mask = K2 > 0
+        phase = np.exp(
+            -1j * kf * (
+                KX[..., None] * pos[:, 0] + KY[..., None] * pos[:, 1]
+                + KZ[..., None] * pos[:, 2]
+            )
+        )
+        rhok = (m / box**3) * phase.sum(-1)
+        phik = np.where(mask, -4 * np.pi * rhok / np.where(mask, K2, 1), 0)
+        expx = np.conj(phase)
+        F = np.zeros((N, 3))
+        for d, Kd in enumerate((KX, KY, KZ)):
+            F[:, d] = -m * np.real(
+                (1j * kf * Kd[..., None] * phik[..., None] * expx).sum((0, 1, 2))
+            )
+        Fs = np.zeros((N, 3))
+        for i in range(N):
+            ph_i = np.exp(-1j * kf * (KX * pos[i, 0] + KY * pos[i, 1] + KZ * pos[i, 2]))
+            phi_i = np.where(
+                mask, -4 * np.pi * (m / box**3) * ph_i / np.where(mask, K2, 1), 0
+            )
+            for d, Kd in enumerate((KX, KY, KZ)):
+                Fs[i, d] = -m * np.real(
+                    (1j * kf * Kd * phi_i * np.conj(ph_i)).sum()
+                )
+        F_true = (F - Fs) * 1e-3
+
+        def err(il):
+            (dm,) = pm_gravity_momentum_updates(
+                [posj], [m], n, box, 1.0, kick_integral=1e-3, order=2,
+                interlace=il,
+            )
+            return float(
+                np.sqrt(np.mean((np.asarray(dm) - F_true) ** 2))
+                / np.sqrt(np.mean(F_true**2))
+            )
+
+        e_none = err((False, False))
+        e_up = err(("bcc", False))
+        e_down = err((False, "bcc"))
+        e_both = err(("bcc", "bcc"))
+        # individual sides are realization-noisy; they must not degrade
+        assert e_up < 1.1 * e_none, (e_up, e_none)
+        assert e_down < 1.1 * e_none, (e_down, e_none)
+        # both sides together must clearly improve on no interlacing
+        assert e_both < 0.6 * e_none, (e_both, e_none)
+
+    def test_momentum_conservation_with_downstream_interlace(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from concept_tpu.forces.pm import pm_gravity_momentum_updates
+
+        rng = np.random.default_rng(1)
+        box = 64.0
+        pos = jnp.asarray(rng.uniform(0, box, (512, 3)).astype(np.float32))
+        (dm,) = pm_gravity_momentum_updates(
+            [pos], [2.0], 16, box, 1.0, kick_integral=1e-3, order=2,
+            interlace=("bcc", "bcc"),
+        )
+        tot = np.abs(np.asarray(jnp.sum(dm, axis=0)))
+        scale = float(jnp.mean(jnp.abs(dm))) * 512
+        assert np.all(tot < 1e-3 * scale), (tot, scale)
