@@ -476,3 +476,58 @@ class P3MSimulation:
             int_a1 = bg.integrals_np(t_mom, t1, keys=("a**(-1)",))["a**(-1)"]
             state, _ = self.step(state, int_a1, 0.0)
         return state
+
+
+def autotune_margin(sim: P3MSimulation, state: P3MState,
+                    candidates=(0.05, 0.12, 0.20), n_time: int = 2,
+                    sync=None):
+    """Online autotune of the short-range cell margin (the TPU analogue
+    of the reference's automatic subtiling refinement,
+    interactions.py:154-329: attempt a decomposition, measure, keep or
+    revert).
+
+    Wider margins buy longer re-bucketize budgets but raise the sweep's
+    pair volume; the optimum depends on the clustering state and the
+    chip.  Each candidate is timed on ``n_time`` ZERO-INTEGRAL steps
+    (forces are computed, the state provably does not change), then the
+    fastest configuration is kept.  Call at init and optionally at late
+    times; compiled configurations are cached so re-tuning is cheap.
+
+    Returns (state, results) with results = {margin_frac: seconds/step}.
+    """
+    import time as _time
+
+    if sync is None:
+        sync = lambda st: float(st.pos[0, 0, 0])  # noqa: E731
+    results = {}
+    best = None
+    for margin in candidates:
+        nc = margin_cell_count(sim.boxsize, sim.cutoff, margin)
+        if nc == sim.nc and results:
+            continue  # duplicate decomposition
+        sim.margin_frac = margin
+        sim.nc = nc
+        sim.cell_width = sim.boxsize / nc
+        sim.margin = sim.cell_width - sim.cutoff
+        mean = sim.N / nc**3
+        sim.capacity = max(8, int(math.ceil(1.3 * mean / 8)) * 8)
+        state = sim.rebucket(state)
+        state, _ = sim.step(state, 0.0, 0.0)  # warm the compile
+        sync(state)
+        t0 = _time.perf_counter()
+        for _ in range(n_time):
+            state, _ = sim.step(state, 0.0, 0.0)
+        sync(state)
+        dt = (_time.perf_counter() - t0) / n_time
+        results[margin] = dt
+        if best is None or dt < results[best]:
+            best = margin
+    if sim.margin_frac != best:
+        sim.margin_frac = best
+        sim.nc = margin_cell_count(sim.boxsize, sim.cutoff, best)
+        sim.cell_width = sim.boxsize / sim.nc
+        sim.margin = sim.cell_width - sim.cutoff
+        mean = sim.N / sim.nc**3
+        sim.capacity = max(8, int(math.ceil(1.3 * mean / 8)) * 8)
+        state = sim.rebucket(state)
+    return state, results

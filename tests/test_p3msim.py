@@ -160,3 +160,36 @@ class TestClusteredOverflow:
         a = np.lexsort(p.T)
         b = np.lexsort(p2.T)
         np.testing.assert_allclose(m2[b], mom_ref[a], rtol=0, atol=2e-4)
+
+
+class TestAutotune:
+    def test_zero_integral_step_preserves_state(self, setup):
+        box, n_part, pos, mom = setup
+        sim = make_sim(box, n_part)
+        state = sim.init_state(
+            tuple(jnp.asarray(pos[:, d]) for d in range(3)),
+            tuple(jnp.asarray(mom[:, d]) for d in range(3)),
+        )
+        p0, m0 = flatten(sim, state)
+        state, _ = sim.step(state, 0.0, 0.0)
+        p1, m1 = flatten(sim, state)
+        a = np.lexsort(p0.T)
+        b = np.lexsort(p1.T)
+        np.testing.assert_array_equal(p1[b], p0[a])
+        np.testing.assert_array_equal(m1[b], m0[a])
+
+    def test_autotune_picks_a_candidate_and_preserves_particles(self, setup):
+        from concept_tpu.p3msim import autotune_margin
+
+        box, n_part, pos, mom = setup
+        sim = make_sim(box, n_part)
+        state = sim.init_state(
+            tuple(jnp.asarray(pos[:, d]) for d in range(3)),
+            tuple(jnp.asarray(mom[:, d]) for d in range(3)),
+        )
+        state, results = autotune_margin(
+            sim, state, candidates=(0.05, 0.2), n_time=1
+        )
+        assert sim.margin_frac in results
+        assert results[sim.margin_frac] == min(results.values())
+        assert int(jnp.sum(state.valid)) == pos.shape[0]
