@@ -391,9 +391,98 @@ class BucketSimulation:
         return min(limits)
 
     def maybe_rebucket(self, state: BucketState) -> BucketState:
-        pos, mom = flatten_state(state)
-        dt = state.pos.dtype
-        return self._bucketize_checked(
-            tuple(np.ascontiguousarray(pos[:, d]).astype(dt) for d in range(3)),
-            tuple(np.ascontiguousarray(mom[:, d]).astype(dt) for d in range(3)),
+        """Device-side re-bucketize (donating the old state): flatten the
+        slots, sort by block key with invalid→sentinel, rebuild at the
+        (possibly grown) capacity.  The old host-roundtrip version held
+        the old state, host copies and the new state simultaneously —
+        an OOM at 256³+ once clustering had grown the capacity.
+
+        The needed capacity is probed FIRST (cheap occupancy max), so the
+        single donating rebuild is guaranteed lossless."""
+        max_count = int(_occupancy_probe(
+            state, jnp.asarray(self.boxsize, state.pos.dtype), self.n
+        ))
+        need = max(8, ((max_count + 7) // 8) * 8)
+        if need > self.capacity:
+            self.capacity = need
+        new_state, kept = _rebucketize_bucketstate(
+            state, jnp.asarray(self.boxsize, state.pos.dtype), self.n,
+            self.capacity,
         )
+        kept = int(kept)
+        assert kept == self._N, (kept, self._N)
+        return new_state
+
+
+@partial(jax.jit, static_argnames=("gridsize",))
+def _occupancy_probe(state: BucketState, boxsize, gridsize: int):
+    """Max per-block occupancy of the CURRENT positions (host sizing
+    probe before a donating rebucketize)."""
+    n = gridsize
+    nb = _block_count(n)
+    C = nb**3
+    K, Cp = state.valid.shape
+    M = K * Cp
+    h = boxsize / n
+    validf = state.valid.reshape(M)
+    flat = state.pos.reshape(3, M)
+    key = jnp.zeros((M,), jnp.int32)
+    for comp in (flat[2], flat[1], flat[0]):
+        blk = jnp.clip((comp / h).astype(jnp.int32), 0, n - 1) // B
+        key = key * nb + blk
+    key = jnp.where(validf, key, C)
+    counts = jnp.zeros((C + 1,), jnp.int32).at[key].add(1, mode="drop")
+    return jnp.max(counts[:C])
+
+
+@partial(jax.jit, static_argnames=("gridsize", "capacity"),
+         donate_argnums=(0,))
+def _rebucketize_bucketstate(state: BucketState, boxsize, gridsize: int,
+                             capacity: int):
+    """Flatten (donated) slots → fresh BucketState at ``capacity``.
+    Invalid slots sort last via a sentinel key and are dropped.
+    Returns (state', n_kept)."""
+    n = gridsize
+    nb = _block_count(n)
+    C = nb**3
+    Cp = _padded_blocks(C)
+    K = capacity
+    K_old, Cp_old = state.valid.shape
+    M = K_old * Cp_old
+    h = boxsize / n
+    validf = state.valid.reshape(M)
+    flat = state.pos.reshape(3, M)
+    mflat = state.mom.reshape(3, M)
+    key = jnp.zeros((M,), jnp.int32)
+    for comp in (flat[2], flat[1], flat[0]):
+        blk = jnp.clip((comp / h).astype(jnp.int32), 0, n - 1) // B
+        key = key * nb + blk
+    key = jnp.where(validf, key, C)
+    iota = jnp.arange(M, dtype=jnp.int32)
+    key_s, px, py, pz, mx, my, mz = jax.lax.sort(
+        [key, flat[0], flat[1], flat[2], mflat[0], mflat[1], mflat[2]],
+        num_keys=1,
+    )
+    ok = key_s < C
+    key_c = jnp.minimum(key_s, C - 1)
+    counts = jax.ops.segment_sum(
+        ok.astype(jnp.int32), key_c, num_segments=C, indices_are_sorted=True
+    )
+    starts = jnp.cumsum(counts) - counts
+    rank = iota - starts[key_c]
+    in_b = ok & (rank < K)
+    slot = jnp.where(in_b, rank * Cp + key_c, K * Cp)
+
+    def scat(vals):
+        return (
+            jnp.zeros((K * Cp,), vals.dtype)
+            .at[slot].set(vals, mode="drop", unique_indices=True)
+            .reshape(K, Cp)
+        )
+
+    pos = jnp.stack([scat(px), scat(py), scat(pz)])
+    mom = jnp.stack([scat(mx), scat(my), scat(mz)])
+    counts_p = jnp.pad(jnp.minimum(counts, K), (0, Cp - C))
+    valid = jnp.arange(K, dtype=jnp.int32)[:, None] < counts_p[None, :]
+    n_kept = jnp.sum(jnp.minimum(counts, K))
+    return BucketState(pos=pos, mom=mom, valid=valid), n_kept

@@ -102,8 +102,8 @@ def test_rebucket_preserves_particles():
     sim = BucketSimulation(N_GRID, BOX, MASS, G, capacity=24)
     st = sim.init_state(pos, mom)
     st, _ = sim.step(st, 0.3, 0.25)
+    p_a, _ = flatten_state(st)  # before: maybe_rebucket DONATES its input
     st2 = sim.maybe_rebucket(st)
     assert int(jnp.sum(st2.valid)) == pos.shape[0]
-    p_a, _ = flatten_state(st)
     p_b, _ = flatten_state(st2)
     np.testing.assert_allclose(sort_rows(p_a), sort_rows(p_b), rtol=1e-6)
