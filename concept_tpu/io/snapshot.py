@@ -237,6 +237,81 @@ def save_gadget(
     return filename
 
 
+def save_gadget_components(
+    filename: str,
+    meta: SnapshotMeta,
+    comps: dict,
+    units,
+    types: dict | None = None,
+    snapformat: int = 2,
+    single_precision: bool = True,
+):
+    """Write a GADGET-2 snapshot holding MULTIPLE particle components as
+    distinct GADGET particle types (reference snapshot.py GADGET type
+    machinery; gadget_snapshot_params dict maps components→types).
+
+    comps: {name: (ComponentSpec, ParticleState)} — particle components
+    only.  ``types``: optional {name: gadget_type 0-5}; defaults to
+    type 1 (halo) for the first/matter component and 2, 3, 4, 5 for the
+    rest in order.  POS/VEL/ID blocks are concatenated in type order.
+    """
+    h = meta.H0 / (100 * units.km / (units.s * units.Mpc))
+    kpc_h = units.kpc / h
+    msun10_h = 1e10 * units.m_sun / h
+    kms = units.km / units.s
+    a = meta.a
+    dtype = np.float32 if single_precision else np.float64
+
+    if types is None:
+        types = {}
+        pool = [1, 2, 3, 4, 5, 0]
+        for name, (spec, _) in comps.items():
+            types[name] = pool.pop(0)
+    by_type = sorted(comps.items(), key=lambda kv: types[kv[0]])
+    npart = [0] * 6
+    masses = [0.0] * 6
+    pos_parts, vel_parts, id_parts = [], [], []
+    id_offset = 0
+    for name, (spec, state) in by_type:
+        t = types[name]
+        npart[t] = spec.N
+        masses[t] = spec.mass / msun10_h
+        pos_parts.append(np.asarray(state.pos, np.float64) / kpc_h)
+        vel_parts.append(
+            np.asarray(state.mom, np.float64) / (a**1.5 * spec.mass) / kms
+        )
+        ids = (
+            np.asarray(state.ids, np.uint32)
+            if state.ids is not None
+            else np.arange(id_offset, id_offset + spec.N, dtype=np.uint32)
+        )
+        id_parts.append(ids)
+        id_offset += spec.N
+    header = _gadget_header_bytes(
+        npart, masses, a, 1 / a - 1, meta.boxsize / kpc_h,
+        meta.Omega_b + meta.Omega_cdm,
+        1 - meta.Omega_b - meta.Omega_cdm, h,
+        num_files=1, nall=None,
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    with open(filename, "wb") as f:
+        def block(name, payload):
+            if snapformat == 2:
+                f.write(struct.pack("<I", 8))
+                f.write(name.encode().ljust(4))
+                f.write(struct.pack("<I", len(payload) + 8))
+                f.write(struct.pack("<I", 8))
+            f.write(struct.pack("<I", len(payload)))
+            f.write(payload)
+            f.write(struct.pack("<I", len(payload)))
+
+        block("HEAD", header)
+        block("POS ", np.concatenate(pos_parts).astype(dtype).tobytes())
+        block("VEL ", np.concatenate(vel_parts).astype(dtype).tobytes())
+        block("ID  ", np.concatenate(id_parts).tobytes())
+    return filename
+
+
 def save_gadget_multifile(filename_base: str, meta: SnapshotMeta,
                           spec: ComponentSpec, state: ParticleState, units,
                           particles_per_file: int, snapformat: int = 2,
@@ -344,23 +419,31 @@ def load_gadget(filename: str, units):
     msun10_h = 1e10 * units.m_sun / h
     kms = units.km / units.s
     a = time_
-    # find the (single) populated particle type
-    ptype = int(np.argmax(npart))
-    mass = masses[ptype] * msun10_h
     H0 = 100 * h * units.km / (units.s * units.Mpc)
     meta = SnapshotMeta(
         a=a, boxsize=boxsize_g * kpc_h, H0=H0,
         Omega_b=0.0, Omega_cdm=omega0,
     )
-    spec = ComponentSpec(
-        name="GADGET halo", species="matter", N=N, mass=mass,
-    )
-    state = ParticleState(
-        pos=pos * kpc_h,
-        mom=vel * kms * (a**1.5) * mass,
-        ids=ids,
-    )
-    return meta, {spec.name: (spec, state)}
+    # one component per populated particle type (reference GADGET type
+    # names, snapshot.py: gas/halo/disk/bulge/stars/bndry)
+    type_names = ("gas", "halo", "disk", "bulge", "stars", "bndry")
+    comps = {}
+    start = 0
+    for t in range(6):
+        n_t = int(npart[t])
+        if n_t == 0:
+            continue
+        mass = masses[t] * msun10_h
+        name = f"GADGET {type_names[t]}"
+        spec = ComponentSpec(name=name, species="matter", N=n_t, mass=mass)
+        state = ParticleState(
+            pos=pos[start : start + n_t] * kpc_h,
+            mom=vel[start : start + n_t] * kms * (a**1.5) * mass,
+            ids=ids[start : start + n_t],
+        )
+        comps[name] = (spec, state)
+        start += n_t
+    return meta, comps
 
 
 def is_gadget_snapshot(filename: str) -> bool:

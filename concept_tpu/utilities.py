@@ -221,8 +221,17 @@ def util_convert(args: list[str], cli_args) -> int:
     for path in paths:
         meta, comps = snap.load(path)
         if target == "gadget":
-            (name, (spec, state)), = comps.items()
-            out = snap.save_gadget(path + ".gadget", meta, spec, state, units)
+            particle_comps = {
+                n: (sp, st) for n, (sp, st) in comps.items()
+                if getattr(st, "pos", None) is not None
+            }
+            if len(particle_comps) == 1:
+                ((name, (spec, state)),) = particle_comps.items()
+                out = snap.save_gadget(path + ".gadget", meta, spec, state,
+                                       units)
+            else:
+                out = snap.save_gadget_components(path + ".gadget", meta,
+                                                  particle_comps, units)
         else:
             out = snap.save_concept(path + ".hdf5", meta, comps)
         masterprint(f"Converted {path} → {out}")

@@ -165,3 +165,51 @@ def test_snapshot_select_masks_variables(tmp_path):
     with h5py.File(fn, "r") as f:
         g = f["components/m"]
         assert "pos" in g and "mom" not in g
+
+
+class TestGadgetMultiType:
+    def test_multi_component_roundtrip(self, tmp_path):
+        import numpy as np
+        import jax.numpy as jnp
+        from concept_tpu.components import ComponentSpec, ParticleState
+        from concept_tpu.io import snapshot as snap
+        from concept_tpu.units import units
+
+        rng = np.random.default_rng(0)
+        box = 100.0 * units.Mpc
+        meta = snap.SnapshotMeta(
+            a=0.5, boxsize=box,
+            H0=67 * units.km / (units.s * units.Mpc),
+            Omega_b=0.049, Omega_cdm=0.27,
+        )
+        comps = {}
+        for i, (name, N, mass) in enumerate(
+            [("matter", 64, 2.0), ("nu_particles", 32, 0.5)]
+        ):
+            spec = ComponentSpec(name=name, species="matter", N=N, mass=mass)
+            state = ParticleState(
+                pos=jnp.asarray(rng.uniform(0, box, (N, 3)), jnp.float32),
+                mom=jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
+                * mass,
+            )
+            comps[name] = (spec, state)
+        fn = str(tmp_path / "multi.gadget")
+        snap.save_gadget_components(fn, meta, comps, units)
+        meta2, loaded = snap.load_gadget(fn, units)
+        assert len(loaded) == 2, list(loaded)
+        names = list(loaded)
+        # type order: matter → halo (1), second → disk (2)
+        assert "halo" in names[0] and "disk" in names[1]
+        for (name0, (spec0, st0)), (name1, (spec1, st1)) in zip(
+            comps.items(), loaded.items()
+        ):
+            assert spec1.N == spec0.N
+            np.testing.assert_allclose(spec1.mass, spec0.mass, rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(st1.pos), np.asarray(st0.pos), rtol=1e-5,
+                atol=1e-3,
+            )
+            np.testing.assert_allclose(
+                np.asarray(st1.mom), np.asarray(st0.mom), rtol=1e-4,
+                atol=1e-4 * float(np.abs(np.asarray(st0.mom)).max()),
+            )
