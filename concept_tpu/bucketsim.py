@@ -407,7 +407,7 @@ class BucketSimulation:
             self.capacity = need
         new_state, kept = _rebucketize_bucketstate(
             state, jnp.asarray(self.boxsize, state.pos.dtype), self.n,
-            self.capacity,
+            self.capacity, self._N,
         )
         kept = int(kept)
         assert kept == self._N, (kept, self._N)
@@ -435,13 +435,17 @@ def _occupancy_probe(state: BucketState, boxsize, gridsize: int):
     return jnp.max(counts[:C])
 
 
-@partial(jax.jit, static_argnames=("gridsize", "capacity"),
+@partial(jax.jit, static_argnames=("gridsize", "capacity", "n_total"),
          donate_argnums=(0,))
 def _rebucketize_bucketstate(state: BucketState, boxsize, gridsize: int,
-                             capacity: int):
+                             capacity: int, n_total: int):
     """Flatten (donated) slots → fresh BucketState at ``capacity``.
-    Invalid slots sort last via a sentinel key and are dropped.
-    Returns (state', n_kept)."""
+
+    The N=n_total valid slots are COMPACTED first (nonzero + gathers) so
+    the sort and new-state construction work on N-sized arrays, not the
+    K_old·Cp slot space — this bounds the peak HBM at roughly
+    old state + new state instead of old + sorted-M + new (an OOM once
+    clustering grew K at 256³+).  Returns (state', n_kept)."""
     n = gridsize
     nb = _block_count(n)
     C = nb**3
@@ -449,29 +453,30 @@ def _rebucketize_bucketstate(state: BucketState, boxsize, gridsize: int,
     K = capacity
     K_old, Cp_old = state.valid.shape
     M = K_old * Cp_old
+    N = n_total
     h = boxsize / n
     validf = state.valid.reshape(M)
+    src = jnp.nonzero(validf, size=N, fill_value=M - 1)[0]
     flat = state.pos.reshape(3, M)
     mflat = state.mom.reshape(3, M)
-    key = jnp.zeros((M,), jnp.int32)
-    for comp in (flat[2], flat[1], flat[0]):
+    px0, py0, pz0 = flat[0][src], flat[1][src], flat[2][src]
+    mx0, my0, mz0 = mflat[0][src], mflat[1][src], mflat[2][src]
+    key = jnp.zeros((N,), jnp.int32)
+    for comp in (pz0, py0, px0):
         blk = jnp.clip((comp / h).astype(jnp.int32), 0, n - 1) // B
         key = key * nb + blk
-    key = jnp.where(validf, key, C)
-    iota = jnp.arange(M, dtype=jnp.int32)
+    iota = jnp.arange(N, dtype=jnp.int32)
     key_s, px, py, pz, mx, my, mz = jax.lax.sort(
-        [key, flat[0], flat[1], flat[2], mflat[0], mflat[1], mflat[2]],
-        num_keys=1,
+        [key, px0, py0, pz0, mx0, my0, mz0], num_keys=1
     )
-    ok = key_s < C
-    key_c = jnp.minimum(key_s, C - 1)
     counts = jax.ops.segment_sum(
-        ok.astype(jnp.int32), key_c, num_segments=C, indices_are_sorted=True
+        jnp.ones((N,), jnp.int32), key_s, num_segments=C,
+        indices_are_sorted=True,
     )
     starts = jnp.cumsum(counts) - counts
-    rank = iota - starts[key_c]
-    in_b = ok & (rank < K)
-    slot = jnp.where(in_b, rank * Cp + key_c, K * Cp)
+    rank = iota - starts[key_s]
+    in_b = rank < K
+    slot = jnp.where(in_b, rank * Cp + key_s, K * Cp)
 
     def scat(vals):
         return (

@@ -98,39 +98,43 @@ def _bucketize_p3m(px0, py0, pz0, mx0, my0, mz0, boxsize: float,
     return P3MState(pos=pos, mom=mom, valid=valid), n_kept
 
 
-@partial(jax.jit, static_argnames=("boxsize", "nc", "capacity"))
+@partial(jax.jit, static_argnames=("boxsize", "nc", "capacity", "n_total"),
+         donate_argnums=(0,))
 def _rebucketize_state(state: P3MState, boxsize: float, nc: int,
-                       capacity: int):
-    """Device-side re-bucketize: flatten the (possibly drifted) slots and
-    rebuild at (possibly grown) capacity.  Invalid slots sort to the end
-    via a sentinel key and are dropped by the slot scatter."""
+                       capacity: int, n_total: int):
+    """Device-side re-bucketize (donating): compact the n_total valid
+    slots FIRST (nonzero + gathers — the old state can then be freed),
+    sort the compact arrays, and rebuild at (possibly grown) capacity.
+    Working on N-sized arrays instead of K_old·C bounds peak HBM at
+    ~old + new state (an OOM under clustering otherwise)."""
     K_old, C_old = state.valid.shape
     M = K_old * C_old
     C = nc**3
     K = capacity
+    N = n_total
     cw = boxsize / nc
     validf = state.valid.reshape(M)
+    src = jnp.nonzero(validf, size=N, fill_value=M - 1)[0]
     flat = state.pos.reshape(3, M)
     mflat = state.mom.reshape(3, M)
-    cell = jnp.zeros((M,), jnp.int32)
-    for d in range(3):
-        idx = jnp.clip((flat[d] / cw).astype(jnp.int32), 0, nc - 1)
+    px0, py0, pz0 = flat[0][src], flat[1][src], flat[2][src]
+    mx0, my0, mz0 = mflat[0][src], mflat[1][src], mflat[2][src]
+    cell = jnp.zeros((N,), jnp.int32)
+    for comp in (px0, py0, pz0):
+        idx = jnp.clip((comp / cw).astype(jnp.int32), 0, nc - 1)
         cell = cell * nc + idx
-    cell = jnp.where(validf, cell, C)  # invalid → sentinel, sorts last
-    iota = jnp.arange(M, dtype=jnp.int32)
+    iota = jnp.arange(N, dtype=jnp.int32)
     cell_s, px, py, pz, mx, my, mz = jax.lax.sort(
-        [cell, flat[0], flat[1], flat[2], mflat[0], mflat[1], mflat[2]],
-        num_keys=1,
+        [cell, px0, py0, pz0, mx0, my0, mz0], num_keys=1
     )
-    ok = cell_s < C
     counts = jax.ops.segment_sum(
-        ok.astype(jnp.int32), jnp.minimum(cell_s, C - 1), num_segments=C,
+        jnp.ones((N,), jnp.int32), cell_s, num_segments=C,
         indices_are_sorted=True,
     )
     starts = jnp.cumsum(counts) - counts
-    rank = iota - starts[jnp.minimum(cell_s, C - 1)]
-    in_b = ok & (rank < K)
-    slot = jnp.where(in_b, rank * C + jnp.minimum(cell_s, C - 1), K * C)
+    rank = iota - starts[cell_s]
+    in_b = rank < K
+    slot = jnp.where(in_b, rank * C + cell_s, K * C)
 
     def scat(vals):
         return (
@@ -418,19 +422,21 @@ class P3MSimulation:
         return self._drift_used > 0.45 * self.margin
 
     def rebucket(self, state: P3MState) -> P3MState:
-        while True:
-            new_state, kept, max_count = _rebucketize_state(
-                state, self.boxsize, self.nc, self.capacity
-            )
-            if int(kept) == self.N:
-                # grow ahead of clustering: keep ≥ 15% headroom
-                if int(max_count) > 0.87 * self.capacity:
-                    self.capacity = max(
-                        8, int(math.ceil(1.3 * int(max_count) / 8)) * 8
-                    )
-                self._drift_used = 0.0
-                return new_state
-            self.capacity = max(8, int(self.capacity * 2))
+        # probe the needed capacity first: _rebucketize_state donates its
+        # input, so it must be guaranteed lossless on the first try
+        max_count = int(_occupancy_probe_sr(
+            state, jnp.asarray(self.boxsize, state.pos.dtype), self.nc
+        ))
+        need = max(8, ((max_count + 7) // 8) * 8)
+        if need > 0.87 * self.capacity:
+            # grow ahead of clustering: keep ≥ 15% headroom
+            self.capacity = max(8, int(math.ceil(1.3 * need / 8)) * 8)
+        new_state, kept, _ = _rebucketize_state(
+            state, self.boxsize, self.nc, self.capacity, self.N
+        )
+        assert int(kept) == self.N, (int(kept), self.N)
+        self._drift_used = 0.0
+        return new_state
 
     # -------------------------------------------------------------- #
     def _timestep(self, a: float, vmax: float) -> float:
@@ -531,3 +537,22 @@ def autotune_margin(sim: P3MSimulation, state: P3MState,
         sim.capacity = max(8, int(math.ceil(1.3 * mean / 8)) * 8)
         state = sim.rebucket(state)
     return state, results
+
+
+@partial(jax.jit, static_argnames=("nc",))
+def _occupancy_probe_sr(state: P3MState, boxsize, nc: int):
+    """Max per-cell occupancy of the CURRENT positions (host sizing probe
+    before the donating re-bucketize)."""
+    K, C_old = state.valid.shape
+    M = K * C_old
+    C = nc**3
+    cw = boxsize / nc
+    validf = state.valid.reshape(M)
+    flat = state.pos.reshape(3, M)
+    cell = jnp.zeros((M,), jnp.int32)
+    for d in range(3):
+        idx = jnp.clip((flat[d] / cw).astype(jnp.int32), 0, nc - 1)
+        cell = cell * nc + idx
+    cell = jnp.where(validf, cell, C)
+    counts = jnp.zeros((C + 1,), jnp.int32).at[cell].add(1, mode="drop")
+    return jnp.max(counts[:C])
