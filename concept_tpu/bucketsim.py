@@ -296,7 +296,7 @@ class BucketSimulation:
 
     def __init__(self, gridsize: int, boxsize: float, mass: float, G: float,
                  bg=None, capacity: int | None = None,
-                 rebucket_every: int = 8):
+                 rebucket_every: int = 8, capacity_max: int = 64):
         self.n = gridsize
         self.boxsize = boxsize
         self.mass = mass
@@ -304,6 +304,12 @@ class BucketSimulation:
         self.bg = bg
         self.capacity = capacity or 32
         self.rebucket_every = rebucket_every
+        # capacity cap: beyond this, deep-halo overflow SPILLS into free
+        # slots of other columns and rides the exact straggler path (a
+        # K-padded state at the true max occupancy is ~15x the particle
+        # memory under clustering)
+        self.capacity_max = capacity_max
+        self._n_spilled = 0
         self.interpret = jax.default_backend() != "tpu"
 
     def init_state(self, pos, mom) -> BucketState:
@@ -336,16 +342,26 @@ class BucketSimulation:
             self.capacity = max(self.capacity * 2, 8)
 
     def step(self, state: BucketState, int_a1: float, int_a2: float):
-        # straggler buffer: drift ≤ fac_pm·cell/step bounds block-crossers
-        # to a few % between re-bucketizes; the host checks the count and
-        # re-bucketizes (and could grow the buffer) before it saturates
-        max_straggler = max(1024, self._N // (256 if self._N >= 64 * 1024**2 else 64))
+        max_straggler = self._straggler_budget()
         return bucket_pm_step(
             state, self.mass, self.boxsize, self.G,
             jnp.asarray(int_a1, state.pos.dtype),
             jnp.asarray(int_a2, state.pos.dtype),
             self.n, max_straggler, self.interpret,
         )
+
+    def _straggler_budget(self) -> int:
+        """Fixed-size straggler buffer: baseline drift crossers plus the
+        spilled overflow population (power-of-two quantized to bound the
+        number of retraces as clustering grows)."""
+        base = max(1024, self._N // (256 if self._N >= 64 * 1024**2 else 64))
+        if self._n_spilled:
+            need = 2 * self._n_spilled + base
+            p = 1024
+            while p < need:
+                p *= 2
+            return p
+        return base
 
     def evolve(self, state: BucketState, t0: float, t1: float,
                max_steps: int = 100000):
@@ -356,7 +372,7 @@ class BucketSimulation:
         t = t0
         t_mom = t0
         steps = 0
-        max_straggler = max(1024, self._N // (256 if self._N >= 64 * 1024**2 else 64))
+        max_straggler = self._straggler_budget()
         while t < t1 - 1e-12 * abs(t1):
             a = float(bg.a_of_t_np(t))
             dt = min(self._timestep(a), t1 - t)
@@ -365,6 +381,7 @@ class BucketSimulation:
             int_a2 = bg.integrals_np(t, t + dt, keys=("a**(-2)",))["a**(-2)"]
             state, ns = self.step(state, int_a1, int_a2)
             steps += 1
+            max_straggler = self._straggler_budget()
             if steps % self.rebucket_every == 0 or int(ns) > max_straggler // 2:
                 state = self.maybe_rebucket(state)
             t_mom = t_mid
@@ -403,13 +420,23 @@ class BucketSimulation:
             state, jnp.asarray(self.boxsize, state.pos.dtype), self.n
         ))
         need = max(8, ((max_count + 7) // 8) * 8)
-        if need > self.capacity:
-            self.capacity = need
-        new_state, kept = _rebucketize_bucketstate(
+        cap = max(8, self.capacity_max)
+        if need <= cap:
+            # fits under the cap: size with 30% clustering headroom
+            # (shrinking an over-grown capacity is fine — the layout is
+            # rebuilt from scratch anyway)
+            self.capacity = min(max(8, int(math.ceil(1.3 * need / 8)) * 8),
+                                cap)
+        else:
+            # cap reached: overflow beyond it SPILLS into free slots
+            # elsewhere and is handled exactly by the straggler path
+            self.capacity = cap
+        new_state, kept, n_spill = _rebucketize_bucketstate(
             state, jnp.asarray(self.boxsize, state.pos.dtype), self.n,
             self.capacity, self._N,
         )
         kept = int(kept)
+        self._n_spilled = int(n_spill)
         assert kept == self._N, (kept, self._N)
         return new_state
 
@@ -477,6 +504,16 @@ def _rebucketize_bucketstate(state: BucketState, boxsize, gridsize: int,
     rank = iota - starts[key_s]
     in_b = rank < K
     slot = jnp.where(in_b, rank * Cp + key_s, K * Cp)
+    # SPILLOVER: block-capacity overflow (rank ≥ K — deep halos at a
+    # capped K) is placed into FREE slots of other columns rather than
+    # dropped: the per-step in-halo straggler path derives everything
+    # from positions, so spilled particles are handled exactly, at
+    # straggler cost.  Their per-particle spill index is their rank
+    # among all overflow particles; the free-slot table is built from
+    # the post-scatter validity.
+    over = ~in_b
+    n_over = jnp.cumsum(over.astype(jnp.int32))
+    spill_rank = jnp.where(over, n_over - 1, N)  # 0-based among overflow
 
     def scat(vals):
         return (
@@ -489,5 +526,23 @@ def _rebucketize_bucketstate(state: BucketState, boxsize, gridsize: int,
     mom = jnp.stack([scat(mx), scat(my), scat(mz)])
     counts_p = jnp.pad(jnp.minimum(counts, K), (0, Cp - C))
     valid = jnp.arange(K, dtype=jnp.int32)[:, None] < counts_p[None, :]
-    n_kept = jnp.sum(jnp.minimum(counts, K))
-    return BucketState(pos=pos, mom=mom, valid=valid), n_kept
+    n_spill = N - jnp.sum(jnp.minimum(counts, K))
+    # free-slot table: enough free slots always exist (K·Cp ≥ N); take
+    # the first n_spill of them in layout order
+    free = jnp.nonzero(~valid.reshape(-1), size=N, fill_value=K * Cp)[0]
+    tgt = jnp.where(over, free[jnp.minimum(spill_rank, N - 1)], K * Cp)
+
+    def spill(arr, vals):
+        return arr.reshape(-1).at[tgt].set(
+            vals, mode="drop", unique_indices=True
+        ).reshape(K, Cp)
+
+    pos = jnp.stack([
+        spill(pos[0], px), spill(pos[1], py), spill(pos[2], pz)
+    ])
+    mom = jnp.stack([
+        spill(mom[0], mx), spill(mom[1], my), spill(mom[2], mz)
+    ])
+    valid = spill(valid, jnp.ones((N,), bool))
+    n_kept = jnp.sum(valid)
+    return BucketState(pos=pos, mom=mom, valid=valid), n_kept, n_spill

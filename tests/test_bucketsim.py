@@ -107,3 +107,39 @@ def test_rebucket_preserves_particles():
     assert int(jnp.sum(st2.valid)) == pos.shape[0]
     p_b, _ = flatten_state(st2)
     np.testing.assert_allclose(sort_rows(p_a), sort_rows(p_b), rtol=1e-6)
+
+
+def test_capped_capacity_spillover_exact():
+    """With capacity_max below the true max occupancy, overflow spills
+    into free slots elsewhere and rides the exact straggler path: no
+    particle lost, forces match the uncapped stepper."""
+    pos, mom = make_particles(seed=3)
+    p = np.asarray(pos).copy()
+    # deep clump: ~100 particles in one 2-cell block
+    p[:100] = (BOX / 2) + np.random.default_rng(0).uniform(
+        0, 0.8 * BOX / N_GRID, (100, 3)
+    )
+    p = p.astype(np.float32)
+    pc = tuple(jnp.asarray(np.ascontiguousarray(p[:, d])) for d in range(3))
+    mc = tuple(jnp.asarray(np.asarray(mom)[:, d]) for d in range(3))
+
+    sim_cap = BucketSimulation(N_GRID, BOX, MASS, G, capacity=16,
+                               capacity_max=16)
+    st = sim_cap.init_state(pc, mc)  # init grows K as needed
+    # force a capped rebucket: probe says need > 16, cap holds at >=16
+    st = sim_cap.maybe_rebucket(st)
+    assert int(jnp.sum(st.valid)) == p.shape[0]
+    assert sim_cap._n_spilled > 0
+    st1, ns = sim_cap.step(st, 0.3, 0.25)
+    assert int(jnp.sum(st1.valid)) == p.shape[0]
+
+    pc2 = tuple(jnp.asarray(np.ascontiguousarray(p[:, d])) for d in range(3))
+    mc2 = tuple(jnp.asarray(np.asarray(mom)[:, d]) for d in range(3))
+    sim_big = BucketSimulation(N_GRID, BOX, MASS, G, capacity=104,
+                               capacity_max=1024)
+    st_big = sim_big.init_state(pc2, mc2)
+    st2, _ = sim_big.step(st_big, 0.3, 0.25)
+    p1, m1 = flatten_state(st1)
+    p2, m2 = flatten_state(st2)
+    np.testing.assert_allclose(sort_rows(p1), sort_rows(p2), atol=2e-4)
+    np.testing.assert_allclose(sort_rows(m1), sort_rows(m2), atol=2e-3)
