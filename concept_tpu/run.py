@@ -671,6 +671,28 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
                 label=f"a = {a:.4g}",
             )
             masterprint(f"Saved render3D: {fn}")
+    elif kind == "bispec":
+        from concept_tpu.analysis.bispec import bispec, bispec_treelevel
+
+        opts = cfg.bispec_options or {}
+        gridsize = int(opts.get("gridsize") or sim.config.potential_gridsize)
+        configuration = opts.get("configuration", "equilateral 10")
+        for name, pstate in state.particles.items():
+            out = bispec(
+                [pstate.pos], [1.0], gridsize, cfg.boxsize,
+                configuration=configuration,
+            )
+            cols = [out["triangles"], out["n_triangles"][:, None],
+                    out["B"][:, None]]
+            header = "k1 k2 k3 triangles B"
+            if lin is not None:
+                tree = bispec_treelevel(lin, out["triangles"], a)
+                cols.append(tree[:, None])
+                header += " B_treelevel"
+            fn = os.path.join(dirname, f"{base}_{name}_{tag}.txt")
+            os.makedirs(dirname, exist_ok=True)
+            np.savetxt(fn, np.column_stack(cols), header=header)
+            masterprint(f"Saved bispectrum ({name}): {fn}")
 
 
 def dump(cfg: RunConfig, sim, state, a, kind, units, lin):

@@ -177,3 +177,66 @@ def test_distributed_noise_statistics():
     assert abs(power - 1) < 0.05
     # phases uniform: mean ≈ 0
     assert abs(np.mean(inner.real)) < 0.05 * np.sqrt(n**3)
+
+
+class TestNoiseSpectralQuality:
+    """Spectral whiteness of the counter-based hash noise (VERDICT weak
+    12: a weak hash RNG can imprint lattice artifacts in the ICs; the
+    reference uses PCG64DXSM streams).  The primordial unit-noise field
+    must be white: flat band power with no axis anisotropy."""
+
+    def test_noise_is_white_and_isotropic(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from concept_tpu.ic import generate_primordial_noise
+        from concept_tpu.grid import fourier
+
+        n = 48
+        slab = generate_primordial_noise(n, seed=3, scheme='distributed')
+        slab = slab / jnp.sqrt(jnp.asarray(float(n**3)))  # ⟨|R|²⟩ = N_cells
+        p2 = np.asarray(jnp.abs(slab) ** 2)
+        mult = np.broadcast_to(
+            np.asarray(fourier.hermitian_multiplicity(n)), p2.shape
+        )
+        k2 = np.broadcast_to(np.asarray(fourier.k2_int_grid(n)), p2.shape)
+        sel = (k2 > 0)
+        # ⟨|δ|²⟩ = 1 per mode: global mean within chi2 scatter
+        mean = np.average(p2[sel], weights=mult[sel])
+        n_modes = mult[sel].sum()
+        assert abs(mean - 1.0) < 5 / np.sqrt(n_modes), mean
+        # band flatness: 4 radial bands each consistent with white
+        kmag = np.sqrt(k2)
+        for lo, hi in [(1, 8), (8, 16), (16, 24), (24, 33)]:
+            bsel = sel & (kmag >= lo) & (kmag < hi)
+            w = mult[bsel]
+            m = np.average(p2[bsel], weights=w)
+            assert abs(m - 1.0) < 6 / np.sqrt(w.sum()), (lo, hi, m)
+        # axis anisotropy: power on each coordinate axis matches the
+        # global mean (a weak hash correlates along the packing axes)
+        ki, kj, kk = (np.asarray(v) for v in fourier.k_int_vectors(n))
+        KI = np.broadcast_to(ki, p2.shape)
+        KJ = np.broadcast_to(kj, p2.shape)
+        KK = np.broadcast_to(kk, p2.shape)
+        for axis_sel in (
+            (KJ == 0) & (KK == 0) & (KI != 0),
+            (KI == 0) & (KK == 0) & (KJ != 0),
+            (KI == 0) & (KJ == 0) & (KK != 0),
+        ):
+            w = mult[axis_sel]
+            m = np.average(p2[axis_sel], weights=w)
+            assert abs(m - 1.0) < 6 / np.sqrt(w.sum()), m
+
+    def test_neighbor_mode_correlation_negligible(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from concept_tpu.ic import generate_primordial_noise
+
+        n = 48
+        slab = np.asarray(generate_primordial_noise(n, seed=5, scheme='distributed')) / np.sqrt(float(n**3))
+        # correlation of adjacent modes along the fastest-varying packing
+        # axis (where multiplicative hash streaks would show)
+        a = slab[..., :-1].reshape(-1)
+        b = slab[..., 1:].reshape(-1)
+        num = np.abs(np.mean(a * np.conj(b)))
+        den = np.sqrt(np.mean(np.abs(a) ** 2) * np.mean(np.abs(b) ** 2))
+        assert num / den < 0.01, num / den
