@@ -269,6 +269,17 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.render2D_options = raw.get("render2D_options", {})
     cfg.render3D_options = raw.get("render3D_options", {})
     cfg.terminal_width = int(raw.get("terminal_width", 80))
+    # suppress_output: set of regexes, or {'out': {...}, 'err': {...}}
+    # (reference commons.py:935: matching lines are swallowed)
+    sup = raw.get("suppress_output", set())
+    if isinstance(sup, dict):
+        flat = set()
+        for v in sup.values():
+            flat |= set(v if isinstance(v, (set, list, tuple)) else [v])
+        sup = flat
+    elif isinstance(sup, str):
+        sup = {sup}
+    cfg.suppress_output = set(sup)
     cfg.print_load_imbalance = bool(raw.get("print_load_imbalance", True))
     return cfg
 

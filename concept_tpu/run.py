@@ -227,6 +227,10 @@ def clear_autosave(cfg: RunConfig):
 def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         deposit_method: str | None = None):
     """Run the simulation described by cfg; returns final (sim, state, a)."""
+    from concept_tpu.utils.terminal import set_suppress_output
+
+    if cfg.suppress_output:
+        set_suppress_output(cfg.suppress_output)
     units, consts, bg, lin = build_cosmology(cfg)
     comps = build_components(cfg, bg, consts)
     if any(src == "realize-fluid" for _, src in comps) or len(comps) > 1:
