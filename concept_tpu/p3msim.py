@@ -135,6 +135,14 @@ def _rebucketize_state(state: P3MState, boxsize: float, nc: int,
     rank = iota - starts[cell_s]
     in_b = rank < K
     slot = jnp.where(in_b, rank * C + cell_s, K * C)
+    # SPILLOVER: overflow beyond a capped K goes into free slots of
+    # other columns.  NOTE: unlike the PM stepper, spilled particles
+    # here sit in the WRONG short-range cell — the sweep would miss
+    # their pairs — so the host must treat any nonzero spill as an
+    # immediate capacity-growth signal; the spill only guarantees no
+    # particle is ever lost between probes (see P3MSimulation.rebucket).
+    over = ~in_b
+    spill_rank = jnp.cumsum(over.astype(jnp.int32)) - 1
 
     def scat(vals):
         return (
@@ -146,8 +154,24 @@ def _rebucketize_state(state: P3MState, boxsize: float, nc: int,
     pos = jnp.stack([scat(px), scat(py), scat(pz)])
     mom = jnp.stack([scat(mx), scat(my), scat(mz)])
     valid = jnp.arange(K, dtype=jnp.int32)[:, None] < jnp.minimum(counts, K)[None, :]
-    n_kept = jnp.sum(jnp.minimum(counts, K))
-    return P3MState(pos=pos, mom=mom, valid=valid), n_kept, jnp.max(counts)
+    n_spill = N - jnp.sum(jnp.minimum(counts, K))
+    free = jnp.nonzero(~valid.reshape(-1), size=N, fill_value=K * C)[0]
+    tgt = jnp.where(over, free[jnp.minimum(spill_rank, N - 1)], K * C)
+
+    def spill(arr, vals):
+        return arr.reshape(-1).at[tgt].set(
+            vals, mode="drop", unique_indices=True
+        ).reshape(K, C)
+
+    pos = jnp.stack([
+        spill(pos[0], px), spill(pos[1], py), spill(pos[2], pz)
+    ])
+    mom = jnp.stack([
+        spill(mom[0], mx), spill(mom[1], my), spill(mom[2], mz)
+    ])
+    valid = spill(valid, jnp.ones((N,), bool))
+    n_kept = jnp.sum(valid)
+    return P3MState(pos=pos, mom=mom, valid=valid), n_kept, n_spill
 
 
 @partial(
@@ -431,10 +455,14 @@ class P3MSimulation:
         if need > 0.87 * self.capacity:
             # grow ahead of clustering: keep ≥ 15% headroom
             self.capacity = max(8, int(math.ceil(1.3 * need / 8)) * 8)
-        new_state, kept, _ = _rebucketize_state(
+        new_state, kept, n_spill = _rebucketize_state(
             state, self.boxsize, self.nc, self.capacity, self.N
         )
         assert int(kept) == self.N, (int(kept), self.N)
+        # spilled slots sit in the wrong short-range cell (missed pairs):
+        # the occupancy probe above sizes the capacity so this never
+        # fires; a nonzero count would mean the probe raced the state
+        assert int(n_spill) == 0, int(n_spill)
         self._drift_used = 0.0
         return new_state
 
