@@ -189,6 +189,12 @@ def bench_pm_sustained(n_grid=256, a_end=0.12):
     t_now = float(bg.t_of_a_np(a_end))
     int1 = bg.integrals_np(t_now, t_now * 1.01, keys=("a**(-1)",))["a**(-1)"]
     int2 = bg.integrals_np(t_now, t_now * 1.01, keys=("a**(-2)",))["a**(-2)"]
+    # settle the capacity and warm the step+rebucket compiles at the
+    # final K BEFORE timing (a capacity retrace inside the timed window
+    # would bill ~60 s of compilation as step time)
+    state = sim.maybe_rebucket(state)
+    state, ns = sim.step(state, int1, int2)
+    state = sim.maybe_rebucket(state)
     state, ns = sim.step(state, int1, int2)
     _ = float(state.pos[0, 0, 0])
     n_iter = 10
