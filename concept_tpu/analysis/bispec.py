@@ -48,45 +48,100 @@ def shell_field(delta_slab, gridsize: int, k_center: float, half_width: float,
     )
 
 
+def _tri_from_ktmu(k1, t, mu):
+    """(k₁, t, μ) → (k₁, k₂, k₃) with k₂ = t·k₁ and
+    k₃² = k₁²(1 + t² − 2tμ) (the reference's parameterization of all
+    named shape families, analysis.py:1540-1760)."""
+    k2 = t * k1
+    k3 = k1 * math.sqrt(max(1.0 + t * t - 2.0 * t * mu, 0.0))
+    return (k1, k2, k3)
+
+
 def triangle_configurations(configuration, k_min, k_max, n=10):
-    """Named configurations → list of (k1,k2,k3).  Reference shapes:
-    analysis.py:1459-2243 ('equilateral', 'squeezed', 'stretched',
-    'isosceles'/'L-isosceles'/'S-isosceles', 'right', 'elongated', 'all').
+    """Named configurations → list of (k1,k2,k3).
+
+    Matches the reference's distinct family definitions
+    (analysis.py:1540-1760), each written as (k₁, t = k₂/k₁, μ):
+      equilateral     t = 1,   μ = ½          (k, k, k)
+      stretched       t = ½,   μ = 1          (k, k/2, k/2), collapsed
+      squeezed        t = 1,   μ = 0.99       (k, k, 0.141·k), k₃ ≥ k_min
+      isosceles right t = μ = 1/√2            (k, k/√2, k/√2)
+      L-isosceles     t = 1,   ½ ≤ μ ≤ μ_max  k₁ = k₂ ≥ k₃ (2D)
+      S-isosceles     ½ ≤ t ≤ 1, μ = 1/(2t)   k₁ ≥ k₂ = k₃ (2D)
+      elongated       ½ ≤ t ≤ t_max, μ = 1    k₁ = k₂ + k₃ (2D)
+      right           1/√2 ≤ t = μ ≤ t_max    k₁² = k₂² + k₃² (2D)
+      all             k₁ ≥ k₂ ≥ k₃ triangle-closing triples (3D)
+    2D families bound their t/μ ranges so k₃ ≥ k_min (the reference's
+    k3_min guard) and emit int(2·n·range) parameter points per k₁.
     """
     if isinstance(configuration, (list, tuple)) and configuration and isinstance(
         configuration[0], (list, tuple)
     ):
         return [tuple(c) for c in configuration]
-    if isinstance(configuration, str):
-        parts = configuration.split()
-        name = parts[0].lower()
-        if len(parts) > 1:
-            n = int(parts[1])
-        ks = np.exp(np.linspace(math.log(k_min), math.log(k_max), n))
-        if name == "equilateral":
-            return [(k, k, k) for k in ks]
-        if name == "squeezed":
-            return [(k, k, k_min) for k in ks if k >= 2 * k_min]
-        if name == "stretched":
-            return [(k, k / 2, k / 2) for k in ks]
-        if name == "right":
-            return [(k, k, k * math.sqrt(2)) for k in ks if k * math.sqrt(2) <= k_max]
-        if name in ("l-isosceles", "isosceles"):
-            return [(k, k, k / 2) for k in ks]
-        if name == "s-isosceles":
-            return [(k, k / 2, k / 2) for k in ks]
-        if name == "elongated":
-            return [(k, k / 2, k / 2) for k in ks]
-        if name == "all":
-            out = []
-            for k1 in ks:
-                for k2 in ks:
-                    for k3 in ks:
-                        if k1 >= k2 >= k3 and k3 >= k1 - k2:  # triangle ineq
-                            out.append((k1, k2, k3))
-            return out
-        raise ValueError(f"unknown bispectrum configuration {name!r}")
-    raise ValueError(f"bad bispectrum configuration {configuration!r}")
+    if not isinstance(configuration, str):
+        raise ValueError(f"bad bispectrum configuration {configuration!r}")
+    parts = configuration.split()
+    name = parts[0].lower().replace("-", "").replace("_", "")
+    if len(parts) > 1:
+        n = int(parts[1])
+    ks = np.exp(np.linspace(math.log(k_min), math.log(k_max), n))
+    k3_min = k_min
+    if name.startswith("equilat"):
+        return [(k, k, k) for k in ks]
+    if name.startswith("stretch"):
+        return [_tri_from_ktmu(k, 0.5, 1.0) for k in ks]
+    if name.startswith("squeez"):
+        mu = 0.99
+        k_bgn = max(k_min, k3_min / math.sqrt(2 * (1 - mu)))
+        if k_max <= k_bgn:
+            raise ValueError(
+                "k range too small for the squeezed configuration"
+            )
+        nn = max(2, int(round(n * math.log10(k_max / k_bgn))))
+        ks2 = np.exp(np.linspace(math.log(k_bgn), math.log(k_max), nn))
+        return [_tri_from_ktmu(k, 1.0, mu) for k in ks2]
+    if "iso" in name and "right" in name:
+        r = 1 / math.sqrt(2)
+        return [_tri_from_ktmu(k, r, r) for k in ks]
+    if name.startswith("liso") or ("iso" in name and "large" in name) or name == "isosceles":
+        out = []
+        mu_lo = 0.5
+        mus = np.linspace(mu_lo, 1.0, max(2, int(round(2 * n * 0.5))))
+        for k in ks:
+            mu_max = max(mu_lo, (2 - k3_min**2 / k**2) / 2)
+            mu_i = np.append(mus[mus < mu_max], mu_max)
+            out += [_tri_from_ktmu(k, 1.0, mu) for mu in mu_i]
+        return out
+    if name.startswith("siso") or ("iso" in name and "small" in name):
+        ts = np.linspace(0.5, 1.0, max(2, int(round(2 * n * 0.720599))))
+        return [_tri_from_ktmu(k, t, 1 / (2 * t)) for k in ks for t in ts]
+    if (name.startswith("elongat") or name.startswith("flat")
+            or name.startswith("fold") or name.startswith("linear")):
+        out = []
+        ts = np.linspace(0.5, 1.0, max(2, int(round(2 * n * 0.5))))
+        for k in ks:
+            t_max = max(0.5, 1.0 - k3_min / k)
+            t_i = np.append(ts[ts < t_max], t_max)
+            out += [_tri_from_ktmu(k, t, 1.0) for t in t_i]
+        return out
+    if name.startswith("right"):
+        out = []
+        t_lo = 1 / math.sqrt(2)
+        ts = np.linspace(t_lo, 1.0, max(2, int(round(2 * n * math.sqrt(2) * (1 - t_lo)))))
+        for k in ks:
+            t_max = max(t_lo, math.sqrt(max(1 - k3_min**2 / k**2, 0.0)))
+            t_i = np.append(ts[ts < t_max], t_max)
+            out += [_tri_from_ktmu(k, t, t) for t in t_i]
+        return out
+    if name == "all":
+        out = []
+        for k1 in ks:
+            for k2 in ks:
+                for k3 in ks:
+                    if k1 >= k2 >= k3 and k3 >= k1 - k2:  # triangle ineq
+                        out.append((k1, k2, k3))
+        return out
+    raise ValueError(f"unknown bispectrum configuration {name!r}")
 
 
 def bispec(
@@ -101,6 +156,7 @@ def bispec(
     deposit_method: str = "scatter",
     antialias: bool = True,
     shotnoise_correction: bool = False,
+    n_particles: int | None = None,
 ):
     """Measure B(k1,k2,k3).  Returns dict with per-triangle arrays incl.
     the reduced bispectrum Q = B/(P₁P₂ + P₂P₃ + P₃P₁) (reference
@@ -108,7 +164,14 @@ def bispec(
 
     shell_fac: shell half-width = max(k_fundamental, shell_fac·k).
     antialias: cell-shell overlap weights (reference analysis.py:2803).
+    shotnoise_correction: subtract the Poisson terms — per-shell power
+    P → P − 1/n̄ and B → B − (P₁ᶜ+P₂ᶜ+P₃ᶜ)/n̄ − 1/n̄² with n̄ = N/V
+    (the standard discreteness bias of the three-point estimator);
+    requires n_particles.  The reference's bispec does no such
+    correction — this mirrors its 'corrected' power-spectrum option.
     """
+    if shotnoise_correction and not n_particles:
+        raise ValueError("shotnoise_correction requires n_particles")
     n = gridsize
     V = boxsize**3
     kf = 2 * math.pi / boxsize
@@ -160,9 +223,9 @@ def bispec(
         #   num/den = ⟨δ_dft δ_dft δ_dft⟩ per closed triangle,
         # and B = (V²/n⁹)·⟨δδδ⟩ (DFT normalisation, see powerspec.py).
         B = (V**2 / float(n) ** 9) * (num / den)
-        out_B.append(B)
         out_T.append(den * float(n) ** 9)
         Ps = []
+        inv_nbar = V / n_particles if shotnoise_correction else 0.0
         for k, d, w in ((k1, d1, w1), (k2, d2, w2), (k3, d3, w3)):
             key = round(float(k) / kf, 3)
             if key not in pcache:
@@ -174,8 +237,11 @@ def bispec(
                 pcache[key] = (V / float(n) ** 6) * (
                     nume / dene if dene > 0 else np.nan
                 )
-            Ps.append(pcache[key])
+            Ps.append(pcache[key] - inv_nbar)
         P1, P2, P3 = Ps
+        if shotnoise_correction:
+            B = B - (P1 + P2 + P3) * inv_nbar - inv_nbar**2
+        out_B.append(B)
         hierarchical = P1 * P2 + P2 * P3 + P3 * P1
         out_Q.append(B / hierarchical if hierarchical > 0 else np.nan)
     return {

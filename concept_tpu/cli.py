@@ -32,8 +32,9 @@ def make_parser():
         "-u", "--utility", nargs=argparse.REMAINDER,
         help="run a utility: powerspec|bispec|info|convert|render3D|class <args>",
     )
-    p.add_argument("-n", "--nprocs", type=int, default=0,
-                   help="(virtual) device count; 0 = all available")
+    p.add_argument("-n", "--nprocs", type=int, default=1,
+                   help="device count for the 1D grid mesh; 0 = all "
+                        "available devices, 1 = single device (default)")
     p.add_argument("-t", "--test", nargs="?", const="all", default=None,
                    help="run the test suite (optionally a single test "
                         "file/pattern), reference `concept -t` analogue")
@@ -84,7 +85,7 @@ def main(argv=None):
     cfg = load_params(args.param, overrides=args.command_line_params)
     with job_logging() as jobid:
         print(f"concept_tpu run, job {jobid}")
-        run(cfg, seed=args.seed)
+        run(cfg, seed=args.seed, n_devices=args.nprocs)
     return 0
 
 

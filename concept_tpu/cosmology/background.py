@@ -58,12 +58,23 @@ class Background:
         enable_Hubble: bool = True,
         a_today: float = 1.0,
         cache_dir: str | None = None,
+        Omega_nu: float = 0.0,
+        nu_background=None,
     ):
         self.H0 = float(H0)
         self.Omega_m = float(Omega_m)
         self.Omega_r = float(Omega_r)
+        # Massive neutrinos with their EXACT Fermi-Dirac ρ_ν(a) in the
+        # Friedmann equation (∝ a⁻⁴ while relativistic, ∝ a⁻³ after the
+        # non-relativistic transition) — lumping Ω_ν into Ω_m would bias
+        # H(a) and every ᔑdt integral at IC-realization times a ~ 1e-3
+        # (ADVICE r2; reference gets this via the CLASS background).
+        self.Omega_nu = float(Omega_nu)
+        self.nu_background = nu_background
+        if self.Omega_nu and nu_background is None:
+            raise ValueError("Omega_nu != 0 requires nu_background")
         if Omega_lambda is None:
-            Omega_lambda = 1.0 - self.Omega_m - self.Omega_r
+            Omega_lambda = 1.0 - self.Omega_m - self.Omega_r - self.Omega_nu
         self.Omega_lambda = float(Omega_lambda)
         self.enable_Hubble = bool(enable_Hubble)
         self.a_today = float(a_today)
@@ -74,14 +85,19 @@ class Background:
     # ------------------------------------------------------------------ #
     # Friedmann
     # ------------------------------------------------------------------ #
+    def _E2_np(self, a):
+        """H²/H0² (NumPy)."""
+        E2 = self.Omega_r / a**4 + self.Omega_m / a**3 + self.Omega_lambda
+        if self.Omega_nu:
+            E2 = E2 + self.Omega_nu * self.nu_background.rho_ratio_np(a)
+        return E2
+
     def hubble_np(self, a):
         """H(a) (NumPy, float64). Reference: src/integration.py:570-600."""
         if not self.enable_Hubble:
             return np.zeros_like(np.asarray(a, dtype=np.float64)) + 0.0
         a = np.asarray(a, dtype=np.float64)
-        return self.H0 * np.sqrt(
-            self.Omega_r / a**4 + self.Omega_m / a**3 + self.Omega_lambda
-        )
+        return self.H0 * np.sqrt(self._E2_np(a))
 
     def adot_np(self, a):
         """ȧ = a·H(a) (NumPy)."""
@@ -89,24 +105,35 @@ class Background:
         return a * self.hubble_np(a)
 
     def addot_np(self, a):
-        """ä = a·H0²·[Ω_Λ − Ω_m/(2a³) − Ω_r/a⁴] (Friedmann acceleration,
+        """ä = a·H0²·[E² + (a/2)·dE²/da] (Friedmann acceleration,
         reference integration.py ä; used by the N-body gauge θ transform,
-        reference linear.py:2826-2834)."""
+        reference linear.py:2826-2834).  For matter+Λ(+radiation) this is
+        the familiar Ω_Λ − Ω_m/(2a³) − Ω_r/a⁴; the ν term is differenced
+        numerically on its smooth w_eff spline."""
         if not self.enable_Hubble:
             return np.zeros_like(np.asarray(a, dtype=np.float64))
         a = np.asarray(a, dtype=np.float64)
-        return a * self.H0**2 * (
+        base = (
             self.Omega_lambda - 0.5 * self.Omega_m / a**3 - self.Omega_r / a**4
         )
+        if self.Omega_nu:
+            eps = 1e-4
+            rho = self.nu_background.rho_ratio_np
+            dE2_da = self.Omega_nu * (
+                rho(a * (1 + eps)) - rho(a * (1 - eps))
+            ) / (2 * eps * a)
+            base = base + self.Omega_nu * rho(a) + 0.5 * a * dE2_da
+        return a * self.H0**2 * base
 
     def hubble(self, a):
         """H(a) (JAX)."""
         if not self.enable_Hubble:
             return jnp.zeros_like(jnp.asarray(a))
         a = jnp.asarray(a)
-        return self.H0 * jnp.sqrt(
-            self.Omega_r / a**4 + self.Omega_m / a**3 + self.Omega_lambda
-        )
+        E2 = self.Omega_r / a**4 + self.Omega_m / a**3 + self.Omega_lambda
+        if self.Omega_nu:
+            E2 = E2 + self.Omega_nu * self.nu_background.rho_ratio(a)
+        return self.H0 * jnp.sqrt(E2)
 
     # ------------------------------------------------------------------ #
     # Tabulation
@@ -123,8 +150,14 @@ class Background:
         """
         from concept_tpu.utils.cache import cache_filename
 
+        nu_tag = (
+            (self.nu_background.m_nu_eV, self.nu_background.N_nu, self.Omega_nu)
+            if self.Omega_nu
+            else 0.0
+        )
         filename = cache_filename(
-            "background", self.H0, self.Omega_m, self.Omega_r, self.Omega_lambda, self.a_today
+            "background", self.H0, self.Omega_m, self.Omega_r,
+            self.Omega_lambda, self.a_today, nu_tag,
         )
         if os.path.exists(filename):
             data = np.load(filename)

@@ -95,6 +95,20 @@ class NeutrinoBackground:
     def w_eff(self, a):
         return self._weff_spline.eval_np(a)
 
+    def rho_ratio_np(self, a):
+        """ρ_ν(a)/ρ_ν(a=1) from the comoving-density identity
+        ρ(a)·a^{3(1+w_eff(a))} = const (w_eff anchored at a = 1):
+        exact ∝ a⁻⁴ relativistic → ∝ a⁻³ non-relativistic crossover."""
+        a = np.asarray(a, dtype=np.float64)
+        return a ** (-3.0 * (1.0 + self.w_eff(a)))
+
+    def rho_ratio(self, a):
+        """JAX variant of :meth:`rho_ratio_np` (jittable)."""
+        import jax.numpy as jnp
+
+        a = jnp.asarray(a)
+        return a ** (-3.0 * (1.0 + self._weff_spline(a)))
+
     def omega_nu_h2(self) -> float:
         """Ω_ν h² today.  Non-relativistic limit: Σm/93.14 eV
         (standard result); the exact FD integral reproduces it for

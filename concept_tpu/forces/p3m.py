@@ -203,7 +203,7 @@ def pm_longrange_components(
     jax.jit,
     static_argnames=(
         "mesh", "boxsize", "n_cells", "capacity", "k_pm", "max_overflow",
-        "pm_max_overflow", "engine", "interpret",
+        "pm_max_overflow", "engine", "interpret", "softening_kernel",
     ),
 )
 def p3m_kick_components(
@@ -212,6 +212,7 @@ def p3m_kick_components(
     softening: float = 0.0, G: float = 1.0,
     max_overflow: int = 2048, pm_max_overflow: int = 65536,
     engine: str = "auto", interpret: bool = False,
+    softening_kernel: str = "plummer",
 ):
     """Full P³M momentum update: short-range pair sweep + Gaussian-split
     long-range PM, all component-wise in one jit.
@@ -222,6 +223,7 @@ def p3m_kick_components(
         (px, py, pz), mass, boxsize, scale, cutoff, kick_integral,
         n_cells=n_cells, capacity=capacity, softening=softening, G=G,
         max_overflow=max_overflow, return_overflow=True, engine=engine,
+        softening_kernel=softening_kernel,
     )
     (dlx, dly, dlz), n_pm = pm_longrange_components(
         px, py, pz, mass, boxsize, G, kick_integral, mesh, scale,

@@ -83,7 +83,39 @@ def screening_cheb(x):
 # --------------------------------------------------------------------- #
 
 
-def _make_kernel(n: int, K: int, dtype):
+def _force_law(inv_scale, soft2, dtype, softening_kernel: str):
+    """S(x)·r⁻³_softened evaluator used inside the kernels — vector-only
+    ops (FMAs + rsqrt + selects), per the softening_kernel static
+    (reference get_softened_r3inv, interactions.py:1846-1910)."""
+
+    def factor(r2):
+        if softening_kernel == "plummer":
+            r2s = r2 + soft2
+            inv_r = jax.lax.rsqrt(r2s)
+            S = screening_cheb(r2s * inv_r * inv_scale)  # x = r/scale
+            return S * (inv_r * inv_r * inv_r)
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, jnp.asarray(1e-30, dtype)))
+        r = r2 * inv_r
+        S = screening_cheb(r * inv_scale)
+        far = inv_r * inv_r * inv_r
+        if softening_kernel == "none":
+            return S * far
+        # 'spline': GADGET-2 cubic spline, h = 2.8ε (soft2 = ε²)
+        eps = jnp.sqrt(soft2)
+        h = 2.8 * eps
+        inv_h = jnp.where(h > 0, 1.0 / jnp.maximum(h, 1e-30), 1e30)
+        u = r * inv_h
+        near = 32.0 * inv_h**3 * (1.0 / 3.0 + u * u * (-6.0 / 5.0 + u))
+        mid = (32.0 / 3.0) * far * (
+            u**3 * (2.0 + u * (-4.5 + u * (3.6 - u))) - 3.0 / 480.0
+        )
+        r3inv = jnp.where(u >= 1.0, far, jnp.where(u < 0.5, near, mid))
+        return S * r3inv
+
+    return factor
+
+
+def _make_kernel(n: int, K: int, dtype, softening_kernel: str = "plummer"):
     def kernel(scal_ref, *refs):
         # refs: 27 inputs (9 pencils × 3 components, each (1,1,K,n)),
         # then 3 outputs (1,1,K,n).  Last-two block dims (K,n) equal the
@@ -94,6 +126,7 @@ def _make_kernel(n: int, K: int, dtype):
         soft2 = scal_ref[2]
         boxsize = scal_ref[3]
         own_ref_x, own_ref_y, own_ref_z = ins[4], ins[13], ins[22]
+        _force_factor = _force_law(inv_scale, soft2, dtype, softening_kernel)
 
         # z-wrap correction columns (static masks)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -142,11 +175,7 @@ def _make_kernel(n: int, K: int, dtype):
                 dz = oz - nbz
                 r2 = dx * dx + dy * dy + dz * dz
                 m = (r2 < cutoff2) & (r2 > 0)
-                r2s = r2 + soft2
-                inv_r = jax.lax.rsqrt(r2s)
-                S = screening_cheb(r2s * inv_r * inv_scale)  # x = r/scale
-                inv_r3 = inv_r * inv_r * inv_r
-                f = jnp.where(m, -S * inv_r3, 0.0)
+                f = jnp.where(m, -_force_factor(r2), 0.0)
                 ax = ax + jnp.sum(f * dx, axis=1)
                 ay = ay + jnp.sum(f * dy, axis=1)
                 az = az + jnp.sum(f * dz, axis=1)
@@ -172,7 +201,8 @@ def _pad_halo(arr, axis_coord: int | None, boxsize):
     return jnp.concatenate([lo2, arr, hi2], axis=1)
 
 
-def _make_pair_kernel(n: int, K_r: int, K_s: int, dtype):
+def _make_pair_kernel(n: int, K_r: int, K_s: int, dtype,
+                      softening_kernel: str = "plummer"):
     """One-sided variant: receivers (own pencil, 3 inputs of (1,1,K_r,n))
     against suppliers (9 aliased pencils × 3 components)."""
 
@@ -182,6 +212,7 @@ def _make_pair_kernel(n: int, K_r: int, K_s: int, dtype):
         cutoff2 = scal_ref[1]
         soft2 = scal_ref[2]
         boxsize = scal_ref[3]
+        _force_factor = _force_law(inv_scale, soft2, dtype, softening_kernel)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         wrap_hi = (col == n - 1).astype(dtype) * boxsize
         wrap_lo = (col == 0).astype(dtype) * (-boxsize)
@@ -223,11 +254,7 @@ def _make_pair_kernel(n: int, K_r: int, K_s: int, dtype):
                 dz = oz - nbz
                 r2 = dx * dx + dy * dy + dz * dz
                 m = (r2 < cutoff2) & (r2 > 0)
-                r2s = r2 + soft2
-                inv_r = jax.lax.rsqrt(r2s)
-                S = screening_cheb(r2s * inv_r * inv_scale)
-                inv_r3 = inv_r * inv_r * inv_r
-                f = jnp.where(m, -S * inv_r3, 0.0)
+                f = jnp.where(m, -_force_factor(r2), 0.0)
                 ax = ax + jnp.sum(f * dx, axis=1)
                 ay = ay + jnp.sum(f * dy, axis=1)
                 az = az + jnp.sum(f * dz, axis=1)
@@ -241,10 +268,10 @@ def _make_pair_kernel(n: int, K_r: int, K_s: int, dtype):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n_cells", "interpret"))
+@partial(jax.jit, static_argnames=("n_cells", "interpret", "kernel"))
 def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
                       boxsize, scale, cutoff, softening,
-                      interpret: bool = False):
+                      interpret: bool = False, kernel: str = "plummer"):
     """One-sided pencil sweep: acc (3, K_r, C) ON the receiver buckets
     FROM the supplier buckets (same contract as shortrange._sweep_pair)."""
     n = n_cells
@@ -286,9 +313,9 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
     for _comp in range(3):
         in_specs += [pencil(di, dj) for (di, dj) in offs]
     out_spec = pl.BlockSpec((1, 1, K_r, n), lambda i, j: (i, j, 0, 0))
-    kernel = _make_pair_kernel(n, K_r, K_s, dtype)
+    kfn = _make_pair_kernel(n, K_r, K_s, dtype, softening_kernel=kernel)
     outs = pl.pallas_call(
-        kernel,
+        kfn,
         grid=(n, n),
         out_shape=[jax.ShapeDtypeStruct((n, n, K_r, n), dtype)] * 3,
         in_specs=in_specs,
@@ -298,9 +325,10 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
     return jnp.stack([o.transpose(2, 0, 1, 3).reshape(K_r, C) for o in outs])
 
 
-@partial(jax.jit, static_argnames=("n_cells", "interpret"))
+@partial(jax.jit, static_argnames=("n_cells", "interpret", "kernel"))
 def sweep_pallas(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff,
-                 softening, interpret: bool = False):
+                 softening, interpret: bool = False,
+                 kernel: str = "plummer"):
     """Per-slot acceleration acc (3, K, C) from the padded pencil kernel.
 
     Args are shortrange.bucketize outputs: (K, C) slot-major with z-major
@@ -345,9 +373,9 @@ def sweep_pallas(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff,
         in_specs += [pencil(di, dj) for (di, dj) in offs]
     out_spec = pl.BlockSpec((1, 1, K, n), lambda i, j: (i, j, 0, 0))
 
-    kernel = _make_kernel(n, K, dtype)
+    kfn = _make_kernel(n, K, dtype, softening_kernel=kernel)
     outs = pl.pallas_call(
-        kernel,
+        kfn,
         grid=(n, n),
         out_shape=[jax.ShapeDtypeStruct(shape4, dtype)] * 3,
         in_specs=in_specs,

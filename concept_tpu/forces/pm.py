@@ -265,18 +265,40 @@ def pm_gravity_momentum_updates(
                 updates[i] = updates[i].at[:, d].set((-m * kick_integral) * comp)
         return updates
 
-    gradphi = potential_gradient_grids(phi, gridsize, boxsize, dist, differentiation)
-    if distributed:
-        gradphi = replicate(gradphi, dist)
+    # stencil differentiation: downstream interlacing gets one real-space
+    # gradient-grid set per primitive shift (φ phase-rotated in Fourier
+    # space, then stencil-differentiated) — reference lattice_downstream
+    # semantics, interactions.py:2188-2191 (ADVICE r2: previously the
+    # requested lattice was silently ignored on this path)
+    grad_cache = {}
+
+    def grads_for(shift):
+        if shift not in grad_cache:
+            phi_s = phi
+            if any(shift):
+                phi_s = phi * fourier.interlace_phase(
+                    gridsize, boxsize, tuple(-c for c in shift)
+                )
+            g = potential_gradient_grids(
+                phi_s, gridsize, boxsize, dist, differentiation
+            )
+            if distributed:
+                g = replicate(g, dist)
+            grad_cache[shift] = g
+        return grad_cache[shift]
+
     updates = []
     for p, m in zip(pos_list, mass_list):
-        # stencil differentiation: downstream interlacing would need the
-        # real-space grids per primitive; apply it on the Fourier path
-        # (reference applies lattices in the interpolation machinery)
-        force = jnp.stack(
-            [gather(gradphi[d], p, boxsize, order=order) for d in range(3)], axis=1
-        )
-        updates.append((-m * kick_integral) * force)
+        force = None
+        for shift in down_shifts:
+            gradphi = grads_for(shift)
+            pp = jnp.mod(p - jnp.asarray(shift) * h, boxsize) if any(shift) else p
+            f = jnp.stack(
+                [gather(gradphi[d], pp, boxsize, order=order) for d in range(3)],
+                axis=1,
+            )
+            force = f if force is None else force + f
+        updates.append((-m * kick_integral / len(down_shifts)) * force)
     return updates
 
 

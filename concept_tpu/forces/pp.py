@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("periodic", "chunk"))
+@partial(jax.jit, static_argnames=("periodic", "chunk", "softening_kernel"))
 def pp_momentum_updates(
     pos,
     mass,
@@ -29,12 +29,15 @@ def pp_momentum_updates(
     ewald_table=None,
     periodic: bool = True,
     chunk: int = 1024,
+    softening_kernel: str = "plummer",
 ):
     """Δmom for all particles from direct summation.  (N,3).
 
     periodic=True: minimum-image direct force + Ewald correction lookup
     (requires ewald_table from forces/ewald.py, scaled to the unit box).
     periodic=False: plain 1/r² (reference 'ppnonperiodic' method).
+    softening_kernel: 'plummer' | 'spline' | 'none' (reference
+    get_softened_r3inv, interactions.py:1846-1910).
     """
     N = pos.shape[0]
     dtype = pos.dtype
@@ -52,8 +55,16 @@ def pp_momentum_updates(
             dx = dx - boxsize * jnp.round(dx / boxsize)  # minimum image
         r2 = jnp.sum(dx * dx, axis=-1)
         mask = rvalid[:, None] & valid[None, :] & (r2 > 0)
-        r2s = r2 + soft2
-        inv_r3 = jnp.where(mask, r2s ** (-1.5), 0.0)
+        if softening_kernel == "plummer":
+            r2s = r2 + soft2
+            r3inv = r2s ** (-1.5)
+        else:
+            from concept_tpu.forces.shortrange import softened_r3inv
+
+            r3inv = softened_r3inv(
+                r2, jnp.sqrt(soft2), softening_kernel, dtype
+            )
+        inv_r3 = jnp.where(mask, r3inv, 0.0)
         acc = -jnp.sum(dx * inv_r3[..., None], axis=1)
         if periodic and ewald_table is not None:
             from concept_tpu.forces.ewald import ewald_correction_lookup

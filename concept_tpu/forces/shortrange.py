@@ -165,18 +165,63 @@ def bucketize(pos, boxsize, n_cells: int, capacity: int):
                 px=px, py=py, pz=pz, starts=starts)
 
 
-def shortrange_force_factor(r2, scale, softening2, dtype):
-    """−[erfc(x/2) + x/√π·e^(−x²/4)]/r³ with x = r/scale, Plummer-type
-    softening r² → r² + ε² (reference uses spline softening,
-    gravity.py:1847; Plummer is simpler and equivalent at these scales —
-    the softened regime is far inside the force-matching tolerance)."""
-    r2s = r2 + softening2
-    r = jnp.sqrt(r2s)
+def softened_r3inv(r2, softening, kernel: str, dtype):
+    """Softened r⁻³ per the ``softening_kernel`` parameter (reference
+    get_softened_r3inv, interactions.py:1846-1910):
+
+      'plummer': 1/(r²+ε²)^{3/2}
+      'spline' : GADGET-2's Monaghan-Lattanzio cubic spline with
+                 h = 2.8ε (the reference's default kernel)
+      'none'   : plain 1/r³ (divergence removed by the caller's r² > 0
+                 mask)
+
+    softening is the Plummer-equivalent ε regardless of kernel.  All
+    branches are vectorized jnp.where selections (TPU: no data-dependent
+    control flow)."""
+    if kernel == "plummer":
+        r2s = r2 + softening * softening
+        return jax.lax.rsqrt(r2s) / r2s
+    inv_r = jax.lax.rsqrt(jnp.maximum(r2, jnp.asarray(1e-30, dtype)))
+    far = inv_r * inv_r * inv_r
+    if kernel == "none":
+        return far
+    if kernel == "spline":
+        h = 2.8 * softening
+        inv_h = jnp.where(h > 0, 1.0 / jnp.maximum(h, 1e-30), 1e30)
+        r = r2 * inv_r
+        u = r * inv_h
+        near = 32.0 * inv_h**3 * (1.0 / 3.0 + u * u * (-6.0 / 5.0 + u))
+        mid = (32.0 / 3.0) * far * (
+            u**3 * (2.0 + u * (-4.5 + u * (3.6 - u))) - 3.0 / 480.0
+        )
+        return jnp.where(u >= 1.0, far, jnp.where(u < 0.5, near, mid))
+    raise ValueError(f"unknown softening kernel {kernel!r}")
+
+
+def shortrange_force_factor(r2, scale, softening2, dtype,
+                            kernel: str = "plummer"):
+    """−S(x)·r⁻³_softened with the P³M screening
+    S(x) = erfc(x/2) + x/√π·e^(−x²/4), x = r/scale (reference
+    gravity.py:373 get_shortrange_table, which tabulates exactly this
+    combination with spline softening).
+
+    kernel='plummer' keeps the legacy fused form (screening evaluated at
+    the softened r — indistinguishable beyond ε and exact at ε = 0);
+    other kernels evaluate S at the true r."""
+    if kernel == "plummer":
+        r2s = r2 + softening2
+        r = jnp.sqrt(r2s)
+        x = r / scale
+        fac = jax.scipy.special.erfc(0.5 * x) + x * (
+            1 / math.sqrt(math.pi)
+        ) * jnp.exp(-0.25 * x * x)
+        return -fac / (r2s * r)
+    r = jnp.sqrt(jnp.maximum(r2, jnp.asarray(1e-30, dtype)))
     x = r / scale
-    fac = jax.scipy.special.erfc(0.5 * x) + x * (1 / math.sqrt(math.pi)) * jnp.exp(
-        -0.25 * x * x
-    )
-    return -fac / (r2s * r)
+    fac = jax.scipy.special.erfc(0.5 * x) + x * (
+        1 / math.sqrt(math.pi)
+    ) * jnp.exp(-0.25 * x * x)
+    return -fac * softened_r3inv(r2, jnp.sqrt(softening2), kernel, dtype)
 
 
 def _cell_coords(n_cells: int):
@@ -188,7 +233,7 @@ def _cell_coords(n_cells: int):
 
 
 def _sweep(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff2, soft2,
-           halve: bool):
+           halve: bool, kernel: str = "plummer"):
     """Slot-major pair sweep.  Returns per-slot acceleration acc (3, K, C).
 
     halve=True: 13 half offsets + self cell with Newton's-3rd-law reaction
@@ -213,6 +258,14 @@ def _sweep(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff2, soft2,
         self_flags = [o == (0, 0, 0) for o in offs]
     offsets = jnp.asarray(offs, jnp.int32)
     flags = jnp.asarray(self_flags)
+    # n_cells < 3 (halve=False): ±1 offsets alias, so the reduced offset
+    # list reaches every cell — but a cell-level box shift cannot represent
+    # both images a pair may need (home 0.05, neighbor 0.95: the near image
+    # crosses the face only as seen from one side).  Per-pair minimum image
+    # restores symmetry/momentum conservation there; cutoff ≤ boxsize/n
+    # guarantees at most one image is in range for n = 2 (and matches the
+    # established n = 1 semantics).
+    min_image = not halve
 
     def one_offset(acc, xs):
         off, is_self = xs
@@ -236,12 +289,16 @@ def _sweep(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff2, soft2,
             dx = hx[i][None] - nbx  # (K, C)
             dy = hy[i][None] - nby
             dz = hz[i][None] - nbz
+            if min_image:
+                dx = dx - boxsize * jnp.round(dx / boxsize)
+                dy = dy - boxsize * jnp.round(dy / boxsize)
+                dz = dz - boxsize * jnp.round(dz / boxsize)
             r2 = dx * dx + dy * dy + dz * dz
             m = valid[i][None] & nbv & (r2 < cutoff2) & (r2 > 0)
             if halve:
                 # self cell: count each unordered pair once (j > i)
                 m = m & (~is_self | (iotaK > i)[:, None])
-            f = jnp.where(m, shortrange_force_factor(r2, scale, soft2, dtype), 0.0)
+            f = jnp.where(m, shortrange_force_factor(r2, scale, soft2, dtype, kernel), 0.0)
             fx, fy, fz = f * dx, f * dy, f * dz
             own = jnp.stack([fx.sum(0), fy.sum(0), fz.sum(0)])  # (3, C)
             if halve:
@@ -264,7 +321,7 @@ def _sweep(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff2, soft2,
 
 
 def _sweep_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
-                boxsize, scale, cutoff2, soft2):
+                boxsize, scale, cutoff2, soft2, kernel: str = "plummer"):
     """One-sided pair sweep: accelerations ON the receiver buckets
     (bx/by/bz/bvalid, K_r slots) FROM the supplier buckets (hx/hy/hz/
     valid, K_s slots) over all 27 neighbor offsets — the rung-subcycling
@@ -283,6 +340,7 @@ def _sweep_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
     per_dim = {1: (0,), 2: (0, 1)}.get(n, (-1, 0, 1))
     offs = [(i, j, k) for i in per_dim for j in per_dim for k in per_dim]
     offsets = jnp.asarray(offs, jnp.int32)
+    min_image = n < 3  # see _sweep: cell-level shifts are one-sided there
 
     def one_offset(acc, off):
         oi, oj, ok = off[0], off[1], off[2]
@@ -304,9 +362,13 @@ def _sweep_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
             dx = bx[i][None] - nbx  # (K_s, C)
             dy = by[i][None] - nby
             dz = bz[i][None] - nbz
+            if min_image:
+                dx = dx - boxsize * jnp.round(dx / boxsize)
+                dy = dy - boxsize * jnp.round(dy / boxsize)
+                dz = dz - boxsize * jnp.round(dz / boxsize)
             r2 = dx * dx + dy * dy + dz * dz
             m = bvalid[i][None] & nbv & (r2 < cutoff2) & (r2 > 0)
-            f = jnp.where(m, shortrange_force_factor(r2, scale, soft2, dtype), 0.0)
+            f = jnp.where(m, shortrange_force_factor(r2, scale, soft2, dtype, kernel), 0.0)
             return 0, jnp.stack([(f * dx).sum(0), (f * dy).sum(0), (f * dz).sum(0)])
 
         _, own = jax.lax.scan(inner, 0, jnp.arange(K_r))
@@ -319,7 +381,8 @@ def _sweep_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
 
 @partial(
     jax.jit,
-    static_argnames=("n_cells", "capacity_recv", "capacity_sup", "engine"),
+    static_argnames=("n_cells", "capacity_recv", "capacity_sup", "engine",
+                     "softening_kernel"),
 )
 def shortrange_momentum_updates_on_subset(
     recv_pos,
@@ -334,6 +397,7 @@ def shortrange_momentum_updates_on_subset(
     softening: float = 0.0,
     G: float = 1.0,
     engine: str = "auto",
+    softening_kernel: str = "plummer",
 ):
     """Per-unit-kick-integral Δmom ON recv_pos (M,3) FROM sup_pos (N,3).
 
@@ -363,13 +427,14 @@ def shortrange_momentum_updates_on_subset(
             n_cells, jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
             jnp.asarray(cutoff, dtype), jnp.asarray(softening, dtype),
             interpret=(jax.default_backend() != "tpu"),
+            kernel=softening_kernel,
         )
     else:
         acc = _sweep_pair(
             b_rec["hx"], b_rec["hy"], b_rec["hz"], b_rec["valid"],
             b_sup["hx"], b_sup["hy"], b_sup["hz"], b_sup["valid"],
             n_cells, jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
-            cutoff2, soft2,
+            cutoff2, soft2, kernel=softening_kernel,
         )
     K_r = capacity_recv
     slot = jnp.where(b_rec["rank"] < K_r, b_rec["rank"] * C + b_rec["cell"], 0)
@@ -383,7 +448,7 @@ def shortrange_momentum_updates_on_subset(
 @partial(
     jax.jit,
     static_argnames=("n_cells", "capacity", "max_overflow", "return_overflow",
-                     "engine"),
+                     "engine", "softening_kernel"),
 )
 def shortrange_momentum_updates(
     pos,
@@ -399,6 +464,7 @@ def shortrange_momentum_updates(
     max_overflow: int = 2048,
     return_overflow: bool = False,
     engine: str = "auto",
+    softening_kernel: str = "plummer",
 ):
     """Δmom from the P³M short-range force for a single self-interacting
     particle group.  Returns (N,3), or ((N,3), n_overflow) with
@@ -418,6 +484,7 @@ def shortrange_momentum_updates(
     n = n_cells
     C = n**3
     K = capacity
+    kernel = softening_kernel  # also closed over by the straggler path
     b = bucketize((px0, py0, pz0), boxsize, n_cells, capacity)
     hx, hy, hz, valid = b["hx"], b["hy"], b["hz"], b["valid"]
     cutoff2 = jnp.asarray(cutoff, dtype) ** 2
@@ -433,10 +500,12 @@ def shortrange_momentum_updates(
             jnp.asarray(scale, dtype), jnp.asarray(cutoff, dtype),
             jnp.asarray(softening, dtype),
             interpret=(jax.default_backend() != "tpu"),
+            kernel=softening_kernel,
         )
     else:
         acc = _sweep(hx, hy, hz, valid, n_cells, jnp.asarray(boxsize, dtype),
-                     jnp.asarray(scale, dtype), cutoff2, soft2, halve=(n >= 3))
+                     jnp.asarray(scale, dtype), cutoff2, soft2, halve=(n >= 3),
+                     kernel=softening_kernel)
 
     # ---- exact straggler path for capacity overflow -------------------- #
     n_overflow = N - jnp.sum(valid)
@@ -478,9 +547,13 @@ def shortrange_momentum_updates(
         dx = sx[None, :, None] - cx
         dy = sy[None, :, None] - cy
         dz = sz[None, :, None] - cz
+        if n < 3:  # see _sweep: reduced offsets need per-pair minimum image
+            dx = dx - boxsize * jnp.round(dx / boxsize)
+            dy = dy - boxsize * jnp.round(dy / boxsize)
+            dz = dz - boxsize * jnp.round(dz / boxsize)
         r2 = dx * dx + dy * dy + dz * dz
         m = ok[None, :, None] & cv & (r2 < cutoff2) & (r2 > 0)
-        f = jnp.where(m, shortrange_force_factor(r2, scale, soft2, dtype), 0.0)
+        f = jnp.where(m, shortrange_force_factor(r2, scale, soft2, dtype, kernel), 0.0)
         fx, fy, fz = f * dx, f * dy, f * dz
         s_acc = jnp.stack([fx.sum((0, 2)), fy.sum((0, 2)), fz.sum((0, 2))], 1)
         # reaction onto the bucketed side (scatter-add into slot layout)
@@ -501,7 +574,7 @@ def shortrange_momentum_updates(
         dzs = dzs - boxsize * jnp.round(dzs / boxsize)
         r2s = dxs * dxs + dys * dys + dzs * dzs
         ms = ok[:, None] & ok[None, :] & (r2s < cutoff2) & (r2s > 0)
-        fs = jnp.where(ms, shortrange_force_factor(r2s, scale, soft2, dtype), 0.0)
+        fs = jnp.where(ms, shortrange_force_factor(r2s, scale, soft2, dtype, kernel), 0.0)
         s_acc = s_acc + jnp.stack(
             [(fs * dxs).sum(1), (fs * dys).sum(1), (fs * dzs).sum(1)], 1
         )

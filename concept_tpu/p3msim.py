@@ -177,7 +177,7 @@ def _rebucketize_state(state: P3MState, boxsize: float, nc: int,
 @partial(
     jax.jit,
     static_argnames=("boxsize", "mesh", "nc", "k_pm", "pm_max_overflow",
-                     "engine", "interpret"),
+                     "engine", "interpret", "softening_kernel"),
     donate_argnums=(0,),
 )
 def p3m_bucket_step(
@@ -196,6 +196,7 @@ def p3m_bucket_step(
     pm_max_overflow: int = 262144,
     engine: str = "auto",
     interpret: bool = False,
+    softening_kernel: str = "plummer",
 ):
     """One KDK step in the persistent short-range layout.
 
@@ -224,6 +225,7 @@ def p3m_bucket_step(
             jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
             jnp.asarray(cutoff, dtype), jnp.asarray(softening, dtype),
             interpret=(jax.default_backend() != "tpu"),
+            kernel=softening_kernel,
         )
     else:
         from concept_tpu.forces.shortrange import _sweep
@@ -232,7 +234,7 @@ def p3m_bucket_step(
             state.pos[0], state.pos[1], state.pos[2], state.valid, nc,
             jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
             jnp.asarray(cutoff, dtype) ** 2, jnp.asarray(softening, dtype) ** 2,
-            halve=(nc >= 3),
+            halve=(nc >= 3), kernel=softening_kernel,
         )
 
     # ---- PM long range from the flattened slots ------------------------ #
@@ -383,6 +385,7 @@ class P3MSimulation:
                  mesh: int | None = None, bg=None,
                  margin_frac: float = 0.12, capacity: int | None = None,
                  k_pm: int = 8, softening: float = 0.0,
+                 softening_kernel: str = "plummer",
                  rebucket_every_max: int = 64):
         self.N = n_part**3
         self.boxsize = boxsize
@@ -398,7 +401,9 @@ class P3MSimulation:
         self.cell_width = boxsize / self.nc
         self.margin = self.cell_width - self.cutoff
         self.softening = softening
+        self.softening_kernel = softening_kernel
         self.k_pm = k_pm
+        self.pm_max_overflow = 262144
         self.rebucket_every_max = rebucket_every_max
         self.interpret = jax.default_backend() != "tpu"
         if capacity is None:
@@ -432,12 +437,38 @@ class P3MSimulation:
             self.boxsize, self.mesh, self.nc,
             jnp.asarray(self.scale, dtype), jnp.asarray(self.cutoff, dtype),
             jnp.asarray(self.softening, dtype),
-            k_pm=self.k_pm, interpret=self.interpret,
+            k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
+            interpret=self.interpret,
+            softening_kernel=self.softening_kernel,
         )
         # margin budget: each particle moved ≤ vmax/mass·∫a⁻²dt comoving
         vmax = float(jnp.sqrt(vmax2))
         self._drift_used += vmax / self.mass * float(int_a2)
-        return state, (int(n_pm_over), vmax)
+        n_pm_over = int(n_pm_over)
+        self._check_pm_overflow(n_pm_over)
+        return state, (n_pm_over, vmax)
+
+    def _check_pm_overflow(self, n_pm_over: int):
+        """PM deposit-block overflow budget guard (ADVICE r2): beyond
+        pm_max_overflow the exact fallback truncates silently, so warn
+        loudly and grow the static budget; proactively keep it ≤ half
+        full.  k_pm itself is grown when overflow is routine (the exact
+        fallback is a slow path)."""
+        from concept_tpu.utils.terminal import warn
+
+        if n_pm_over > self.pm_max_overflow:
+            warn(
+                f"PM deposit-block overflow {n_pm_over} exceeded the "
+                f"budget {self.pm_max_overflow}: deposit mass was "
+                f"truncated this step; growing the budget"
+            )
+            self.pm_max_overflow = 2 * n_pm_over + 1024
+        elif n_pm_over > self.pm_max_overflow // 2:
+            self.pm_max_overflow = 2 * n_pm_over + 1024
+        if n_pm_over > max(1024, self.N // 256):
+            # overflow is routine: raise the block capacity instead of
+            # paying the fallback every step (static → retrace)
+            self.k_pm = int(math.ceil(self.k_pm * 1.5 / 8)) * 8
 
     @property
     def needs_rebucket(self) -> bool:

@@ -43,7 +43,10 @@ def build_cosmology(cfg: RunConfig):
         km_per_s = c.light_speed / 299792.458
         h = cfg.H0 / (100 * km_per_s / units.Mpc)
         Omega_nu = nubg.omega_nu_h2() / h**2
-    bg = Background(H0=cfg.H0, Omega_m=cfg.Omega_m + Omega_nu,
+    # exact Fermi-Dirac ρ_ν(a) in the Friedmann equation — NOT lumped
+    # into Ω_m (ν is relativistic at IC times; ADVICE r2)
+    bg = Background(H0=cfg.H0, Omega_m=cfg.Omega_m,
+                    Omega_nu=Omega_nu, nu_background=nubg,
                     enable_Hubble=cfg.enable_Hubble)
     prim = PrimordialSpectrum(
         A_s=cfg.primordial["A_s"], n_s=cfg.primordial["n_s"],
@@ -162,6 +165,29 @@ def shortrange_overrides(cfg: RunConfig, boxsize: float, gridsize: int) -> dict:
     return out
 
 
+def softening_length(cfg: RunConfig, spec, gridsize: int) -> float:
+    """Evaluate the select_softening_length selector for a component
+    (reference param surface: {'particles': '0.025*boxsize/cbrt(N)'},
+    param/example_explanatory:373-375; previously parsed-and-ignored —
+    run.py hardcoded the default expression)."""
+    expr = is_selected(
+        spec, cfg.select_softening_length or {},
+        default="0.025*boxsize/cbrt(N)",
+    )
+    if isinstance(expr, (int, float)):
+        return float(expr)
+    ns = {
+        "boxsize": cfg.boxsize,
+        "N": spec.N,
+        "gridsize": gridsize,
+        "cbrt": lambda x: x ** (1.0 / 3.0),
+        "sqrt": math.sqrt,
+    }
+    if cfg.units is not None:
+        ns.update(cfg.units.namespace())
+    return float(eval(expr, {"__builtins__": {}}, ns))  # noqa: S307
+
+
 def is_selected_force(cfg: RunConfig, name: str, species: str) -> str:
     class _S:  # tiny adapter for is_selected
         pass
@@ -177,9 +203,13 @@ def autosave_path(cfg: RunConfig) -> str:
     return os.path.join(d, cfg.param_name)
 
 
-def write_autosave(cfg: RunConfig, sim, state, a, events, units):
-    """Autosave = standard snapshot + auxiliary metadata
-    (reference main.py:1821-1927)."""
+def write_autosave(cfg: RunConfig, sim, state, a, events, units,
+                   hysteresis: dict | None = None, step_total: int = 0):
+    """Autosave = standard snapshot + auxiliary metadata.  The auxiliary
+    file persists the COMPLETE time-stepping state — Δt, Δt_min
+    (= 1e-4·Δt_begin), step counters and the kick sync point t_mom — so a
+    resumed run continues exactly, mid-leapfrog included (reference
+    auxiliary file: time_step, Δt, Δt_begin; main.py:1821-1927)."""
     import json
     from concept_tpu.io import snapshot as snap
 
@@ -193,14 +223,19 @@ def write_autosave(cfg: RunConfig, sim, state, a, events, units):
     )
     fn = os.path.join(d, "snapshot.hdf5")
     snap.save_concept(fn, meta, {sim.spec.name: (sim.spec, state)})
+    aux = {"a": a, "events": events, "step_total": int(step_total)}
+    if hysteresis:
+        aux["hysteresis"] = {k: float(v) if k in ("dt", "dt_min", "t_mom")
+                             else int(v) for k, v in hysteresis.items()}
     with open(os.path.join(d, "auxiliary.json"), "w") as f:
-        json.dump({"a": a, "events": events}, f)
+        json.dump(aux, f)
     masterprint(f"Autosaved at a = {a:.6g} → {d}")
 
 
 def check_autosave(cfg: RunConfig):
     """Detect a previous autosave to resume from (reference main.py:1928).
-    Returns (state_arrays, a, remaining_events) or None."""
+    Returns (state_arrays, a, remaining_events, hysteresis, step_total)
+    or None."""
     import json
     from concept_tpu.io import snapshot as snap
 
@@ -213,7 +248,8 @@ def check_autosave(cfg: RunConfig):
         info = json.load(f)
     meta, comps = snap.load_concept(fn)
     (name, (spec, state)), = comps.items()
-    return state, info["a"], [tuple(e) for e in info["events"]]
+    return (state, info["a"], [tuple(e) for e in info["events"]],
+            info.get("hysteresis"), int(info.get("step_total", 0)))
 
 
 def clear_autosave(cfg: RunConfig):
@@ -224,8 +260,35 @@ def clear_autosave(cfg: RunConfig):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def make_distribution(n_devices: int):
+    """`-n N` → a 1D device mesh GridDistribution (reference `-n` maps to
+    mpiexec rank count, concept:2737; here it picks how many local JAX
+    devices the grid/particle shardings span).  n_devices = 0 means all
+    available; 1 means single-device (dist=None); requesting more devices
+    than exist is an error, not a silent no-op."""
+    import jax
+
+    avail = jax.device_count()
+    if n_devices == 0:
+        n_devices = avail
+    if n_devices == 1:
+        return None
+    if n_devices > avail:
+        raise ValueError(
+            f"-n {n_devices} requested but only {avail} device(s) "
+            f"available (use XLA_FLAGS="
+            f"--xla_force_host_platform_device_count=N for virtual "
+            f"CPU devices)"
+        )
+    from jax.sharding import Mesh
+    from concept_tpu.grid.fft import GridDistribution
+
+    devices = np.array(jax.devices()[:n_devices])
+    return GridDistribution(mesh=Mesh(devices, ("x",)), axis="x")
+
+
 def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
-        deposit_method: str | None = None):
+        deposit_method: str | None = None, n_devices: int = 1):
     """Run the simulation described by cfg; returns final (sim, state, a)."""
     from concept_tpu.utils.terminal import set_suppress_output
 
@@ -233,7 +296,14 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         set_suppress_output(cfg.suppress_output)
     units, consts, bg, lin = build_cosmology(cfg)
     comps = build_components(cfg, bg, consts)
+    dist = make_distribution(n_devices)
     if any(src == "realize-fluid" for _, src in comps) or len(comps) > 1:
+        if dist is not None:
+            masterprint(
+                "Note: multi-component runs currently use GSPMD "
+                "auto-sharding; the explicit -n mesh applies to "
+                "single-component runs"
+            )
         return run_multi(cfg, comps, units, consts, bg, lin,
                          max_steps=max_steps, seed=seed)
     spec, source = comps[0]
@@ -266,7 +336,7 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
     gridsize = per_method.get(method) or pot.get("gridsize") or (
         2 * round(spec.N ** (1 / 3)) if method == "p3m" else round(spec.N ** (1 / 3))
     )
-    softening = 0.025 * cfg.boxsize / spec.N ** (1 / 3)
+    softening = softening_length(cfg, spec, int(gridsize))
     sim_config = SimConfig(
         boxsize=cfg.boxsize,
         potential_gridsize=int(gridsize),
@@ -277,22 +347,25 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         G=consts.G_Newton,
         method=method,
         softening=softening,
+        softening_kernel=cfg.softening_kernel,
         ewald_gridsize=cfg.ewald_gridsize,
         deposit_method=deposit_method or "auto",
         dt_base_background_factor=cfg.Delta_t_base_background_factor,
         dt_base_nonlinear_factor=cfg.Delta_t_base_nonlinear_factor,
         **shortrange_overrides(cfg, cfg.boxsize, int(gridsize)),
     )
-    sim = Simulation(spec, sim_config, bg, lin)
+    sim = Simulation(spec, sim_config, bg, lin, dist=dist)
 
     # resume from autosave if present (reference check_autosave,
     # main.py:1928-2010)
     resume = check_autosave(cfg)
+    resume_hysteresis = None
+    resume_steps = 0
     if resume is not None:
         import jax.numpy as _jnp
         from concept_tpu.components import ParticleState
 
-        st0, a, events = resume
+        st0, a, events, resume_hysteresis, resume_steps = resume
         state = ParticleState(
             pos=_jnp.asarray(st0.pos, sim_config.dtype),
             mom=_jnp.asarray(st0.mom, sim_config.dtype),
@@ -329,6 +402,17 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         )
         masterprint("done")
 
+    if dist is not None and dist.mesh is not None:
+        # shard the particle state over the mesh (P('x', None))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import jax as _jax
+
+        pshard = NamedSharding(dist.mesh, P("x", None))
+        state = state._replace(
+            pos=_jax.device_put(state.pos, pshard),
+            mom=_jax.device_put(state.mom, pshard),
+        )
+
     if resume is None:
         # dump schedule: a-values across all kinds
         events = []
@@ -347,7 +431,7 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
 
     t_wall0 = _time.time()
     last_autosave = t_wall0
-    step_total = 0
+    step_total = resume_steps
     t_evolve = 0.0
     t_dump = 0.0
     from concept_tpu.timestep import prepare_static_timestepping
@@ -370,6 +454,8 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
             write_autosave(
                 cfg, sim, trap_state["state"], trap_state["a"],
                 trap_state["events"], units,
+                hysteresis=getattr(sim, "hysteresis", None),
+                step_total=step_total,
             )
         finally:
             raise SystemExit(128 + signum)
@@ -395,8 +481,12 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
             t0 = _time.time()
             state, a = sim.evolve(
                 state, a, a_next, callback=cb, max_steps=max_steps,
-                static_dt=static_dt,
+                static_dt=static_dt, resume=resume_hysteresis,
             )
+            # Δt and the step counter stay continuous across dump
+            # boundaries (reference keeps Δt across dumps) AND across
+            # autosave/resume — evolve re-clamps if limiters shrank
+            resume_hysteresis = dict(sim.hysteresis)
             t_evolve += _time.time() - t0
             trap_state["state"], trap_state["a"] = state, a
             masterprint("done")
@@ -407,7 +497,9 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
             t_dump += _time.time() - t0
             trap_state["events"] = events
             if _time.time() - last_autosave > cfg.autosave_interval and events:
-                write_autosave(cfg, sim, state, a, events, units)
+                write_autosave(cfg, sim, state, a, events, units,
+                               hysteresis=getattr(sim, "hysteresis", None),
+                               step_total=step_total)
                 last_autosave = _time.time()
     finally:
         for sig, h in old_handlers.items():
@@ -492,7 +584,8 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
                           light_speed=consts.light_speed,
                           fluid_Omegas=fluid_Omegas, rho_crit=rho_crit,
                           eos=eos, fluid_seeds=fluid_seeds,
-                          fluid_options=cfg.fluid_options)
+                          fluid_options=cfg.fluid_options,
+                          fluid_scheme_select=cfg.fluid_scheme_select)
     lpt = int(cfg.realization_options.get("lpt", 1))
 
     def realize_p(pspec, a_at):

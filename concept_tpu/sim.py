@@ -71,6 +71,9 @@ class SimConfig:
     shortrange_capacity: int = 0  # 0 → auto from mean density
     ewald_gridsize: int = 64  # reference default (example_explanatory:210)
     softening: float = 0.0
+    # 'plummer' | 'spline' (GADGET-2 cubic spline, the reference default)
+    # | 'none' — reference softening_kernel param (example_explanatory:372)
+    softening_kernel: str = "plummer"
     # Δt limiter prefactors (reference Δt_base_background_factor /
     # Δt_base_nonlinear_factor, main.py:2401-2424)
     dt_base_background_factor: float = 1.0
@@ -129,6 +132,8 @@ class Simulation:
                 cap = auto_capacity(spec.N, self._sr_ncells)
             self._sr_capacity = cap
             self._sr_max_overflow = max(2048, (spec.N or 0) // 1024)
+        self._pm_max_overflow = 65536
+        self._pending_aux = None
         # Donate the incoming state so XLA reuses pos/mom buffers in place
         # (the update is element-wise) — halves particle-array HBM footprint.
         self._step_jit = jax.jit(self._step, donate_argnums=0)
@@ -145,9 +150,15 @@ class Simulation:
         )
 
     # ------------------------------------------------------------------ #
-    def _kick(self, state: ParticleState, int_a1) -> ParticleState:
+    def _kick(self, state: ParticleState, int_a1):
+        """Returns (state, (n_sr_overflow, n_pm_overflow)) — the overflow
+        counters are zeros for methods without fixed-size budgets.  They
+        guard exactness: overflow beyond the static budgets would truncate
+        silently, so evolve() checks them against the budgets on the host
+        (see _check_overflow_budgets)."""
         cfg = self.config
         method = cfg.method
+        aux = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
         if method == "p3m" and (
             cfg.interpolation_order == 2
             and cfg.differentiation in ("fourier", 0)
@@ -160,7 +171,7 @@ class Simulation:
             # runs at 256³/mesh-512 on the current TPU stack (forces/p3m)
             from concept_tpu.forces.p3m import p3m_kick_components, pm_block_capacity
 
-            (dx, dy, dz), _, _ = p3m_kick_components(
+            (dx, dy, dz), n_sr, n_pm = p3m_kick_components(
                 state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
                 self.spec.mass, cfg.boxsize, self._sr_scale, self._sr_range,
                 int_a1, cfg.potential_gridsize, self._sr_ncells,
@@ -168,9 +179,12 @@ class Simulation:
                 k_pm=pm_block_capacity(self.spec.N, cfg.potential_gridsize),
                 softening=cfg.softening, G=cfg.G,
                 max_overflow=self._sr_max_overflow,
+                pm_max_overflow=self._pm_max_overflow,
                 interpret=(jax.default_backend() != "tpu"),
+                softening_kernel=cfg.softening_kernel,
             )
             dmom = jnp.stack([dx, dy, dz], axis=1)
+            aux = (n_sr, n_pm)
         elif method in ("pm", "p3m"):
             longrange_scale = self._sr_scale if method == "p3m" else None
             (dmom,) = pm_force.pm_gravity_momentum_updates(
@@ -188,13 +202,17 @@ class Simulation:
             if method == "p3m":
                 from concept_tpu.forces.shortrange import shortrange_momentum_updates
 
-                dmom = dmom + shortrange_momentum_updates(
+                dmom_sr, n_sr = shortrange_momentum_updates(
                     state.pos, self.spec.mass, cfg.boxsize,
                     self._sr_scale, self._sr_range, int_a1,
                     n_cells=self._sr_ncells, capacity=self._sr_capacity,
                     softening=cfg.softening, G=cfg.G,
                     max_overflow=self._sr_max_overflow,
+                    return_overflow=True,
+                    softening_kernel=cfg.softening_kernel,
                 )
+                dmom = dmom + dmom_sr
+                aux = (n_sr, aux[1])
         elif method in ("pp", "ppnonperiodic"):
             from concept_tpu.forces.pp import pp_momentum_updates
 
@@ -203,32 +221,73 @@ class Simulation:
                 softening=cfg.softening,
                 ewald_table=self._ewald_table,
                 periodic=(method == "pp"),
+                softening_kernel=cfg.softening_kernel,
             )
         else:
             raise ValueError(f"unknown gravity method {method!r}")
-        return state._replace(mom=state.mom + dmom)
+        return state._replace(mom=state.mom + dmom), aux
 
     def _drift(self, state: ParticleState, int_a2) -> ParticleState:
         fac = int_a2 / self.spec.mass
         pos = jnp.mod(state.pos + state.mom * fac, self.config.boxsize)
         return state._replace(pos=pos)
 
-    def _step(self, state: ParticleState, int_a1, int_a2) -> ParticleState:
+    def _step(self, state: ParticleState, int_a1, int_a2):
         """One KDK-ordered update: kick(int_a1) then drift(int_a2).
 
         The host supplies the exact integrals so that kicks straddle the
         drift midpoints (leapfrog).  Passing integrals as traced scalars
-        avoids recompilation as Δt adapts.
+        avoids recompilation as Δt adapts.  Returns (state, overflow_aux).
         """
-        state = self._kick(state, int_a1)
-        return self._drift(state, int_a2)
+        state, aux = self._kick(state, int_a1)
+        return self._drift(state, int_a2), aux
 
     def step(self, state, int_a1, int_a2):
-        return self._step_jit(
+        """One KDK step.  Returns the new state; the overflow counters of
+        the evaluation are kept as lazy device scalars in
+        ``self._pending_aux`` for the budget check (reading them here
+        would stall dispatch every step)."""
+        state, self._pending_aux = self._step_jit(
             state,
             jnp.asarray(int_a1, dtype=self.config.dtype),
             jnp.asarray(int_a2, dtype=self.config.dtype),
         )
+        return state
+
+    def _check_overflow_budgets(self):
+        """Compare the last step's overflow counters against the static
+        budgets (ADVICE r2: jnp.nonzero(..., size=S) truncates silently
+        past the budget).  Exceeding is a correctness event: warn loudly
+        and grow the budget (static arg → retrace) so it cannot recur."""
+        if self._pending_aux is None:
+            return
+        n_sr, n_pm = (int(v) for v in self._pending_aux)
+        self._pending_aux = None
+        from concept_tpu.utils.terminal import warn
+
+        regrow = False
+        if n_sr > self._sr_max_overflow:
+            warn(
+                f"short-range overflow {n_sr} exceeded the straggler "
+                f"budget {self._sr_max_overflow}: pair forces were "
+                f"truncated this step; growing the budget"
+            )
+            self._sr_max_overflow = 2 * n_sr + 1024
+            regrow = True
+        if n_pm > self._pm_max_overflow:
+            warn(
+                f"PM deposit-block overflow {n_pm} exceeded the budget "
+                f"{self._pm_max_overflow}: deposit mass was truncated "
+                f"this step; growing the budget"
+            )
+            self._pm_max_overflow = 2 * n_pm + 1024
+            regrow = True
+        elif n_pm > self._pm_max_overflow // 2:
+            # keep the exact fallback comfortable (≤ half full)
+            self._pm_max_overflow = 2 * n_pm + 1024
+            regrow = True
+        if regrow:
+            self._step_jit = jax.jit(self._step, donate_argnums=0)
 
     # ------------------------------------------------------------------ #
     def _refresh_shortrange_capacity(self, state, cap_max: int = 1024):
@@ -331,6 +390,7 @@ class Simulation:
         print_interval: int = 0,
         dt_fac: float = 1.0,
         static_dt=None,
+        resume: dict | None = None,
     ):
         """Evolve from a_begin to a_end with leapfrog KDK.
 
@@ -344,6 +404,14 @@ class Simulation:
         Δt_period steps have passed since the last change, ramped by
         Δt_increase_max_factor.  ``static_dt`` is a
         :class:`concept_tpu.timestep.StaticTimestepping` (record/replay).
+
+        The full time-stepping state (Δt, Δt_min = 1e-4·Δt_begin, step
+        counters, and the kick synchronization point t_mom) is exposed
+        after every step in ``self.hysteresis`` so autosaves can persist
+        it (reference auxiliary file: time_step, Δt, Δt_begin —
+        main.py:1821-1927); pass such a dict back as ``resume`` to
+        continue EXACTLY where an interrupted run left off, including the
+        leapfrog stagger of a mid-evolution snapshot.
         """
         from concept_tpu import timestep as ts
 
@@ -390,12 +458,27 @@ class Simulation:
         dt = ts.DT_INITIAL_FAC * dt_max if math.isfinite(dt_max) else t_end - t
         dt_min = 1e-4 * dt  # reference Δt_min = 1e-4·Δt_begin (main.py:192)
         step_last_sync = 0
+        if resume:
+            # exact continuation of an interrupted run: restore Δt
+            # hysteresis, counters, and the kick sync point (the state's
+            # momentum may sit at t_mom ≠ t mid-leapfrog)
+            dt = float(resume.get("dt", dt))
+            dt_min = float(resume.get("dt_min", dt_min))
+            step_count = int(resume.get("step_count", 0))
+            step_last_sync = int(resume.get("step_last_sync", step_count))
+            if resume.get("t_mom") is not None:
+                t_mom = float(resume["t_mom"])
+        self.hysteresis = {
+            "dt": dt, "dt_min": dt_min, "step_count": step_count,
+            "step_last_sync": step_last_sync, "t_mom": t_mom,
+        }
         while t < t_end - 1e-12 * abs(t_end):
             if step_count and (step_count - step_last_sync) >= ts.DT_PERIOD:
                 # period boundary: full limiter refresh, Δt may increase
                 v_max = refresh_v(a, state)
                 if self.config.method == "p3m":
                     self._refresh_shortrange_capacity(state)
+                    self._check_overflow_budgets()
                 dt_max, bn = dt_max_at(a, v_max)
                 if static_dt is not None and static_dt.records and math.isfinite(dt_max):
                     static_dt.record(
@@ -431,6 +514,10 @@ class Simulation:
             t += dt
             a = float(bg.a_of_t_np(t))
             step_count += 1
+            self.hysteresis = {
+                "dt": dt, "dt_min": dt_min, "step_count": step_count,
+                "step_last_sync": step_last_sync, "t_mom": t_mom,
+            }
             if print_interval and step_count % print_interval == 0:
                 # step heading (reference main.py:2016: step number, t, a,
                 # z, Δt, limiting bottleneck)
@@ -450,4 +537,6 @@ class Simulation:
         if t_mom < t_end - 1e-12 * abs(t_end):
             int_a1 = bg.integrals_np(t_mom, t_end, keys=("a**(-1)",))["a**(-1)"]
             state = self.step(state, int_a1, 0.0)
+        if self.config.method == "p3m":
+            self._check_overflow_budgets()
         return state, a

@@ -54,6 +54,7 @@ class MultiSimulation:
         eos: dict | None = None,
         fluid_seeds: dict | None = None,
         fluid_options: dict | None = None,
+        fluid_scheme_select: dict | None = None,
     ):
         from concept_tpu.components import EquationOfState
 
@@ -102,7 +103,36 @@ class MultiSimulation:
             return sel if sel is not None else default
         self._kt_rk_order = int(_first(kt_opts.get("Runge-Kutta order"), 2))
         self._kt_limiter = str(_first(kt_opts.get("flux_limiter_select"), "mc"))
-        self._step_jit = jax.jit(self._step)
+        # per-fluid solver scheme (reference fluid_scheme_select,
+        # param/example_explanatory; previously parsed-and-ignored):
+        # 'kurganovtadmor' (default) or 'maccormack'
+        from concept_tpu.param import is_selected as _is_sel
+
+        self.fluid_scheme = {}
+        for name, s in self.fspecs.items():
+            scheme = _is_sel(s, fluid_scheme_select or {},
+                             default="kurganovtadmor")
+            scheme = str(scheme).lower().replace("-", "").replace(" ", "")
+            if scheme not in ("kurganovtadmor", "maccormack"):
+                raise ValueError(
+                    f"unknown fluid scheme {scheme!r} for component {name!r}"
+                )
+            self.fluid_scheme[name] = scheme
+        # MacCormack options block (reference fluid_options['MacCormack'],
+        # param/example_explanatory:406-429)
+        mc_opts = {}
+        for key, val in (fluid_options or {}).items():
+            if key.lower().replace("-", "") == "maccormack":
+                mc_opts = val
+        self._mc_vacuum = bool(_first(mc_opts.get("vacuum_corrections"), True))
+        self._mc_vacuum_passes = int(
+            _first(mc_opts.get("max_vacuum_corrections"), 2)
+        )
+        self._mc_smoothing = float(_first(mc_opts.get("smoothing"), 1.0))
+        # parity is a static arg of the jitted step (the MacCormack
+        # predictor/corrector difference directions alternate per step —
+        # reference fluid.py:724; two cached traces)
+        self._step_jit = jax.jit(self._step, static_argnames=("parity",))
 
     # ------------------------------------------------------------------ #
     def _density_slab(self, state: MultiState, a, weff):
@@ -287,7 +317,7 @@ class MultiSimulation:
         return MultiState(particles=new_particles, fluids=new_fluids)
 
     def _drift(self, state: MultiState, int_a2, dt, coef_flux, coef_pressure,
-               a, w) -> MultiState:
+               a, w, parity: int = 0) -> MultiState:
         cfg = self.config
         particles = {}
         for name, pstate in state.particles.items():
@@ -320,26 +350,55 @@ class MultiSimulation:
                     [s6[_idx[tuple(sorted((m, ax)))]] for ax in range(3)]
                     for m in range(3)
                 ]
-            rho, J, P = kt_step(
-                f.varrho, f.J,
-                f.P if f.P is not None else (w[name] * self.light_speed**2) * f.varrho,
-                dt, coef_flux[name], coef_pressure[name], cfg.boxsize,
-                soundspeed, 1.0 / self.light_speed**2,
-                limiter=self._kt_limiter, rk_order=self._kt_rk_order,
-                approx_P_eq_wrho=not own_P, w=w[name],
-                light_speed=self.light_speed, sigma=sigma_mat,
+            P_in = (
+                f.P if f.P is not None
+                else (w[name] * self.light_speed**2) * f.varrho
             )
+            if self.fluid_scheme.get(name) == "maccormack":
+                # MacCormack predictor-corrector with per-step direction
+                # alternation + conservative vacuum machinery (reference
+                # fluid.py:724-1363; fluid_scheme_select previously
+                # dispatched KT regardless)
+                from concept_tpu.fluid import (
+                    maccormack_step, vacuum_redistribute, vacuum_correct,
+                )
+
+                rho, J, P = maccormack_step(
+                    f.varrho, f.J, P_in, dt, coef_flux[name],
+                    coef_pressure[name], cfg.boxsize,
+                    1.0 / self.light_speed**2, step_parity=parity,
+                    approx_P_eq_wrho=not own_P, w=w[name],
+                    light_speed=self.light_speed,
+                )
+                if self._mc_vacuum:
+                    rho_mean = jnp.mean(rho)
+                    rho_vac = 1e-2 * rho_mean  # reference ρ_vacuum scale
+                    rho, J = vacuum_redistribute(
+                        rho, J, rho_vac, smoothing=self._mc_smoothing,
+                        passes=self._mc_vacuum_passes,
+                    )
+                    rho, J = vacuum_correct(rho, J, 1e-6 * rho_mean)
+            else:
+                rho, J, P = kt_step(
+                    f.varrho, f.J, P_in,
+                    dt, coef_flux[name], coef_pressure[name], cfg.boxsize,
+                    soundspeed, 1.0 / self.light_speed**2,
+                    limiter=self._kt_limiter, rk_order=self._kt_rk_order,
+                    approx_P_eq_wrho=not own_P, w=w[name],
+                    light_speed=self.light_speed, sigma=sigma_mat,
+                )
             if own_P and spec.boltzmann_order >= 2:
                 P = f.P  # frozen (reference: no 𝒫 evolution equation)
             new_fluids[name] = FluidState(varrho=rho, J=J, P=P, sigma=f.sigma)
         return MultiState(particles=particles, fluids=new_fluids)
 
     def _step(self, state, int_kick, int_a2, dt, coef_flux, coef_pressure, a,
-              weff, w, decay_fac=None, decay_gain=None):
+              weff, w, decay_fac=None, decay_gain=None, parity: int = 0):
         state = self._apply_internal_sources(state, decay_fac or {},
                                              decay_gain or {})
         state = self._kick(state, int_kick, a, weff, w)
-        return self._drift(state, int_a2, dt, coef_flux, coef_pressure, a, w)
+        return self._drift(state, int_a2, dt, coef_flux, coef_pressure, a, w,
+                           parity=parity)
 
     # ------------------------------------------------------------------ #
     def timestep_size(self, a: float) -> float:
@@ -496,6 +555,7 @@ class MultiSimulation:
                 wv,
                 decay_fac,
                 decay_gain,
+                parity=steps & 1,
             )
             t_mom = t_mid
             t += dt

@@ -64,6 +64,9 @@ def masterwarn(*args, **kwargs):
     print(f"{prefix}: {msg}", file=sys.stderr, **kwargs)
 
 
+warn = masterwarn  # reference name (commons.py:968)
+
+
 def abort(*args, exit_code: int = 1):
     msg = " ".join(str(a) for a in args)
     prefix = "\033[1;91mAborting\033[0m" if _enable_formatting else "Aborting"

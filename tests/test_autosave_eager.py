@@ -91,9 +91,9 @@ def test_jit_vs_eager_step():
 
     sim, state = ge._build(n_grid=16)
     i1, i2 = jnp.float32(1e-3), jnp.float32(2e-3)
-    out_jit = jax.jit(sim._step)(state, i1, i2)
+    out_jit, _ = jax.jit(sim._step)(state, i1, i2)
     with jax.disable_jit():
-        out_eager = sim._step(state, i1, i2)
+        out_eager, _ = sim._step(state, i1, i2)
     np.testing.assert_allclose(
         np.asarray(out_jit.pos), np.asarray(out_eager.pos), atol=2e-5
     )

@@ -59,3 +59,77 @@ def test_sigterm_writes_autosave_and_resume(tmp_path):
     assert "esum" in r.stdout or "autosave" in r.stdout.lower(), r.stdout
     assert "Simulation complete" in r.stdout
     assert (out / "powerspec_a=1.txt").exists()
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Exact-resume semantics (reference main.py:1821-2010): the autosave
+    persists Δt, Δt_begin, step counters and the leapfrog sync point, so
+    an interrupted+resumed run reproduces the uninterrupted run's output
+    (VERDICT r2 weak #9: previously only (a, events) was stored and the
+    resumed run re-derived Δt)."""
+    import numpy as np
+
+    def param_text(outdir):
+        return (
+            "initial_conditions = {'species': 'matter', 'N': 6**3}\n"
+            "potential_options = 16\n"
+            f"output_dirs = '{outdir}'\n"
+            "output_times = {'powerspec': 0.2}\n"
+            "a_begin = 0.02\n"
+            "boxsize = 128*Mpc\n"
+        )
+
+    def launch(param, cwd, background=False):
+        code = (
+            "import sys; sys.path.insert(0, '/root/repo'); "
+            "import jax; jax.config.update('jax_platforms','cpu'); "
+            "from concept_tpu.cli import main; "
+            f"sys.exit(main(['-p', r'{param}']))"
+        )
+        env = dict(os.environ, PYTHONUNBUFFERED="1")
+        if background:
+            return subprocess.Popen(
+                [sys.executable, "-u", "-c", code], cwd=cwd,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env,
+            )
+        return subprocess.run(
+            [sys.executable, "-c", code], cwd=cwd, capture_output=True,
+            text=True, timeout=560, env=env,
+        )
+
+    # uninterrupted baseline
+    base_dir = tmp_path / "base"
+    base_dir.mkdir()
+    p1 = tmp_path / "p_base.py"
+    p1.write_text(param_text(base_dir / "out"))
+    r = launch(p1, base_dir)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    # interrupted + resumed
+    int_dir = tmp_path / "interrupted"
+    int_dir.mkdir()
+    p2 = tmp_path / "p_int.py"
+    p2.write_text(param_text(int_dir / "out"))
+    proc = launch(p2, int_dir, background=True)
+    for line in proc.stdout:
+        if "Evolving" in line:
+            time.sleep(6)  # a few steps in
+            proc.send_signal(signal.SIGTERM)
+            break
+    proc.stdout.read()
+    proc.wait(timeout=120)
+    assert list(int_dir.rglob("auxiliary.json"))
+    r2 = launch(p2, int_dir)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "Resumed from autosave" in r2.stdout, r2.stdout
+
+    def spectrum(d):
+        fn = d / "out" / "powerspec_a=0.2.txt"
+        assert fn.exists()
+        return np.loadtxt(fn)
+
+    pk_base = spectrum(base_dir)
+    pk_res = spectrum(int_dir)
+    # identical step chain ⇒ near-bitwise agreement (f32 end-to-end)
+    np.testing.assert_allclose(pk_res, pk_base, rtol=1e-5)
