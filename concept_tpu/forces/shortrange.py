@@ -398,15 +398,19 @@ def shortrange_momentum_updates_on_subset(
     G: float = 1.0,
     engine: str = "auto",
     softening_kernel: str = "plummer",
+    mass_sup=None,
 ):
     """Per-unit-kick-integral Δmom ON recv_pos (M,3) FROM sup_pos (N,3).
 
-    The rung-subcycling force: receivers are the active-rung particles
-    (possibly with masked padding rows — their output is simply unused),
-    suppliers everyone.  Capacities must cover the max cell occupancy of
-    each set (host-sized via cell_counts; overflowing SUPPLIER particles
-    would silently not act here, so callers must size capacity_sup to the
-    true max).  Returns (M, 3) = G·m²·acc (multiply by ᔑdt at use).
+    Two uses: the rung-subcycling force (receivers = active-rung
+    particles, suppliers everyone, one mass) and COMPONENT-PAIR
+    short-range gravity (receiver component ≠ supplier component;
+    mass_sup gives the supplier's particle mass — reference
+    component_component pairing, interactions.py:122-615).  Capacities
+    must cover the max cell occupancy of each set (host-sized via
+    cell_counts; overflowing SUPPLIER particles would silently not act
+    here, so callers must size capacity_sup to the true max).  Returns
+    (M, 3) = G·m_recv·m_sup·acc (multiply by ᔑdt at use).
     """
     M = recv_pos.shape[0]
     dtype = recv_pos.dtype
@@ -441,7 +445,7 @@ def shortrange_momentum_updates_on_subset(
     accf = acc.reshape(3, K_r * C)
     dmom_sorted = accf[:, slot].T
     dmom_sorted = jnp.where((b_rec["rank"] < K_r)[:, None], dmom_sorted, 0.0)
-    coef = G * mass * mass
+    coef = G * mass * (mass if mass_sup is None else mass_sup)
     return jnp.zeros((M, 3), dtype).at[b_rec["order"]].set(coef * dmom_sorted)
 
 

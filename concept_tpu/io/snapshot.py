@@ -95,6 +95,11 @@ def save_concept(filename: str, meta: SnapshotMeta, components: dict,
                 g.create_dataset("mom", data=np.asarray(state.mom, dtype=np.float64))
             if state.ids is not None and want(name, "ids"):
                 g.create_dataset("ids", data=np.asarray(state.ids, dtype=np.int64))
+            if getattr(state, "rungs", None) is not None and want(name, "rungs"):
+                # rung indices (autosave exactness: a resumed run keeps
+                # its adaptive-rung populations instead of re-probing)
+                g.create_dataset("rungs", data=np.asarray(state.rungs,
+                                                          dtype=np.int8))
     return filename
 
 
@@ -145,6 +150,7 @@ def load_concept(filename: str):
                 pos=np.asarray(g["pos"], dtype=np.float64),
                 mom=np.asarray(g["mom"], dtype=np.float64),
                 ids=np.asarray(g["ids"]) if "ids" in g else None,
+                rungs=np.asarray(g["rungs"]) if "rungs" in g else None,
             )
             components[name] = (spec, state)
     return meta, components

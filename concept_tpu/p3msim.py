@@ -238,8 +238,58 @@ def p3m_bucket_step(
         )
 
     # ---- PM long range from the flattened slots ------------------------ #
-    validf = state.valid.reshape(M)
-    fx, fy, fz = state.pos[0].reshape(M), state.pos[1].reshape(M), state.pos[2].reshape(M)
+    fd_layout3, n_pm_overflow = pm_gradient_layout(
+        state.pos, state.valid, mass, G, scale, boxsize, mesh,
+        k_pm=k_pm, pm_max_overflow=pm_max_overflow, interpret=interpret,
+    )
+
+    coef_sr = G * mass * mass * int_a1
+    coef_pm = -mass * int_a1
+    inv_mass = int_a2 / mass
+    new_pos, new_mom = [], []
+    for d in range(3):
+        md = state.mom[d] + coef_sr * acc_sr[d] + coef_pm * fd_layout3[d]
+        md = jnp.where(state.valid, md, 0.0)
+        pd = jnp.where(
+            state.valid, jnp.mod(state.pos[d] + md * inv_mass, boxsize), 0.0
+        )
+        new_mom.append(md)
+        new_pos.append(pd)
+    mom = jnp.stack(new_mom)
+    pos = jnp.stack(new_pos)
+    vmax2 = jnp.max(
+        jnp.where(state.valid, mom[0] ** 2 + mom[1] ** 2 + mom[2] ** 2, 0.0)
+    )
+    return (
+        P3MState(pos=pos, mom=mom, valid=state.valid),
+        (n_pm_overflow, vmax2),
+    )
+
+
+def pm_gradient_layout(pos3, valid, mass, G, scale, boxsize: float,
+                       mesh: int, k_pm: int = 8,
+                       pm_max_overflow: int = 262144,
+                       interpret: bool = False):
+    """Gaussian-split long-range PM potential gradient ∂φ evaluated at
+    every slot of a persistent (3, K, C) layout.
+
+    Shared by the global-stepping persistent stepper (p3m_bucket_step)
+    and the rung stepper (p3mrungs): flatten the slots, sort into
+    deposit blocks, chunked Pallas deposit → FFT → −4πG/k²·e^{−rₛ²k²} →
+    Fourier diff → chunked Pallas gather, then per-slot back-gathers in
+    the ORIGINAL layout order.  Invalid slots get 0.  Returns
+    (fd (3, K, C), n_pm_overflow)."""
+    K, C = valid.shape
+    M = K * C
+    dtype = pos3.dtype
+    n = mesh
+    nb = _block_count(n)
+    C_pm = nb**3
+    h = boxsize / n
+    cell_volume = h**3
+    nchunks = 8 if n >= 512 else 1
+    validf = valid.reshape(M)
+    fx, fy, fz = pos3[0].reshape(M), pos3[1].reshape(M), pos3[2].reshape(M)
     key = jnp.zeros((M,), jnp.int32)
     for comp in (fz, fy, fx):
         blk = jnp.clip((comp / h).astype(jnp.int32), 0, n - 1) // B
@@ -327,10 +377,7 @@ def p3m_bucket_step(
         M,
     )
 
-    coef_sr = G * mass * mass * int_a1
-    coef_pm = -mass * int_a1
-    inv_mass = int_a2 / mass
-    new_pos, new_mom = [], []
+    fd_out = []
     if nchunks == 1:
         grads = tuple(
             irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
@@ -359,23 +406,8 @@ def p3m_bucket_step(
             lambda v: v,
             val,
         )
-        fd_layout = val.reshape(K, C)
-        md = state.mom[d] + coef_sr * acc_sr[d] + coef_pm * fd_layout
-        md = jnp.where(state.valid, md, 0.0)
-        pd = jnp.where(
-            state.valid, jnp.mod(state.pos[d] + md * inv_mass, boxsize), 0.0
-        )
-        new_mom.append(md)
-        new_pos.append(pd)
-    mom = jnp.stack(new_mom)
-    pos = jnp.stack(new_pos)
-    vmax2 = jnp.max(
-        jnp.where(state.valid, mom[0] ** 2 + mom[1] ** 2 + mom[2] ** 2, 0.0)
-    )
-    return (
-        P3MState(pos=pos, mom=mom, valid=state.valid),
-        (n_pm_overflow, vmax2),
-    )
+        fd_out.append(val.reshape(K, C))
+    return jnp.stack(fd_out), n_pm_overflow
 
 
 class P3MSimulation:

@@ -129,10 +129,56 @@ class MultiSimulation:
             _first(mc_opts.get("max_vacuum_corrections"), 2)
         )
         self._mc_smoothing = float(_first(mc_opts.get("smoothing"), 1.0))
+        # per-particle-component gravity method (reference
+        # find_interactions builds (force, method, receivers, suppliers)
+        # groups, interactions.py:2456): p3m components receive the
+        # SCREENED long range + pairwise short range below
+        self.p_methods = {
+            name: (s.force_method("gravity") or "pm")
+            for name, s in self.pspecs.items()
+        }
+        self.p3m_names = [n for n, m in self.p_methods.items()
+                          if m == "p3m"]
+        if self.p3m_names:
+            from concept_tpu.forces.shortrange import cell_grid_shape
+
+            self._sr_scale = 1.25 * config.boxsize / config.potential_gridsize
+            self._sr_range = 4.5 * self._sr_scale
+            self._sr_ncells = cell_grid_shape(config.boxsize, self._sr_range)
+            self._sr_caps = {}  # per-component, host-refreshed
+        # lapse force (reference interactions.py:2963-3037): supplied
+        # solely by the fictitious 'lapse' component; receivers are the
+        # decaying components, each kicked ∝ ᔑ a^{−3w_eff}·Γ/H dt
+        self.lapse_supplier = next(
+            (n for n, s in self.fspecs.items() if s.species == "lapse"),
+            None,
+        )
         # parity is a static arg of the jitted step (the MacCormack
         # predictor/corrector difference directions alternate per step —
         # reference fluid.py:724; two cached traces)
         self._step_jit = jax.jit(self._step, static_argnames=("parity",))
+
+    def _refresh_sr_capacities(self, state):
+        """Host-side short-range bucket sizing for the p3m particle
+        components (max cell occupancy; a change retraces the step)."""
+        import math as _math
+        from concept_tpu.forces.shortrange import cell_counts
+
+        changed = False
+        for name in self.p3m_names:
+            if name not in state.particles:
+                continue
+            counts = np.asarray(cell_counts(
+                state.particles[name].pos, self.config.boxsize,
+                self._sr_ncells,
+            ))
+            need = max(8, int(_math.ceil((counts.max() + 1) / 8)) * 8)
+            if need > self._sr_caps.get(name, 0):
+                self._sr_caps[name] = need
+                changed = True
+        if changed:
+            self._step_jit = jax.jit(self._step,
+                                     static_argnames=("parity",))
 
     # ------------------------------------------------------------------ #
     def _density_slab(self, state: MultiState, a, weff):
@@ -265,7 +311,8 @@ class MultiSimulation:
             )
         return Omega * self.rho_crit
 
-    def _kick(self, state: MultiState, int_kick, a, weff, w) -> MultiState:
+    def _kick(self, state: MultiState, int_kick, a, weff, w,
+              lapse_ints=None) -> MultiState:
         cfg = self.config
         n = cfg.potential_gridsize
         state = self._apply_realize_if_linear(state, a, weff, w)
@@ -278,6 +325,15 @@ class MultiSimulation:
             if state.particles
             else None
         )
+        # p3m receivers take the SCREENED long range from the same slab
+        # (reference per-method potentials: gravity p3m's PM part carries
+        # e^{−rₛ²k²}, interactions.py:2102-2113) + pair SR below
+        phi_p3m = None
+        if any(self.p_methods.get(nm) == "p3m" for nm in state.particles):
+            phi_p3m = gravity_potential_slab(
+                slab, n, cfg.boxsize, cfg.G, deconv_order=0,
+                longrange_scale=self._sr_scale,
+            ) * fourier.deconvolution_factor(n, cfg.interpolation_order)
         new_fluids = dict(state.fluids)
         # gradient grids one dim at a time
         dmom = {name: None for name in state.particles}
@@ -285,9 +341,15 @@ class MultiSimulation:
         for d in range(3):
             if state.particles:
                 grad_p = irfft3(fourier.fourier_diff(phi_p, n, cfg.boxsize, d), n)
+                grad_p3m = (
+                    irfft3(fourier.fourier_diff(phi_p3m, n, cfg.boxsize, d), n)
+                    if phi_p3m is not None else None
+                )
                 for name, pstate in state.particles.items():
+                    g = (grad_p3m if self.p_methods.get(name) == "p3m"
+                         else grad_p)
                     comp = gather(
-                        grad_p, pstate.pos, cfg.boxsize, order=cfg.interpolation_order
+                        g, pstate.pos, cfg.boxsize, order=cfg.interpolation_order
                     )
                     upd = (-self.pspecs[name].mass * int_kick) * comp
                     dmom[name] = (
@@ -305,6 +367,87 @@ class MultiSimulation:
                 P = f.P if f.P is not None else (w[name] * self.light_speed**2) * f.varrho
                 dJ = -(f.varrho + c2inv * P) * gradf * int_kick
                 fluid_dJ[name].append(dJ)
+        # ---- P³M short range: self + component-PAIR sweeps ------------- #
+        # (reference component_component/domain_domain pairing of
+        # arbitrary receiver/supplier components, interactions.py:122-615;
+        # previously multi-component runs coupled through PM only)
+        p3m_live = [nm for nm in state.particles
+                    if self.p_methods.get(nm) == "p3m"]
+        if p3m_live:
+            from concept_tpu.forces.shortrange import (
+                shortrange_momentum_updates,
+                shortrange_momentum_updates_on_subset,
+            )
+
+            for r in p3m_live:
+                m_r = self.pspecs[r].mass
+                cap_r = self._sr_caps.get(r, 8)
+                for s_name in p3m_live:
+                    if s_name == r:
+                        dm = shortrange_momentum_updates(
+                            state.particles[r].pos, m_r, cfg.boxsize,
+                            self._sr_scale, self._sr_range, int_kick,
+                            n_cells=self._sr_ncells, capacity=cap_r,
+                            softening=cfg.softening, G=cfg.G,
+                            softening_kernel=cfg.softening_kernel,
+                        )
+                    else:
+                        dm = shortrange_momentum_updates_on_subset(
+                            state.particles[r].pos,
+                            state.particles[s_name].pos,
+                            m_r, cfg.boxsize, self._sr_scale,
+                            self._sr_range, n_cells=self._sr_ncells,
+                            capacity_recv=cap_r,
+                            capacity_sup=self._sr_caps.get(s_name, 8),
+                            softening=cfg.softening, G=cfg.G,
+                            softening_kernel=cfg.softening_kernel,
+                            mass_sup=self.pspecs[s_name].mass,
+                        ) * int_kick
+                    dmom[r] = dmom[r] + dm
+
+        # ---- lapse force (reference interactions.py:2963-3037) --------- #
+        # potential from the fictitious lapse component alone; each
+        # decaying receiver kicked ∝ its own ᔑ a^{−3w_eff}·Γ/H dt
+        if self.lapse_supplier and lapse_ints and (
+            self.lapse_supplier in state.fluids
+        ):
+            fl = state.fluids[self.lapse_supplier]
+            slab_l = rfft3(fl.varrho * a ** (-3 * weff[self.lapse_supplier]))
+            phi_l = gravity_potential_slab(
+                slab_l, n, cfg.boxsize, cfg.G, deconv_order=0
+            )
+            for d in range(3):
+                grad_l = irfft3(
+                    fourier.fourier_diff(phi_l, n, cfg.boxsize, d), n
+                )
+                for name, li in lapse_ints.items():
+                    if name in state.fluids and name != self.lapse_supplier:
+                        f = state.fluids[name]
+                        if f.J is None or fluid_dJ.get(name) is None:
+                            continue
+                        nf = f.varrho.shape[0]
+                        gl = grad_l if nf == n else irfft3(
+                            fourier.fourier_diff(
+                                fourier.copy_modes(phi_l, n, nf, norm=True),
+                                nf, cfg.boxsize, d,
+                            ), nf,
+                        )
+                        c2inv = 1.0 / self.light_speed**2
+                        P = f.P if f.P is not None else (
+                            w[name] * self.light_speed**2
+                        ) * f.varrho
+                        fluid_dJ[name][d] = (
+                            fluid_dJ[name][d] - (f.varrho + c2inv * P) * gl * li
+                        )
+                    elif name in state.particles:
+                        comp = gather(
+                            grad_l, state.particles[name].pos, cfg.boxsize,
+                            order=cfg.interpolation_order,
+                        )
+                        dmom[name] = dmom[name].at[:, d].add(
+                            (-self.pspecs[name].mass * li) * comp
+                        )
+
         new_particles = {
             name: pstate._replace(mom=pstate.mom + dmom[name])
             for name, pstate in state.particles.items()
@@ -393,12 +536,34 @@ class MultiSimulation:
         return MultiState(particles=particles, fluids=new_fluids)
 
     def _step(self, state, int_kick, int_a2, dt, coef_flux, coef_pressure, a,
-              weff, w, decay_fac=None, decay_gain=None, parity: int = 0):
+              weff, w, decay_fac=None, decay_gain=None, parity: int = 0,
+              lapse_ints=None):
         state = self._apply_internal_sources(state, decay_fac or {},
                                              decay_gain or {})
-        state = self._kick(state, int_kick, a, weff, w)
+        state = self._kick(state, int_kick, a, weff, w,
+                           lapse_ints=lapse_ints)
         return self._drift(state, int_a2, dt, coef_flux, coef_pressure, a, w,
                            parity=parity)
+
+    def lapse_step_scalars(self, t0, t1):
+        """Per-receiver lapse kick integrals ᔑ a^{−3w_eff}·Γ/H dt over
+        the kick interval (reference ᔑdt key
+        ('a**(-3*w_eff)*Γ/H', 'component'), interactions.py:3027)."""
+        if not self.lapse_supplier:
+            return {}
+        dtype = self.config.dtype
+        out = {}
+        for name, spec in self.fspecs.items():
+            if spec.decay_rate <= 0:
+                continue
+            e = self.eos[name]
+            val = self.bg.integral_custom_np(
+                t0, t1,
+                lambda av: av ** (-3 * np.vectorize(e.w_eff_np)(av))
+                * spec.decay_rate / self.bg.hubble_np(av),
+            )
+            out[name] = jnp.asarray(val, dtype)
+        return out
 
     # ------------------------------------------------------------------ #
     def timestep_size(self, a: float) -> float:
@@ -543,6 +708,8 @@ class MultiSimulation:
                 t, t + dt, a_kick, dt
             )
             decay_fac, decay_gain = self.decay_step_scalars(t, t + dt)
+            if self.p3m_names:
+                self._refresh_sr_capacities(state)
             state = self._step_jit(
                 state,
                 jnp.asarray(int_kick, dtype),
@@ -556,6 +723,7 @@ class MultiSimulation:
                 decay_fac,
                 decay_gain,
                 parity=steps & 1,
+                lapse_ints=self.lapse_step_scalars(t_mom, t_mid),
             )
             t_mom = t_mid
             t += dt
@@ -588,6 +756,10 @@ def fluid_species_key(species: str) -> str:
         return "nu"
     if "radiation" in species or "photon" in species:
         return "radiation"
+    if species in ("lapse", "metric"):
+        # fictitious GR-correction species: δ from the Boltzmann-source
+        # aux tables (boltzmann.construct_lapse_delta/metric)
+        return species
     return "matter"
 
 

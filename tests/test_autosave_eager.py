@@ -45,7 +45,7 @@ def test_autosave_roundtrip(tmp_path):
     write_autosave(cfg, sim, state, a, events, units)
     resumed = check_autosave(cfg)
     assert resumed is not None
-    st2, a2, ev2 = resumed
+    st2, a2, ev2, _hyst, _steps = resumed
     assert np.isclose(a2, a)
     assert ev2 == [(0.5, "powerspec")]
     np.testing.assert_allclose(np.asarray(st2.pos), np.asarray(state.pos), rtol=1e-6)

@@ -123,7 +123,7 @@ def test_halo_exchange_deposit_matches_psum_scatter():
     pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
     pos_sh = jax.device_put(pos, particle_sharding(dist))
     ref = deposit_distributed(pos_sh, 1.0, n, box, order=2, dist=dist)
-    slabbed, w, nover = sort_to_slabs(pos, dist, box)
+    slabbed, w, orig_idx, nover = sort_to_slabs(pos, dist, box)
     assert int(nover) == 0
     got = deposit_distributed_halo(slabbed, w, 1.0, n, box, order=2,
                                    dist=dist)
