@@ -197,12 +197,15 @@ def p3m_bucket_step(
     engine: str = "auto",
     interpret: bool = False,
     softening_kernel: str = "plummer",
+    binding=None,
 ):
     """One KDK step in the persistent short-range layout.
 
-    Returns (state', info) with info = (n_pm_overflow, vmax2):
+    Returns (state', info) with info = (n_pm_overflow, vmax2, mass_sum):
     vmax2 = max over particles of |mom|² — the host converts it to the
-    step's displacement bound for the margin budget.
+    step's displacement bound for the margin budget; mass_sum = total
+    PM-deposited mass (a drift-budget/halo-loss invariant when a
+    persistent binding is in use).
     """
     K, C = state.valid.shape
     M = K * C
@@ -238,9 +241,10 @@ def p3m_bucket_step(
         )
 
     # ---- PM long range from the flattened slots ------------------------ #
-    fd_layout3, n_pm_overflow = pm_gradient_layout(
+    fd_layout3, n_pm_overflow, mass_sum = pm_gradient_layout(
         state.pos, state.valid, mass, G, scale, boxsize, mesh,
         k_pm=k_pm, pm_max_overflow=pm_max_overflow, interpret=interpret,
+        binding=binding,
     )
 
     coef_sr = G * mass * mass * int_a1
@@ -262,14 +266,84 @@ def p3m_bucket_step(
     )
     return (
         P3MState(pos=pos, mom=mom, valid=state.valid),
-        (n_pm_overflow, vmax2),
+        (n_pm_overflow, vmax2, mass_sum),
     )
+
+
+@partial(jax.jit, static_argnames=("boxsize", "mesh", "k_pm", "S"))
+def build_pm_binding(pos3, valid, boxsize: float, mesh: int, k_pm: int,
+                     S: int):
+    """Persistent slot→PM-deposit-block binding for the (3, K, C) layout.
+
+    The PM build (block sort + segment ranks + slot scatters over
+    M = K·C) need not repeat every step: the deposit kernel's ±1-mesh-
+    cell halo tolerance (pallas_pm._slot_geometry in_halo) lets a
+    binding built once serve every step until the accumulated drift
+    approaches one mesh cell (the host tracks the same vmax·ᔑa⁻²dt
+    budget it already keeps for the short-range margin).  Returns a dict:
+      pm_map : (M,) int32 — per ORIGINAL slot, its PM slot k·Cp + c
+               (sentinel k_pm·Cp for invalid/straggler slots)
+      w1     : (k_pm, Cp) deposit validity weights
+      s_idx  : (S,) int32 flat slot ids of block-capacity stragglers
+               (sentinel M), handled by the exact plain path per step
+      s_ok   : (S,) bool
+      n_over : block-capacity overflow count (host budget check)
+    """
+    K, C = valid.shape
+    M = K * C
+    n = mesh
+    nb = _block_count(n)
+    C_pm = nb**3
+    h = boxsize / n
+    validf = valid.reshape(M)
+    fx, fy, fz = pos3[0].reshape(M), pos3[1].reshape(M), pos3[2].reshape(M)
+    key = jnp.zeros((M,), jnp.int32)
+    for comp in (fz, fy, fx):
+        blk = jnp.clip((comp / h).astype(jnp.int32), 0, n - 1) // B
+        key = key * nb + blk
+    key = jnp.where(validf, key, C_pm)
+    iota = jnp.arange(M, dtype=jnp.int32)
+    key_s, order = jax.lax.sort([key, iota], num_keys=1)
+    ok = key_s < C_pm
+    key_c = jnp.minimum(key_s, C_pm - 1)
+    counts = jax.ops.segment_sum(
+        ok.astype(jnp.int32), key_c, num_segments=C_pm,
+        indices_are_sorted=True,
+    )
+    starts = jnp.cumsum(counts) - counts
+    rank = iota - starts[key_c]
+    in_b = ok & (rank < k_pm)
+    from concept_tpu.grid.pallas_pm import LANES
+
+    Cp_pm = ((C_pm + LANES - 1) // LANES) * LANES
+    pm_slot = jnp.where(in_b, rank * Cp_pm + key_c, k_pm * Cp_pm)
+    # per-ORIGINAL-slot map (scatter through the sort order)
+    pm_map = (
+        jnp.full((M,), k_pm * Cp_pm, jnp.int32)
+        .at[order].set(pm_slot, unique_indices=True)
+    )
+    counts_p = jnp.pad(jnp.minimum(counts, k_pm), (0, Cp_pm - C_pm))
+    w1 = (
+        jnp.arange(k_pm, dtype=jnp.int32)[:, None] < counts_p[None, :]
+    ).astype(pos3.dtype)
+    n_over = jnp.sum(ok) - jnp.sum(jnp.minimum(counts, k_pm))
+    s_sorted = jnp.nonzero(ok & (rank >= k_pm), size=S, fill_value=M)[0]
+    s_ok = s_sorted < M
+    s_idx = jnp.where(
+        s_ok,
+        jnp.concatenate([order, jnp.zeros((1,), jnp.int32)])[
+            jnp.minimum(s_sorted, M)
+        ],
+        M,
+    )
+    return dict(pm_map=pm_map, w1=w1, s_idx=s_idx, s_ok=s_ok,
+                n_over=n_over)
 
 
 def pm_gradient_layout(pos3, valid, mass, G, scale, boxsize: float,
                        mesh: int, k_pm: int = 8,
                        pm_max_overflow: int = 262144,
-                       interpret: bool = False):
+                       interpret: bool = False, binding=None):
     """Gaussian-split long-range PM potential gradient ∂φ evaluated at
     every slot of a persistent (3, K, C) layout.
 
@@ -278,7 +352,17 @@ def pm_gradient_layout(pos3, valid, mass, G, scale, boxsize: float,
     deposit blocks, chunked Pallas deposit → FFT → −4πG/k²·e^{−rₛ²k²} →
     Fourier diff → chunked Pallas gather, then per-slot back-gathers in
     the ORIGINAL layout order.  Invalid slots get 0.  Returns
-    (fd (3, K, C), n_pm_overflow)."""
+    (fd (3, K, C), n_pm_overflow, mass_sum).
+
+    binding: a build_pm_binding dict — skips the per-step sort/rank
+    machinery entirely (3 slot scatters + 3 gathers through the
+    persistent map instead); mass_sum (total deposited mass) lets the
+    host verify no halo-tolerance loss occurred."""
+    if binding is not None:
+        return _pm_gradient_layout_mapped(
+            pos3, valid, mass, G, scale, boxsize, mesh, binding,
+            k_pm=k_pm, interpret=interpret,
+        )
     K, C = valid.shape
     M = K * C
     dtype = pos3.dtype
@@ -407,7 +491,95 @@ def pm_gradient_layout(pos3, valid, mass, G, scale, boxsize: float,
             val,
         )
         fd_out.append(val.reshape(K, C))
-    return jnp.stack(fd_out), n_pm_overflow
+    return jnp.stack(fd_out), n_pm_overflow, jnp.sum(grid)
+
+
+def _pm_gradient_layout_mapped(pos3, valid, mass, G, scale, boxsize: float,
+                               mesh: int, binding, k_pm: int,
+                               interpret: bool):
+    """Mapped fast path of pm_gradient_layout: positions flow through the
+    persistent binding (no sort), stragglers through the exact plain
+    path."""
+    K, C = valid.shape
+    M = K * C
+    dtype = pos3.dtype
+    n = mesh
+    nb = _block_count(n)
+    C_pm = nb**3
+    h = boxsize / n
+    cell_volume = h**3
+    nchunks = 8 if n >= 512 else 1
+    from concept_tpu.grid.pallas_pm import LANES
+
+    Cp_pm = ((C_pm + LANES - 1) // LANES) * LANES
+    pm_map = binding["pm_map"]
+    w1 = binding["w1"]
+    s_idx = binding["s_idx"]
+    s_ok = binding["s_ok"]
+    S = s_idx.shape[0]
+    fx, fy, fz = pos3[0].reshape(M), pos3[1].reshape(M), pos3[2].reshape(M)
+
+    def scat(vals):
+        return (
+            jnp.zeros((k_pm * Cp_pm,), vals.dtype)
+            .at[pm_map].set(vals, mode="drop", unique_indices=True)
+            .reshape(k_pm, Cp_pm)
+        )
+
+    bx, by, bz = scat(fx), scat(fy), scat(fz)
+    grid = deposit_pallas_pos(
+        bx, by, bz, w1 * mass, n, boxsize, nchunks=nchunks,
+        interpret=interpret,
+    )
+    has_over = binding["n_over"] > 0
+    safe = jnp.minimum(s_idx, M - 1)
+    s_pos = jnp.stack([fx[safe], fy[safe], fz[safe]], axis=1)
+    grid = jax.lax.cond(
+        has_over,
+        lambda g: g + deposit(
+            s_pos, jnp.where(s_ok, mass, 0.0).astype(dtype), n, boxsize,
+            order=2,
+        ),
+        lambda g: g,
+        grid,
+    )
+    mass_sum = jnp.sum(grid)
+    slab = rfft3(grid / cell_volume)
+    phi = gravity_potential_slab(
+        slab, n, boxsize, G, deconv_order=4, longrange_scale=scale
+    )
+    map_clip = jnp.minimum(pm_map, k_pm * Cp_pm)
+    fd_out = []
+    if nchunks == 1:
+        grads = tuple(
+            irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
+            for d in range(3)
+        )
+        fds = gather_pallas_pos(
+            bx, by, bz, w1, grads, n, boxsize, nchunks=nchunks,
+            interpret=interpret,
+        )
+    for d in range(3):
+        if nchunks == 1:
+            grad, fd = grads[d], fds[d]
+        else:
+            grad = irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
+            fd = gather_pallas_pos(
+                bx, by, bz, w1, grad, n, boxsize, nchunks=nchunks,
+                interpret=interpret,
+            )
+        fdp = jnp.concatenate([fd.reshape(-1), jnp.zeros((1,), dtype)])
+        val = fdp[map_clip]
+        val = jax.lax.cond(
+            has_over,
+            lambda v, gr=grad: v.at[s_idx].set(
+                gather(gr, s_pos, boxsize, order=2) * s_ok, mode="drop"
+            ),
+            lambda v: v,
+            val,
+        )
+        fd_out.append(val.reshape(K, C))
+    return jnp.stack(fd_out), binding["n_over"], mass_sum
 
 
 class P3MSimulation:
@@ -438,6 +610,11 @@ class P3MSimulation:
         self.pm_max_overflow = 262144
         self.rebucket_every_max = rebucket_every_max
         self.interpret = jax.default_backend() != "tpu"
+        # persistent PM binding (build_pm_binding): valid until the
+        # accumulated drift nears one mesh cell or the layout changes
+        self._pm_binding = None
+        self._pm_drift_used = 0.0
+        self._pm_budget = 0.9 * boxsize / self.mesh
         if capacity is None:
             mean = self.N / self.nc**3
             capacity = max(8, int(math.ceil(1.3 * mean / 8)) * 8)
@@ -461,9 +638,21 @@ class P3MSimulation:
                 return state
             self.capacity = max(8, int(self.capacity * 2))
 
+    def refresh_pm_binding(self, state: P3MState):
+        """(Re)build the persistent slot→PM-block binding; host checks
+        the straggler budget."""
+        self._pm_binding = build_pm_binding(
+            state.pos, state.valid, self.boxsize, self.mesh,
+            self.k_pm, self.pm_max_overflow,
+        )
+        self._pm_drift_used = 0.0
+        self._check_pm_overflow(int(self._pm_binding["n_over"]))
+
     def step(self, state: P3MState, int_a1: float, int_a2: float):
         dtype = state.pos.dtype
-        state, (n_pm_over, vmax2) = p3m_bucket_step(
+        if self._pm_binding is None or self._pm_drift_used > self._pm_budget:
+            self.refresh_pm_binding(state)
+        state, (n_pm_over, vmax2, mass_sum) = p3m_bucket_step(
             state, self.mass, self.G,
             jnp.asarray(int_a1, dtype), jnp.asarray(int_a2, dtype),
             self.boxsize, self.mesh, self.nc,
@@ -472,12 +661,24 @@ class P3MSimulation:
             k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
             interpret=self.interpret,
             softening_kernel=self.softening_kernel,
+            binding=self._pm_binding,
         )
         # margin budget: each particle moved ≤ vmax/mass·∫a⁻²dt comoving
         vmax = float(jnp.sqrt(vmax2))
-        self._drift_used += vmax / self.mass * float(int_a2)
+        drift = vmax / self.mass * float(int_a2)
+        self._drift_used += drift
+        self._pm_drift_used += drift
+        # halo-loss invariant: the deposit must carry every particle
+        expected = self.N * self.mass
+        if abs(float(mass_sum) - expected) > 1e-3 * expected:
+            from concept_tpu.utils.terminal import warn
+
+            warn(
+                f"PM deposit mass {float(mass_sum):.6g} != {expected:.6g}"
+                f" — binding drift budget violated; rebuilding"
+            )
+            self._pm_binding = None
         n_pm_over = int(n_pm_over)
-        self._check_pm_overflow(n_pm_over)
         return state, (n_pm_over, vmax)
 
     def _check_pm_overflow(self, n_pm_over: int):
@@ -501,6 +702,7 @@ class P3MSimulation:
             # overflow is routine: raise the block capacity instead of
             # paying the fallback every step (static → retrace)
             self.k_pm = int(math.ceil(self.k_pm * 1.5 / 8)) * 8
+            self._pm_binding = None
 
     @property
     def needs_rebucket(self) -> bool:
@@ -527,6 +729,7 @@ class P3MSimulation:
         # fires; a nonzero count would mean the probe raced the state
         assert int(n_spill) == 0, int(n_spill)
         self._drift_used = 0.0
+        self._pm_binding = None  # layout permuted
         return new_state
 
     # -------------------------------------------------------------- #

@@ -354,7 +354,21 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         dt_base_nonlinear_factor=cfg.Delta_t_base_nonlinear_factor,
         **shortrange_overrides(cfg, cfg.boxsize, int(gridsize)),
     )
-    sim = Simulation(spec, sim_config, bg, lin, dist=dist)
+    if (method == "p3m" and dist is None and cfg.N_rungs > 1
+            and round(spec.N ** (1 / 3)) ** 3 == spec.N):
+        # production P³M is rungs-by-default (reference N_rungs = 8,
+        # param/example_explanatory:385; cadence main.py:1347-1443):
+        # the persistent-layout rung stepper behind the Simulation
+        # facade.  N_rungs = 1 (or a multi-chip mesh) selects the
+        # global-stepping fused path instead.
+        from concept_tpu.p3mrungs import RungSimulationAdapter
+
+        sim = RungSimulationAdapter(
+            spec, sim_config, bg, lin, N_rungs=cfg.N_rungs,
+            fac_rung=cfg.Delta_t_rung_factor,
+        )
+    else:
+        sim = Simulation(spec, sim_config, bg, lin, dist=dist)
 
     # resume from autosave if present (reference check_autosave,
     # main.py:1928-2010)

@@ -112,3 +112,63 @@ def test_p3m_tracks_exact_pp(setup):
     # agreement floor depends on the exact Δt sequence; the reference's
     # own PM-vs-linear tolerance is 0.10 (concept_vs_class_pm/analyze.py)
     assert np.nanmax(rel) < 0.12, f"P(k) at a=1 differs by {np.nanmax(rel):.3f}"
+
+
+# --------------------------------------------------------------------- #
+# Fixture-backed oracle (VERDICT r2 item 9): the frozen CONVERGED
+# direct-summation trajectory (float64 PP-Ewald at dt/16; see
+# scripts/make_oracle_fixture.py — GADGET-2 itself is unavailable in
+# this environment, and the converged fixture plays its role as an
+# anchor external to the production force implementations).
+# --------------------------------------------------------------------- #
+import os
+
+_FIXTURE = os.path.join(os.path.dirname(__file__), "data",
+                        "oracle_pp_8cube.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(_FIXTURE),
+                    reason="oracle fixture not generated")
+def test_production_rung_p3m_vs_frozen_oracle():
+    """The PRODUCTION stepper (persistent-layout P³M with adaptive
+    rungs, default time stepping — exactly what run()/the CLI execute)
+    evolved from the fixture ICs must track the frozen converged
+    trajectory to the reference tolerance mean |Δx|/box ≤ 1.2e-2 at
+    a ∈ {0.1, 0.5} — and, with rungs resolving the halo orbits, at
+    a = 1 as well (the reference's own a = 1 criterion,
+    test/concept_vs_gadget_p3m/analyze.py:116)."""
+    from concept_tpu.p3mrungs import P3MRungSimulation, extract_flat
+    from concept_tpu.cosmology.background import Background as _Bg
+
+    fx = np.load(_FIXTURE)
+    box = float(fx["boxsize"])
+    mass = float(fx["mass"])
+    softening = float(fx["softening"])
+    H0 = float(fx["H0"])
+    bg = _Bg(H0=H0, Omega_m=float(fx["Omega_m"]))
+    N = fx["ic_pos"].shape[0]
+    n_part = round(N ** (1 / 3))
+    sim = P3MRungSimulation(
+        n_part, box, mass, constants.G_Newton, mesh=32, bg=bg,
+        N_rungs=8, softening=softening, softening_kernel="spline",
+    )
+    pos = jnp.asarray(fx["ic_pos"], jnp.float32)
+    mom = jnp.asarray(fx["ic_mom"], jnp.float32)
+    st = sim.init_state(
+        tuple(pos[:, d] for d in range(3)),
+        tuple(mom[:, d] for d in range(3)),
+    )
+    a = float(fx["a_begin"])
+    checks = {0.1: fx["pos_a0p1"], 0.5: fx["pos_a0p5"], 1.0: fx["pos_a1"]}
+    for a_next, ref_pos in checks.items():
+        st = sim.evolve(st, float(bg.t_of_a_np(a)), float(bg.t_of_a_np(a_next)))
+        a = a_next
+        p, _, ids = extract_flat(st, N)
+        p = np.asarray(p)[np.argsort(np.asarray(ids))]
+        dx = p - ref_pos
+        dx -= box * np.round(dx / box)
+        mean_disp = np.mean(np.sqrt((dx**2).sum(1))) / box
+        assert mean_disp <= TOL, (
+            f"a={a_next}: mean |Δx|/box = {mean_disp:.4g} > {TOL} "
+            f"(max_rung={sim.stats['max_rung']})"
+        )
