@@ -41,6 +41,9 @@ class RunConfig:
     enable_Hubble: bool = True
     enable_class_background: bool = False
     class_params: dict = field(default_factory=dict)
+    # linear Boltzmann backend: 'auto' | 'eb' | 'class' | 'eh'
+    boltzmann_backend: str = "auto"
+    boltzmann_options: dict = field(default_factory=dict)
     # numerics
     boxsize: float = 0.0
     potential_options: dict = field(default_factory=dict)
@@ -214,6 +217,13 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.enable_Hubble = bool(raw.get("enable_Hubble", True))
     cfg.enable_class_background = bool(raw.get("enable_class_background", False))
     cfg.class_params = dict(raw.get("class_params", {}))
+    cfg.boltzmann_backend = str(raw.get("boltzmann_backend", "auto"))
+    if cfg.boltzmann_backend not in ("auto", "eb", "class", "eh"):
+        raise ValueError(
+            f"boltzmann_backend must be auto/eb/class/eh, "
+            f"got {cfg.boltzmann_backend!r}"
+        )
+    cfg.boltzmann_options = dict(raw.get("boltzmann_options", {}))
     # numerics
     cfg.boxsize = float(raw.get("boxsize", 512 * units.Mpc))
     cfg.potential_options = canonicalize_potential_options(

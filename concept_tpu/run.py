@@ -59,6 +59,15 @@ def build_cosmology(cfg: RunConfig):
         Omega_nu=Omega_nu, N_nu=int(cp.get("deg_ncdm", 3)) if nubg else 3,
     )
     lin.nu_background = nubg
+    # Linear Boltzmann backend (reference sources everything from CLASS,
+    # commons.py:4647; here: classy when importable, else the internal
+    # Einstein-Boltzmann solver for species-resolved runs, else EH —
+    # cosmology/backend.py).  Installed tables override the analytic
+    # transfer path in LinearCosmology.
+    from concept_tpu.cosmology.backend import build_tables
+
+    backend = build_tables(cfg, units, c, bg, lin, nubg=nubg)
+    masterprint(f"Linear backend: {backend}")
     return units, c, bg, lin
 
 

@@ -17,6 +17,7 @@ Gravity coupling (reference conventions, interactions.py:2854-2961):
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -781,15 +782,25 @@ def realize_fluid_from_linear(lin, spec: ComponentSpec, boxsize: float, a,
     w_eff = eos.w_eff_np(a) if eos is not None else spec.w_eff
     delta_k = realize_delta_slab(lin, n, boxsize, a, seed=seed, dtype=dtype,
                                  species=species)
-    delta = irfft3(delta_k, n)
-    varrho = rho_mean * (1.0 + delta)
-    P = (w * lin.light_speed**2 * varrho).astype(dtype)
-    if spec.boltzmann_order <= -1:
-        return FluidState(varrho=varrho.astype(dtype), J=None, P=None)
-    # Linear continuity ∂ₜϱ = −a^{3w−2}∇·J with δ̇ = Hf₁δ and
-    # ψ(k) = ik δ/k² (so ∇·ψ = −δ) gives J = ϱ̄·a^{2−3w}·H·f₁·ψ.
     H = float(lin.bg.hubble_np(a)) if hasattr(lin.bg, "hubble_np") else lin.bg.hubble(a)
     f1 = float(lin.bg.growth_np("f1", a))
-    psi = displacement_from_delta(delta_k, n, boxsize)
-    J = rho_mean * a ** (2 - 3 * w_eff) * H * f1 * psi
-    return FluidState(varrho=varrho.astype(dtype), J=J.astype(dtype), P=P)
+
+    # complex math must run under jit: the axon TPU platform cannot
+    # dispatch complex-dtype ops eagerly (ic.py _tracing pattern)
+    @partial(jax.jit, static_argnames=("with_J",))
+    def _core(delta_k, with_J: bool):
+        delta = irfft3(delta_k, n)
+        varrho = (rho_mean * (1.0 + delta)).astype(dtype)
+        P = (w * lin.light_speed**2 * varrho).astype(dtype)
+        if not with_J:
+            return varrho, None, P
+        # Linear continuity ∂ₜϱ = −a^{3w−2}∇·J with δ̇ = Hf₁δ and
+        # ψ(k) = ik δ/k² (so ∇·ψ = −δ) gives J = ϱ̄·a^{2−3w}·H·f₁·ψ.
+        psi = displacement_from_delta(delta_k, n, boxsize)
+        J = rho_mean * a ** (2 - 3 * w_eff) * H * f1 * psi
+        return varrho, J.astype(dtype), P
+
+    varrho, J, P = _core(delta_k, spec.boltzmann_order > -1)
+    if spec.boltzmann_order <= -1:
+        return FluidState(varrho=varrho, J=None, P=None)
+    return FluidState(varrho=varrho, J=J, P=P)

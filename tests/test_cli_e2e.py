@@ -33,7 +33,11 @@ def test_example_basic_shrunk_runs(tmp_path):
 
 
 def test_example_nonlinnu_shrunk_runs(tmp_path):
-    """Matter + non-linear ν fluid configuration executes end-to-end."""
+    """Matter + non-linear ν fluid configuration executes end-to-end —
+    through the internal Einstein-Boltzmann backend (ν requires
+    species-resolved tables; backend 'auto' → 'eb').  Light hierarchy /
+    sparse-k settings keep the solve fast; the solve is disk-cached in
+    .reusable/eb across test runs (reference .reusable/class role)."""
     out = str(tmp_path / "out")
     rc = main([
         "-p", "param/example_nonlinnu.py",
@@ -42,6 +46,8 @@ def test_example_nonlinnu_shrunk_runs(tmp_path):
         "-c", "potential_options=16",
         "-c", f"output_dirs='{out}'",
         "-c", "output_times={'powerspec': [0.04]}",
+        "-c", "boltzmann_options={'modes_per_decade':3,'rtol':1e-4,"
+              "'n_q':4,'l_max_ncdm':6,'l_max_ur':10,'k_max':3.0}",
     ])
     assert rc == 0
     files = glob.glob(os.path.join(out, "powerspec*"))
@@ -60,6 +66,8 @@ def test_example_relativistic_shrunk_runs(tmp_path):
         "-c", "potential_options=16",
         "-c", f"output_dirs='{out}'",
         "-c", "output_times={'powerspec': [0.02]}",
+        "-c", "boltzmann_options={'modes_per_decade':3,'rtol':1e-4,"
+              "'l_max_g':10,'l_max_ur':10,'k_max':0.5}",
     ])
     assert rc == 0
     assert glob.glob(os.path.join(out, "powerspec*"))
