@@ -189,15 +189,16 @@ def _make_kernel(n: int, K: int, dtype, softening_kernel: str = "plummer"):
     return kernel
 
 
-def _pad_halo(arr, axis_coord: int | None, boxsize):
-    """(n, n, K, n) → (n+2, n+2, K, n): periodic wrap copies along the two
-    leading cell axes; when axis_coord is 0 or 1, the wrapped copies of
-    that coordinate get ∓box (position continuity across the face)."""
-    lo1 = arr[-1:, :, :, :] + (-boxsize if axis_coord == 0 else 0.0)
-    hi1 = arr[:1, :, :, :] + (boxsize if axis_coord == 0 else 0.0)
+def _pad_halo(arr, axis_coord: int | None, boxsize, pad: int = 1):
+    """(n, n, K, n) → (n+2·pad, n+2·pad, K, n): periodic wrap copies along
+    the two leading cell axes; when axis_coord is 0 or 1, the wrapped
+    copies of that coordinate get ∓box (position continuity across the
+    face)."""
+    lo1 = arr[-pad:, :, :, :] + (-boxsize if axis_coord == 0 else 0.0)
+    hi1 = arr[:pad, :, :, :] + (boxsize if axis_coord == 0 else 0.0)
     arr = jnp.concatenate([lo1, arr, hi1], axis=0)
-    lo2 = arr[:, -1:, :, :] + (-boxsize if axis_coord == 1 else 0.0)
-    hi2 = arr[:, :1, :, :] + (boxsize if axis_coord == 1 else 0.0)
+    lo2 = arr[:, -pad:, :, :] + (-boxsize if axis_coord == 1 else 0.0)
+    hi2 = arr[:, :pad, :, :] + (boxsize if axis_coord == 1 else 0.0)
     return jnp.concatenate([lo2, arr, hi2], axis=1)
 
 
@@ -322,6 +323,316 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
         out_specs=[out_spec] * 3,
         interpret=interpret,
     )(scal, own_x, own_y, own_z, *([px] * 9 + [py] * 9 + [pz] * 9))
+    return jnp.stack([o.transpose(2, 0, 1, 3).reshape(K_r, C) for o in outs])
+
+
+def kept_offsets(cell_width: float, cutoff: float, margin: float,
+                 reach: int = 2):
+    """Static neighbor-offset list for cells NARROWER than the cutoff
+    (the unified 4-mesh-cell layout): all (di, dj, dk) ∈ [−reach, reach]³
+    whose minimum box-to-box gap cell_width·√Σ max(|d|−1, 0)² is below
+    cutoff + 2·margin (pairs further apart can never interact, even
+    after both particles drift by the rebucketize margin)."""
+    keep = []
+    thresh = cutoff + 2.0 * margin
+    for di in range(-reach, reach + 1):
+        for dj in range(-reach, reach + 1):
+            for dk in range(-reach, reach + 1):
+                gap = cell_width * math.sqrt(
+                    max(abs(di) - 1, 0) ** 2
+                    + max(abs(dj) - 1, 0) ** 2
+                    + max(abs(dk) - 1, 0) ** 2
+                )
+                if gap < thresh:
+                    keep.append((di, dj, dk))
+    return tuple(keep)
+
+
+def _make_kernel_reach(n: int, K: int, dtype, offsets, reach: int,
+                       softening_kernel: str = "plummer"):
+    """Pencil kernel generalized to |offset| ≤ reach with a static kept-
+    offset list (narrow-cell unified layout; see kept_offsets).  refs:
+    P = (2·reach+1)² pencils × 3 components, then 3 outputs."""
+    P = (2 * reach + 1) ** 2
+    side = 2 * reach + 1
+
+    def kernel(scal_ref, *refs):
+        ins, outs = refs[: 3 * P], refs[3 * P:]
+        inv_scale = scal_ref[0]
+        cutoff2 = scal_ref[1]
+        soft2 = scal_ref[2]
+        boxsize = scal_ref[3]
+        own_p = (reach * side + reach)  # (di, dj) = (0, 0) pencil
+        own_ref_x = ins[own_p]
+        own_ref_y = ins[P + own_p]
+        own_ref_z = ins[2 * P + own_p]
+        _force_factor = _force_law(inv_scale, soft2, dtype, softening_kernel)
+
+        # z-wrap correction columns for |dk| ≤ reach
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+        def shifted(arr, dk, is_z):
+            if dk == 0:
+                return arr
+            out = jnp.roll(arr, -dk, axis=1)
+            if is_z:
+                if dk > 0:
+                    corr = (col >= n - dk).astype(dtype) * boxsize
+                else:
+                    corr = (col < -dk).astype(dtype) * (-boxsize)
+                out = out + corr
+            return out
+
+        # hoist kept neighbor variants (VMEM ~3·|offsets|·K·n·4 B)
+        nbs = []
+        for (di, dj, dk) in offsets:
+            p = (di + reach) * side + (dj + reach)
+            bx = ins[p][0, 0]
+            by = ins[P + p][0, 0]
+            bz = ins[2 * P + p][0, 0]
+            nbs.append((
+                shifted(bx, dk, False)[None, :, :],
+                shifted(by, dk, False)[None, :, :],
+                shifted(bz, dk, True)[None, :, :],
+            ))
+
+        CH = 8 if K % 8 == 0 else 1
+        nchunk = K // CH
+
+        def body(c, _):
+            s = pl.multiple_of(c * CH, CH)
+            ox = own_ref_x[0, 0, pl.ds(s, CH), :][:, None, :]
+            oy = own_ref_y[0, 0, pl.ds(s, CH), :][:, None, :]
+            oz = own_ref_z[0, 0, pl.ds(s, CH), :][:, None, :]
+            ax = jnp.zeros((CH, n), dtype)
+            ay = jnp.zeros((CH, n), dtype)
+            az = jnp.zeros((CH, n), dtype)
+            for nbx, nby, nbz in nbs:
+                dx = ox - nbx
+                dy = oy - nby
+                dz = oz - nbz
+                r2 = dx * dx + dy * dy + dz * dz
+                m = (r2 < cutoff2) & (r2 > 0)
+                f = jnp.where(m, -_force_factor(r2), 0.0)
+                ax = ax + jnp.sum(f * dx, axis=1)
+                ay = ay + jnp.sum(f * dy, axis=1)
+                az = az + jnp.sum(f * dz, axis=1)
+            outs[0][0, 0, pl.ds(s, CH), :] = ax
+            outs[1][0, 0, pl.ds(s, CH), :] = ay
+            outs[2][0, 0, pl.ds(s, CH), :] = az
+            return 0
+
+        jax.lax.fori_loop(0, nchunk, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_cells", "cell_width", "margin",
+                                   "reach", "interpret", "kernel"))
+def sweep_pallas_reach(hx, hy, hz, valid, n_cells: int, boxsize, scale,
+                       cutoff, softening, cell_width: float, margin: float,
+                       reach: int = 2, interpret: bool = False,
+                       kernel: str = "plummer"):
+    """Short-range pair sweep for cells NARROWER than the cutoff: exact
+    same contract as sweep_pallas, but neighbor offsets extend to
+    |d| ≤ reach with box-gap pruning (kept_offsets).  Used by the
+    unified 4-mesh-cell P³M layout where cell_width = 4·mesh_cell <
+    cutoff = 5.625·mesh_cell (reach 2 covers 8 ≥ cutoff + 2·margin)."""
+    n = n_cells
+    side = 2 * reach + 1
+    assert n >= side, f"pallas reach-{reach} sweep needs n_cells ≥ {side}"
+    assert reach * cell_width >= cutoff, (
+        "reach too small: farthest kept offset does not cover the cutoff"
+    )
+    offsets = kept_offsets(cell_width, cutoff, margin, reach)
+    K, C = valid.shape
+    dtype = hx.dtype
+    big = jnp.asarray(1e4, dtype) * boxsize
+    hx = jnp.where(valid, hx, big)
+    hy = jnp.where(valid, hy, big)
+    hz = jnp.where(valid, hz, big)
+
+    def to4(a):
+        return a.reshape(K, n, n, n).transpose(1, 2, 0, 3)
+
+    px = _pad_halo(to4(hx), 0, boxsize, pad=reach)
+    py = _pad_halo(to4(hy), 1, boxsize, pad=reach)
+    pz = _pad_halo(to4(hz), None, boxsize, pad=reach)
+    shape4 = (n, n, K, n)
+
+    scal = jnp.stack([
+        1.0 / jnp.asarray(scale, dtype),
+        jnp.asarray(cutoff, dtype) ** 2,
+        jnp.asarray(softening, dtype) ** 2,
+        jnp.asarray(boxsize, dtype),
+    ])
+
+    pencil = lambda di, dj: pl.BlockSpec(
+        (1, 1, K, n),
+        lambda i, j, di=di, dj=dj: (i + reach + di, j + reach + dj, 0, 0),
+    )
+    in_specs = [pl.BlockSpec((4,), lambda i, j: (0,))]
+    offs2 = [
+        (di, dj)
+        for di in range(-reach, reach + 1)
+        for dj in range(-reach, reach + 1)
+    ]
+    for _comp in range(3):
+        in_specs += [pencil(di, dj) for (di, dj) in offs2]
+    out_spec = pl.BlockSpec((1, 1, K, n), lambda i, j: (i, j, 0, 0))
+
+    kfn = _make_kernel_reach(n, K, dtype, offsets, reach,
+                             softening_kernel=kernel)
+    P = side * side
+    outs = pl.pallas_call(
+        kfn,
+        grid=(n, n),
+        out_shape=[jax.ShapeDtypeStruct(shape4, dtype)] * 3,
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3,
+        interpret=interpret,
+    )(scal, *([px] * P + [py] * P + [pz] * P))
+    return jnp.stack([o.transpose(2, 0, 1, 3).reshape(K, C) for o in outs])
+
+
+def _make_pair_kernel_reach(n: int, K_r: int, K_s: int, dtype, offsets,
+                            reach: int, softening_kernel: str = "plummer"):
+    """One-sided reach variant: receivers (own pencil, (1,1,K_r,n))
+    against suppliers over the kept offsets ≤ reach."""
+    P = (2 * reach + 1) ** 2
+    side = 2 * reach + 1
+
+    def kernel(scal_ref, *refs):
+        own, ins, outs = refs[:3], refs[3 : 3 + 3 * P], refs[3 + 3 * P:]
+        inv_scale = scal_ref[0]
+        cutoff2 = scal_ref[1]
+        soft2 = scal_ref[2]
+        boxsize = scal_ref[3]
+        _force_factor = _force_law(inv_scale, soft2, dtype, softening_kernel)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+        def shifted(arr, dk, is_z):
+            if dk == 0:
+                return arr
+            out = jnp.roll(arr, -dk, axis=1)
+            if is_z:
+                if dk > 0:
+                    corr = (col >= n - dk).astype(dtype) * boxsize
+                else:
+                    corr = (col < -dk).astype(dtype) * (-boxsize)
+                out = out + corr
+            return out
+
+        nbs = []
+        for (di, dj, dk) in offsets:
+            p = (di + reach) * side + (dj + reach)
+            bx = ins[p][0, 0]
+            by = ins[P + p][0, 0]
+            bz = ins[2 * P + p][0, 0]
+            nbs.append((
+                shifted(bx, dk, False)[None, :, :],
+                shifted(by, dk, False)[None, :, :],
+                shifted(bz, dk, True)[None, :, :],
+            ))
+
+        CH = 8 if K_r % 8 == 0 else 1
+        nchunk = K_r // CH
+
+        def body(c, _):
+            s = pl.multiple_of(c * CH, CH)
+            ox = own[0][0, 0, pl.ds(s, CH), :][:, None, :]
+            oy = own[1][0, 0, pl.ds(s, CH), :][:, None, :]
+            oz = own[2][0, 0, pl.ds(s, CH), :][:, None, :]
+            ax = jnp.zeros((CH, n), dtype)
+            ay = jnp.zeros((CH, n), dtype)
+            az = jnp.zeros((CH, n), dtype)
+            for nbx, nby, nbz in nbs:
+                dx = ox - nbx
+                dy = oy - nby
+                dz = oz - nbz
+                r2 = dx * dx + dy * dy + dz * dz
+                m = (r2 < cutoff2) & (r2 > 0)
+                f = jnp.where(m, -_force_factor(r2), 0.0)
+                ax = ax + jnp.sum(f * dx, axis=1)
+                ay = ay + jnp.sum(f * dy, axis=1)
+                az = az + jnp.sum(f * dz, axis=1)
+            outs[0][0, 0, pl.ds(s, CH), :] = ax
+            outs[1][0, 0, pl.ds(s, CH), :] = ay
+            outs[2][0, 0, pl.ds(s, CH), :] = az
+            return 0
+
+        jax.lax.fori_loop(0, nchunk, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_cells", "cell_width", "margin",
+                                   "reach", "interpret", "kernel"))
+def sweep_pallas_pair_reach(bx, by, bz, bvalid, hx, hy, hz, valid,
+                            n_cells: int, boxsize, scale, cutoff, softening,
+                            cell_width: float, margin: float, reach: int = 2,
+                            interpret: bool = False,
+                            kernel: str = "plummer"):
+    """One-sided reach-2 pencil sweep (narrow-cell unified layout): acc
+    (3, K_r, C) ON the receiver buckets FROM the supplier buckets."""
+    n = n_cells
+    side = 2 * reach + 1
+    assert n >= side
+    assert reach * cell_width >= cutoff
+    offsets = kept_offsets(cell_width, cutoff, margin, reach)
+    K_r, C = bvalid.shape
+    K_s = valid.shape[0]
+    dtype = hx.dtype
+    big = jnp.asarray(1e4, dtype) * boxsize
+    bxs = jnp.where(bvalid, bx, -big)
+    bys = jnp.where(bvalid, by, -big)
+    bzs = jnp.where(bvalid, bz, -big)
+    hxs = jnp.where(valid, hx, big)
+    hys = jnp.where(valid, hy, big)
+    hzs = jnp.where(valid, hz, big)
+
+    def to4(a, K):
+        return a.reshape(K, n, n, n).transpose(1, 2, 0, 3)
+
+    own_x = to4(bxs, K_r)
+    own_y = to4(bys, K_r)
+    own_z = to4(bzs, K_r)
+    px = _pad_halo(to4(hxs, K_s), 0, boxsize, pad=reach)
+    py = _pad_halo(to4(hys, K_s), 1, boxsize, pad=reach)
+    pz = _pad_halo(to4(hzs, K_s), None, boxsize, pad=reach)
+
+    scal = jnp.stack([
+        1.0 / jnp.asarray(scale, dtype),
+        jnp.asarray(cutoff, dtype) ** 2,
+        jnp.asarray(softening, dtype) ** 2,
+        jnp.asarray(boxsize, dtype),
+    ])
+    own_spec = pl.BlockSpec((1, 1, K_r, n), lambda i, j: (i, j, 0, 0))
+    pencil = lambda di, dj: pl.BlockSpec(
+        (1, 1, K_s, n),
+        lambda i, j, di=di, dj=dj: (i + reach + di, j + reach + dj, 0, 0),
+    )
+    offs2 = [
+        (di, dj)
+        for di in range(-reach, reach + 1)
+        for dj in range(-reach, reach + 1)
+    ]
+    in_specs = [pl.BlockSpec((4,), lambda i, j: (0,))]
+    in_specs += [own_spec] * 3
+    for _comp in range(3):
+        in_specs += [pencil(di, dj) for (di, dj) in offs2]
+    out_spec = pl.BlockSpec((1, 1, K_r, n), lambda i, j: (i, j, 0, 0))
+    kfn = _make_pair_kernel_reach(n, K_r, K_s, dtype, offsets, reach,
+                                  softening_kernel=kernel)
+    P = side * side
+    outs = pl.pallas_call(
+        kfn,
+        grid=(n, n),
+        out_shape=[jax.ShapeDtypeStruct((n, n, K_r, n), dtype)] * 3,
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3,
+        interpret=interpret,
+    )(scal, own_x, own_y, own_z, *([px] * P + [py] * P + [pz] * P))
     return jnp.stack([o.transpose(2, 0, 1, 3).reshape(K_r, C) for o in outs])
 
 

@@ -233,12 +233,16 @@ def _cell_coords(n_cells: int):
 
 
 def _sweep(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff2, soft2,
-           halve: bool, kernel: str = "plummer"):
+           halve: bool, kernel: str = "plummer", offsets_half=None):
     """Slot-major pair sweep.  Returns per-slot acceleration acc (3, K, C).
 
     halve=True: 13 half offsets + self cell with Newton's-3rd-law reaction
     accumulation.  halve=False (n_cells < 3, where ±1 offsets alias): full
     per-dimension offset list, own side only.
+
+    offsets_half: static override of the halved offset list — the
+    narrow-cell unified layout (cells < cutoff) passes the positive-
+    lexicographic half of pallas_shortrange.kept_offsets (reach 2).
     """
     K, C = valid.shape
     n = n_cells
@@ -250,8 +254,9 @@ def _sweep(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff2, soft2,
     iotaK = jnp.arange(K)
 
     if halve:
-        offs = [(0, 0, 0)] + _HALF_OFFSETS
-        self_flags = [True] + [False] * len(_HALF_OFFSETS)
+        half = list(offsets_half) if offsets_half is not None else _HALF_OFFSETS
+        offs = [(0, 0, 0)] + half
+        self_flags = [True] + [False] * len(half)
     else:
         per_dim = {1: (0,), 2: (0, 1)}.get(n, (-1, 0, 1))
         offs = [(i, j, k) for i in per_dim for j in per_dim for k in per_dim]
@@ -321,7 +326,8 @@ def _sweep(hx, hy, hz, valid, n_cells: int, boxsize, scale, cutoff2, soft2,
 
 
 def _sweep_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
-                boxsize, scale, cutoff2, soft2, kernel: str = "plummer"):
+                boxsize, scale, cutoff2, soft2, kernel: str = "plummer",
+                offsets_ext=None):
     """One-sided pair sweep: accelerations ON the receiver buckets
     (bx/by/bz/bvalid, K_r slots) FROM the supplier buckets (hx/hy/hz/
     valid, K_s slots) over all 27 neighbor offsets — the rung-subcycling
@@ -337,8 +343,11 @@ def _sweep_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
     dtype = hx.dtype
     ci, cj, ck = _cell_coords(n)
     ci, cj, ck = jnp.asarray(ci), jnp.asarray(cj), jnp.asarray(ck)
-    per_dim = {1: (0,), 2: (0, 1)}.get(n, (-1, 0, 1))
-    offs = [(i, j, k) for i in per_dim for j in per_dim for k in per_dim]
+    if offsets_ext is not None:
+        offs = list(offsets_ext)
+    else:
+        per_dim = {1: (0,), 2: (0, 1)}.get(n, (-1, 0, 1))
+        offs = [(i, j, k) for i in per_dim for j in per_dim for k in per_dim]
     offsets = jnp.asarray(offs, jnp.int32)
     min_image = n < 3  # see _sweep: cell-level shifts are one-sided there
 

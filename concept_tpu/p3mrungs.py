@@ -60,9 +60,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from concept_tpu.p3msim import pm_gradient_layout, margin_cell_count
+from concept_tpu.p3msim import (
+    pm_gradient_layout, pm_gradient_cells, margin_cell_count,
+)
 
 FAC_SOFTENING = 0.025  # reference main.py:2433 Δt_rung_factor base
+
+# Unified 4-mesh-cell layout (cells = 2×2×2 deposit blocks; sweep reach 2
+# with box-gap offset pruning): the sweep margin, in mesh cells, entering
+# pallas_shortrange.kept_offsets.  One-sided drift tolerance is
+# min(0.5 mesh cells [deposit halo], this) — see needs_rebucket.
+UNIFIED_SWEEP_MARGIN = 0.55
 
 
 class RungState(NamedTuple):
@@ -106,19 +114,33 @@ def _column_layout(cell, rung, arrays, N, C, K, NR):
     return out, valid, rung_layout, counts, n_kept
 
 
-@partial(jax.jit, static_argnames=("boxsize", "nc", "capacity", "NR"),
+def _cell_index(comp, nc: int, boxsize: float, mesh_cells: int):
+    """Per-dimension cell coordinate.  mesh_cells > 0 (unified layout):
+    derive from the MESH index floor(p·mesh/boxsize)//mesh_cells with
+    bitwise the same f32 arithmetic as the pallas_cells kernels'
+    in-kernel geometry — a particle then provably lands inside its
+    column's deposit halo (anchor ∈ {m−1, m})."""
+    if mesh_cells > 0:
+        inv_h = (nc * mesh_cells) / boxsize
+        m = jnp.floor(comp * inv_h).astype(jnp.int32)
+        return jnp.clip(m // mesh_cells, 0, nc - 1)
+    cw = boxsize / nc
+    return jnp.clip((comp / cw).astype(jnp.int32), 0, nc - 1)
+
+
+@partial(jax.jit, static_argnames=("boxsize", "nc", "capacity", "NR",
+                                   "mesh_cells"),
          donate_argnums=(0, 1, 2, 3, 4, 5))
 def bucketize_rungs(px0, py0, pz0, mx0, my0, mz0, rungs0, ids0,
-                    boxsize: float, nc: int, capacity: int, NR: int):
+                    boxsize: float, nc: int, capacity: int, NR: int,
+                    mesh_cells: int = 0):
     """Flat component arrays → RungState (donating).  Returns
     (state, n_kept)."""
     N = px0.shape[0]
     C = nc**3
-    cw = boxsize / nc
     cell = jnp.zeros((N,), jnp.int32)
     for comp in (px0, py0, pz0):
-        idx = jnp.clip((comp / cw).astype(jnp.int32), 0, nc - 1)
-        cell = cell * nc + idx
+        cell = cell * nc + _cell_index(comp, nc, boxsize, mesh_cells)
     arrs, valid, rung_layout, counts, n_kept = _column_layout(
         cell, rungs0, [px0, py0, pz0, mx0, my0, mz0, ids0], N, C,
         capacity, NR,
@@ -132,10 +154,11 @@ def bucketize_rungs(px0, py0, pz0, mx0, my0, mz0, rungs0, ids0,
 
 
 @partial(jax.jit, static_argnames=("boxsize", "nc", "capacity", "n_total",
-                                   "NR"),
+                                   "NR", "mesh_cells"),
          donate_argnums=(0,))
 def rebucketize_rungs(state: RungState, boxsize: float, nc: int,
-                      capacity: int, n_total: int, NR: int):
+                      capacity: int, n_total: int, NR: int,
+                      mesh_cells: int = 0):
     """Donating re-bucketize carrying rungs and ids (compact-first to
     bound peak HBM, as p3msim._rebucketize_state).  Returns
     (state, n_kept)."""
@@ -143,7 +166,6 @@ def rebucketize_rungs(state: RungState, boxsize: float, nc: int,
     M = K_old * C_old
     C = nc**3
     N = n_total
-    cw = boxsize / nc
     validf = state.valid.reshape(M)
     src = jnp.nonzero(validf, size=N, fill_value=M - 1)[0]
     flat = state.pos.reshape(3, M)
@@ -153,8 +175,7 @@ def rebucketize_rungs(state: RungState, boxsize: float, nc: int,
     ids0 = state.ids.reshape(M)[src]
     cell = jnp.zeros((N,), jnp.int32)
     for comp in comps[:3]:
-        idx = jnp.clip((comp / cw).astype(jnp.int32), 0, nc - 1)
-        cell = cell * nc + idx
+        cell = cell * nc + _cell_index(comp, nc, boxsize, mesh_cells)
     arrs, valid, rung_layout, counts, n_kept = _column_layout(
         cell, rung0, comps + [ids0], N, C, capacity, NR,
     )
@@ -166,21 +187,20 @@ def rebucketize_rungs(state: RungState, boxsize: float, nc: int,
     ), n_kept
 
 
-@partial(jax.jit, static_argnames=("nc", "NR"))
-def occupancy_and_activity(state: RungState, boxsize, nc: int, NR: int):
+@partial(jax.jit, static_argnames=("boxsize", "nc", "NR", "mesh_cells"))
+def occupancy_and_activity(state: RungState, boxsize: float, nc: int,
+                           NR: int, mesh_cells: int = 0):
     """(max per-cell occupancy of CURRENT positions, K_act (NR,)) —
     the host sizing probe before a donating rebucketize plus the
     active-prefix row counts for the substep row slices."""
     K, C_old = state.valid.shape
     M = K * C_old
     C = nc**3
-    cw = boxsize / nc
     validf = state.valid.reshape(M)
     flat = state.pos.reshape(3, M)
     cell = jnp.zeros((M,), jnp.int32)
     for d in range(3):
-        idx = jnp.clip((flat[d] / cw).astype(jnp.int32), 0, nc - 1)
-        cell = cell * nc + idx
+        cell = cell * nc + _cell_index(flat[d], nc, boxsize, mesh_cells)
     cell = jnp.where(validf, cell, C)
     counts = jnp.zeros((C + 1,), jnp.int32).at[cell].add(1, mode="drop")
     max_occ = jnp.max(counts[:C])
@@ -203,7 +223,40 @@ def _k_act_layout(rungs, valid, NR: int):
 
 def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
                    scale, cutoff, softening, engine, softening_kernel,
-                   dtype):
+                   dtype, unified: bool = False):
+    if unified:
+        # narrow 4-mesh-cell layout: reach-2 offsets with gap pruning
+        cell_width = boxsize / nc
+        margin = UNIFIED_SWEEP_MARGIN * cell_width / 4.0
+        if engine == "pallas":
+            from concept_tpu.forces.pallas_shortrange import (
+                sweep_pallas_pair_reach,
+            )
+
+            return sweep_pallas_pair_reach(
+                recv_pos[0], recv_pos[1], recv_pos[2], recv_valid,
+                sup_pos[0], sup_pos[1], sup_pos[2], sup_valid, nc,
+                jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
+                jnp.asarray(cutoff, dtype), jnp.asarray(softening, dtype),
+                cell_width=cell_width, margin=margin, reach=2,
+                interpret=(jax.default_backend() != "tpu"),
+                kernel=softening_kernel,
+            )
+        from concept_tpu.forces.pallas_shortrange import kept_offsets
+        from concept_tpu.forces.shortrange import _sweep_pair
+
+        # static cutoff value for the offset pruning: reconstruct from
+        # the cell width (cutoff = 4.5·1.25·mesh_cell by construction)
+        offs = kept_offsets(cell_width, 4.5 * 1.25 * cell_width / 4.0,
+                            margin, reach=2)
+        return _sweep_pair(
+            recv_pos[0], recv_pos[1], recv_pos[2], recv_valid,
+            sup_pos[0], sup_pos[1], sup_pos[2], sup_valid, nc,
+            jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
+            jnp.asarray(cutoff, dtype) ** 2,
+            jnp.asarray(softening, dtype) ** 2,
+            kernel=softening_kernel, offsets_ext=offs,
+        )
     if engine == "pallas":
         from concept_tpu.forces.pallas_shortrange import sweep_pallas_pair
 
@@ -230,7 +283,7 @@ def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
     jax.jit,
     static_argnames=("boxsize", "nc", "K_r", "engine", "interpret",
                      "softening_kernel", "NR", "assign", "return_acc",
-                     "use_cache"),
+                     "use_cache", "unified"),
     donate_argnums=(0,),
 )
 def rung_substep(
@@ -256,6 +309,7 @@ def rung_substep(
     acc_cache=None,
     use_cache: bool = False,
     return_acc: bool = False,
+    unified: bool = False,
 ):
     """One rung boundary: drift ALL slots by int_drift (the sub-interval
     ENDING at this boundary; 0 at the base step's first boundary), then
@@ -290,6 +344,7 @@ def rung_substep(
         acc = _sr_pair_accel(
             recv_pos, state.valid[:K_r], pos, state.valid, nc, boxsize,
             scale, cutoff, softening, engine, softening_kernel, dtype,
+            unified=unified,
         )
     rungs_r = state.rungs[:K_r].astype(jnp.int32)
     per_slot_int = kick_ints[rungs_r]
@@ -326,21 +381,33 @@ def rung_substep(
 @partial(
     jax.jit,
     static_argnames=("boxsize", "mesh", "k_pm", "pm_max_overflow",
-                     "interpret"),
+                     "interpret", "unified"),
     donate_argnums=(0,),
 )
 def pm_kick_rungs(state: RungState, mass, G, int_pm, boxsize: float,
                   mesh: int, scale, k_pm: int = 8,
-                  pm_max_overflow: int = 262144, interpret: bool = False):
-    """Base-cadence PM long-range kick on the rung layout (shared
-    pm_gradient_layout machinery).  Returns (state, n_pm_overflow)."""
-    fd3, n_over, _mass_sum = pm_gradient_layout(
-        state.pos, state.valid, mass, G, scale, boxsize, mesh,
-        k_pm=k_pm, pm_max_overflow=pm_max_overflow, interpret=interpret,
-    )
+                  pm_max_overflow: int = 262144, interpret: bool = False,
+                  unified: bool = False):
+    """Base-cadence PM long-range kick on the rung layout.  unified=True:
+    the slot layout IS the deposit layout (pm_gradient_cells — no
+    translation); else the shared block-binding pm_gradient_layout.
+    Off-TPU (interpret=True) the unified route falls back to the
+    layout-agnostic sort path — identical deposit→FFT→gather math, no
+    per-program interpret-mode kernel overhead in CI.
+    Returns (state, n_pm_overflow, mass_sum)."""
+    if unified and not interpret:
+        fd3, n_over, mass_sum = pm_gradient_cells(
+            state.pos, state.valid, mass, G, scale, boxsize, mesh,
+            interpret=interpret,
+        )
+    else:
+        fd3, n_over, mass_sum = pm_gradient_layout(
+            state.pos, state.valid, mass, G, scale, boxsize, mesh,
+            k_pm=k_pm, pm_max_overflow=pm_max_overflow, interpret=interpret,
+        )
     mom = state.mom + (-mass * int_pm) * fd3
     mom = jnp.where(state.valid[None], mom, 0.0)
-    return state._replace(mom=mom), n_over
+    return state._replace(mom=mom), n_over, mass_sum
 
 
 def _pad8(x: int, cap: int) -> int:
@@ -365,7 +432,8 @@ class P3MRungSimulation:
                  k_pm: int = 8, softening: float = 0.0,
                  softening_kernel: str = "plummer",
                  fac_rung: float = 1.0,
-                 rebucket_every_max: int = 64):
+                 rebucket_every_max: int = 64,
+                 unified: bool | None = None):
         self.N = n_part**3 if isinstance(n_part, int) else int(n_part)
         self.boxsize = boxsize
         self.mass = mass
@@ -376,9 +444,34 @@ class P3MRungSimulation:
         self.scale = 1.25 * boxsize / self.mesh
         self.cutoff = 4.5 * self.scale
         self.margin_frac = margin_frac
-        self.nc = margin_cell_count(boxsize, self.cutoff, margin_frac)
-        self.cell_width = boxsize / self.nc
-        self.margin = self.cell_width - self.cutoff
+        # unified layout: short-range cells exactly 4 mesh cells wide
+        # (= 2×2×2 deposit blocks), so the sweep's slot arrays feed the
+        # PM deposit/gather directly (pm_gradient_cells) — no per-step
+        # layout translation.  Sweep reach 2 with gap-pruned offsets.
+        mesh_h = boxsize / self.mesh
+        if unified is None:
+            # auto: the unified layout's payoff is the TPU kernels; the
+            # CPU/CI path keeps the tight layout (its reach-2 XLA sweep
+            # is ~4× the offsets — physics equivalence is asserted by
+            # tests/test_unified_layout.py, which forces unified=True)
+            unified = (
+                self.mesh % 4 == 0 and self.mesh // 4 >= 5
+                and jax.default_backend() == "tpu"
+            )
+        self.unified = bool(unified)
+        if self.unified and (self.mesh % 4 or self.mesh // 4 < 5):
+            raise ValueError("unified layout needs mesh % 4 == 0, mesh ≥ 20")
+        if self.unified:
+            self.nc = self.mesh // 4
+            self.cell_width = 4.0 * mesh_h
+            # one-sided drift tolerance: min(deposit halo 0.5·mesh_h,
+            # sweep pruning margin); the 0.45 budget rule then bounds
+            # the two-sided pair error identically to the tight layout
+            self.margin = 2.0 * min(0.5, UNIFIED_SWEEP_MARGIN) * mesh_h
+        else:
+            self.nc = margin_cell_count(boxsize, self.cutoff, margin_frac)
+            self.cell_width = boxsize / self.nc
+            self.margin = self.cell_width - self.cutoff
         self.softening = softening
         self.softening_kernel = softening_kernel
         # rung-criterion ε: the softening length when set, else the PM
@@ -414,6 +507,7 @@ class P3MRungSimulation:
                 *(jnp.asarray(m) for m in mom),
                 rungs, ids, boxsize=self.boxsize, nc=self.nc,
                 capacity=self.capacity, NR=self.NR,
+                mesh_cells=4 if self.unified else 0,
             )
             if int(kept) == N:
                 break
@@ -435,7 +529,7 @@ class P3MRungSimulation:
             softening_kernel=self.softening_kernel, NR=self.NR,
             assign=True, dt_base=jnp.asarray(dt_base, state.pos.dtype),
             eps_rung=jnp.asarray(self.eps_rung, state.pos.dtype),
-            fac_rung=self.fac_rung,
+            fac_rung=self.fac_rung, unified=self.unified,
         )
         # the layout order is stale w.r.t. the new rungs: re-sort now
         state = self.rebucket(state)
@@ -452,13 +546,16 @@ class P3MRungSimulation:
         K = state.valid.shape[0]
         t_mid = t + 0.5 * dt
         int_pm = bg.integrals_np(t_mom, t_mid, keys=("a**(-1)",))["a**(-1)"]
-        state, n_pm_over = pm_kick_rungs(
+        state, n_pm_over, mass_sum = pm_kick_rungs(
             state, self.mass, self.G, jnp.asarray(int_pm, dtype),
             self.boxsize, self.mesh, jnp.asarray(self.scale, dtype),
             k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
-            interpret=self.interpret,
+            interpret=self.interpret, unified=self.unified,
         )
-        self._check_pm_overflow(int(n_pm_over))
+        if self.unified and not self.interpret:
+            self._check_pm_mass(float(mass_sum))
+        else:
+            self._check_pm_overflow(int(n_pm_over))
 
         K_act = self._K_act
         max_rung = int(np.max(np.nonzero(K_act)[0])) if np.any(K_act) else 0
@@ -506,6 +603,7 @@ class P3MRungSimulation:
                 fac_rung=self.fac_rung,
                 acc_cache=self._acc_cache if use_cache else None,
                 use_cache=use_cache, return_acc=last,
+                unified=self.unified,
             )
             if last:
                 state, (K_act_new, v2), acc = out
@@ -521,6 +619,21 @@ class P3MRungSimulation:
         int_a2 = bg.integrals_np(t, t + dt, keys=("a**(-2)",))["a**(-2)"]
         self._drift_used += vmax / self.mass * float(int_a2)
         return state, vmax
+
+    def _check_pm_mass(self, mass_sum: float):
+        """Unified layout: every valid slot must deposit (a deficit means
+        a particle drifted outside its column's deposit halo — the
+        margin budget should prevent this; warn loudly if violated)."""
+        from concept_tpu.utils.terminal import warn
+
+        expect = self.N * self.mass
+        if not (abs(mass_sum - expect) <= 1e-3 * abs(expect)):
+            warn(
+                f"PM deposit mass {mass_sum:.6e} != expected {expect:.6e}"
+                f" — particles drifted outside the deposit halo; "
+                f"forcing rebucketize"
+            )
+            self._drift_used = float("inf")  # force rebucket this step
 
     def _check_pm_overflow(self, n_pm_over: int):
         from concept_tpu.utils.terminal import warn
@@ -543,15 +656,16 @@ class P3MRungSimulation:
         max_count, K_act = (
             int(v) if i == 0 else np.asarray(v)
             for i, v in enumerate(occupancy_and_activity(
-                state, jnp.asarray(self.boxsize, state.pos.dtype),
-                self.nc, self.NR,
+                state, self.boxsize, self.nc, self.NR,
+                mesh_cells=4 if self.unified else 0,
             ))
         )
         need = max(8, ((max_count + 7) // 8) * 8)
         if need > 0.87 * self.capacity:
             self.capacity = max(8, int(math.ceil(1.3 * need / 8)) * 8)
         new_state, kept = rebucketize_rungs(
-            state, self.boxsize, self.nc, self.capacity, self.N, self.NR
+            state, self.boxsize, self.nc, self.capacity, self.N, self.NR,
+            mesh_cells=4 if self.unified else 0,
         )
         assert int(kept) == self.N, (int(kept), self.N)
         self._K_act = K_act
@@ -607,11 +721,11 @@ class P3MRungSimulation:
         if t_mom < t1 - 1e-12 * abs(t1):
             dtype = state.pos.dtype
             int_pm = bg.integrals_np(t_mom, t1, keys=("a**(-1)",))["a**(-1)"]
-            state, _ = pm_kick_rungs(
+            state, _, _ = pm_kick_rungs(
                 state, self.mass, self.G, jnp.asarray(int_pm, dtype),
                 self.boxsize, self.mesh, jnp.asarray(self.scale, dtype),
                 k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
-                interpret=self.interpret,
+                interpret=self.interpret, unified=self.unified,
             )
         return state
 
@@ -766,11 +880,11 @@ class RungSimulationAdapter:
         if t_mom < t1 - 1e-12 * abs(t1):
             dtype = layout.pos.dtype
             int_pm = bg.integrals_np(t_mom, t1, keys=("a**(-1)",))["a**(-1)"]
-            layout, _ = pm_kick_rungs(
+            layout, _, _ = pm_kick_rungs(
                 layout, sim.mass, sim.G, jnp.asarray(int_pm, dtype),
                 sim.boxsize, sim.mesh, jnp.asarray(sim.scale, dtype),
                 k_pm=sim.k_pm, pm_max_overflow=sim.pm_max_overflow,
-                interpret=sim.interpret,
+                interpret=sim.interpret, unified=sim.unified,
             )
         flat = self._to_flat(layout)
         self._cached_flat = flat
