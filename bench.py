@@ -151,6 +151,46 @@ def bench_p3m_persistent(n_part=256):
     return (time.perf_counter() - t0) / n_iter
 
 
+def bench_p3m_unified(n_part=256, n_steps=4):
+    """PRODUCTION P³M: the unified-layout rung stepper (p3mrungs — what
+    run()/the CLI execute for p3m), base_step wall time at the jittered-
+    lattice state.  One full reach-2 pair sweep + the direct-cell PM
+    build per base step (uniform state ⇒ all particles rung 0)."""
+    import math
+
+    import numpy as np
+    from concept_tpu.p3mrungs import P3MRungSimulation
+    from concept_tpu.units import units, constants
+    from concept_tpu.cosmology.background import Background
+    from concept_tpu.components import particle_mass
+
+    H0 = 67 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.319)
+    box = n_part * 2 * units.Mpc
+    N = n_part**3
+    G = constants.G_Newton
+    mass = particle_mass(0.319, bg.rho_crit_of(G), box, N)
+    sim = P3MRungSimulation(n_part, box, mass, G, mesh=2 * n_part, bg=bg,
+                            N_rungs=8)
+    comps = _jittered_lattice_components(n_part, box)
+    mom = tuple(jnp.zeros((N,), jnp.float32) for _ in range(3))
+    state = sim.init_state(comps, mom)
+    t0h = float(bg.t_of_a_np(0.1))
+    dt = sim._timestep(0.1, 0.0)
+    state = sim.assign_initial_rungs(state, dt)
+    # warm the base-step compiles
+    state, vmax = sim.base_step(state, t0h, dt, t0h)
+    _ = float(state.pos[0, 0, 0])
+    t = t0h + dt
+    t_start = time.perf_counter()
+    for _ in range(n_steps):
+        dtn = min(sim._timestep(0.1, vmax / sim.mass), dt)
+        state, vmax = sim.base_step(state, t, dtn, t)
+        t += dtn
+    _ = float(state.pos[0, 0, 0])
+    return (time.perf_counter() - t_start) / n_steps
+
+
 def bench_pm_sustained(n_grid=256, a_end=0.12):
     """Sustained PM throughput on an EVOLVING (clustering) state: 2LPT ICs
     evolved to z = 1/a_end − 1, then the mean of the next 10 steps —
@@ -228,6 +268,8 @@ def main():
         return budget_s - (time.perf_counter() - t_start)
 
     extras = [
+        ("p3m_production_unified_256_updates_per_s",
+         lambda: 256**3 / bench_p3m_unified(256), 900),
         ("pm_sustained_clustered_256_updates_per_s",
          lambda: 256**3 / bench_pm_sustained(256), 900),
         ("p3m_step_persistent_256_updates_per_s",

@@ -159,32 +159,65 @@ def bucketize_rungs(px0, py0, pz0, mx0, my0, mz0, rungs0, ids0,
 def rebucketize_rungs(state: RungState, boxsize: float, nc: int,
                       capacity: int, n_total: int, NR: int,
                       mesh_cells: int = 0):
-    """Donating re-bucketize carrying rungs and ids (compact-first to
-    bound peak HBM, as p3msim._rebucketize_state).  Returns
-    (state, n_kept)."""
+    """Donating re-bucketize carrying rungs and ids.  Returns
+    (state, n_kept).
+
+    Sorts the M = K_old·C_old slot arrays DIRECTLY by the composite
+    (cell·NR + rung-rank) key with invalid slots keyed last, then takes
+    the leading N entries: one M-sized multi-operand sort (sorts run at
+    memory speed) replaces the previous compact-first formulation's
+    size-N nonzero + 8 compaction gathers — measured 2.5× faster at
+    50M slots (gathers are index-count-bound on TPU)."""
     K_old, C_old = state.valid.shape
     M = K_old * C_old
     C = nc**3
     N = n_total
+    K = capacity
     validf = state.valid.reshape(M)
-    src = jnp.nonzero(validf, size=N, fill_value=M - 1)[0]
     flat = state.pos.reshape(3, M)
     mflat = state.mom.reshape(3, M)
-    comps = [flat[d][src] for d in range(3)] + [mflat[d][src] for d in range(3)]
-    rung0 = state.rungs.reshape(M)[src]
-    ids0 = state.ids.reshape(M)[src]
-    cell = jnp.zeros((N,), jnp.int32)
-    for comp in comps[:3]:
-        cell = cell * nc + _cell_index(comp, nc, boxsize, mesh_cells)
-    arrs, valid, rung_layout, counts, n_kept = _column_layout(
-        cell, rung0, comps + [ids0], N, C, capacity, NR,
+    cell = jnp.zeros((M,), jnp.int32)
+    for d in range(3):
+        cell = cell * nc + _cell_index(flat[d], nc, boxsize, mesh_cells)
+    rungM = state.rungs.reshape(M).astype(jnp.int32)
+    key = jnp.where(validf, cell * NR + (NR - 1 - rungM), C * NR)
+    ops = jax.lax.sort(
+        [key, flat[0], flat[1], flat[2], mflat[0], mflat[1], mflat[2],
+         state.ids.reshape(M)],
+        num_keys=1,
     )
-    px, py, pz, mx, my, mz, idl = arrs
+    key_s = ops[0][:N]
+    arrs = [o[:N] for o in ops[1:]]
+    cell_s = key_s // NR
+    rung_s = (NR - 1 - (key_s % NR)).astype(jnp.int8)
+    n_kept = jnp.sum(key_s < C * NR)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), jnp.minimum(cell_s, C - 1),
+        num_segments=C, indices_are_sorted=True,
+    )
+    starts = jnp.cumsum(counts) - counts
+    rank = iota - starts[jnp.minimum(cell_s, C - 1)]
+    in_b = (rank < K) & (key_s < C * NR)
+    slot = jnp.where(in_b, rank * C + cell_s, K * C)
+
+    def scat(vals, fill=0):
+        return (
+            jnp.full((K * C,), fill, vals.dtype)
+            .at[slot].set(vals, mode="drop", unique_indices=True)
+            .reshape(K, C)
+        )
+
+    px, py, pz, mx, my, mz, idl = (scat(a) for a in arrs)
+    valid = (
+        jnp.arange(K, dtype=jnp.int32)[:, None]
+        < jnp.minimum(counts, K)[None, :]
+    )
     ids = jnp.where(valid, idl, -1)
     return RungState(
         pos=jnp.stack([px, py, pz]), mom=jnp.stack([mx, my, mz]),
-        valid=valid, rungs=jnp.where(valid, rung_layout, 0), ids=ids,
-    ), n_kept
+        valid=valid, rungs=jnp.where(valid, scat(rung_s), 0), ids=ids,
+    ), jnp.minimum(n_kept, jnp.sum(jnp.minimum(counts, K)))
 
 
 @partial(jax.jit, static_argnames=("boxsize", "nc", "NR", "mesh_cells"))
@@ -501,17 +534,27 @@ class P3MRungSimulation:
         if ids is None:
             ids = jnp.arange(N, dtype=jnp.int32)
         rungs = jnp.zeros((N,), jnp.int8)
-        while True:
-            state, kept = bucketize_rungs(
-                *(jnp.asarray(p) for p in pos),
-                *(jnp.asarray(m) for m in mom),
-                rungs, ids, boxsize=self.boxsize, nc=self.nc,
-                capacity=self.capacity, NR=self.NR,
-                mesh_cells=4 if self.unified else 0,
+        # size capacity from the measured max cell occupancy (one cheap
+        # device reduction) instead of doubling-until-fit: avoids both
+        # oversized layouts (sweep cost ∝ K²) and repeated bucketize
+        # compiles at rejected capacities
+        mc = 4 if self.unified else 0
+        cell = jnp.zeros((N,), jnp.int32)
+        for comp in pos:
+            cell = cell * self.nc + _cell_index(
+                jnp.asarray(comp), self.nc, self.boxsize, mc
             )
-            if int(kept) == N:
-                break
-            self.capacity = max(8, int(self.capacity * 2))
+        counts = jnp.zeros((self.nc**3,), jnp.int32).at[cell].add(1)
+        self.capacity = max(
+            self.capacity, _pad8(int(jnp.max(counts)), 1 << 30)
+        )
+        state, kept = bucketize_rungs(
+            *(jnp.asarray(p) for p in pos),
+            *(jnp.asarray(m) for m in mom),
+            rungs, ids, boxsize=self.boxsize, nc=self.nc,
+            capacity=self.capacity, NR=self.NR, mesh_cells=mc,
+        )
+        assert int(kept) == N, (int(kept), N)
         self._drift_used = 0.0
         return state
 

@@ -36,6 +36,56 @@ def test_kept_offsets_coverage():
         assert gap > cutoff + 2 * margin
 
 
+def test_pallas_reach_matches_xla_reach():
+    """sweep_pallas_pair_reach (interpret) vs the XLA reach _sweep_pair:
+    same offsets, same force law — per-slot accelerations must agree."""
+    import jax.numpy as jnp
+    from concept_tpu.forces.pallas_shortrange import (
+        sweep_pallas_pair_reach, kept_offsets as _ko,
+    )
+    from concept_tpu.forces.shortrange import _sweep_pair
+
+    nc, box = 6, 24.0
+    cw = box / nc
+    cutoff = (4.5 * 1.25 / 4.0) * cw
+    margin = 0.55 * cw / 4.0
+    K = 8
+    C = nc**3
+    rng = np.random.default_rng(2)
+    occ = 3
+    h = np.zeros((3, K, C), np.float32)
+    valid = np.zeros((K, C), bool)
+    cs = np.arange(C)
+    zc, yc, xc = cs % nc, (cs // nc) % nc, cs // (nc * nc)
+    for k in range(occ):
+        h[0, k] = (xc + rng.random(C)) * cw
+        h[1, k] = (yc + rng.random(C)) * cw
+        h[2, k] = (zc + rng.random(C)) * cw
+        valid[k] = True
+    hx, hy, hz = (jnp.asarray(h[d]) for d in range(3))
+    v = jnp.asarray(valid)
+    soft = 0.05 * cw
+    scale = 1.25 * cw / 4.0  # the P3M split scale (cutoff = 4.5*scale)
+    acc_p = sweep_pallas_pair_reach(
+        hx, hy, hz, v, hx, hy, hz, v, nc,
+        jnp.asarray(box, jnp.float32), jnp.asarray(scale, jnp.float32),
+        jnp.asarray(cutoff, jnp.float32), jnp.asarray(soft, jnp.float32),
+        cell_width=cw, margin=margin, reach=2, interpret=True,
+    )
+    offs = _ko(cw, cutoff, margin, 2)
+    acc_x = _sweep_pair(
+        hx, hy, hz, v, hx, hy, hz, v, nc,
+        jnp.asarray(box, jnp.float32), jnp.asarray(scale, jnp.float32),
+        jnp.asarray(cutoff, jnp.float32) ** 2,
+        jnp.asarray(soft, jnp.float32) ** 2, offsets_ext=offs,
+    )
+    ap, ax = np.asarray(acc_p), np.asarray(acc_x)
+    # normalized max error (the established pallas-vs-XLA sweep metric,
+    # tests/test_pallas_shortrange.py): absorbs the Chebyshev-screening
+    # fit and summation-order differences
+    assert np.abs(ap - ax).max() / np.abs(ax).max() < 1e-4
+
+
 @pytest.fixture(scope="module")
 def setup():
     h = 0.70
