@@ -414,24 +414,25 @@ def rung_substep(
 @partial(
     jax.jit,
     static_argnames=("boxsize", "mesh", "k_pm", "pm_max_overflow",
-                     "interpret", "unified"),
+                     "interpret", "cells_cb"),
     donate_argnums=(0,),
 )
 def pm_kick_rungs(state: RungState, mass, G, int_pm, boxsize: float,
                   mesh: int, scale, k_pm: int = 8,
                   pm_max_overflow: int = 262144, interpret: bool = False,
-                  unified: bool = False):
-    """Base-cadence PM long-range kick on the rung layout.  unified=True:
-    the slot layout IS the deposit layout (pm_gradient_cells — no
-    translation); else the shared block-binding pm_gradient_layout.
-    Off-TPU (interpret=True) the unified route falls back to the
-    layout-agnostic sort path — identical deposit→FFT→gather math, no
-    per-program interpret-mode kernel overhead in CI.
+                  cells_cb: int = 0):
+    """Base-cadence PM long-range kick on the rung layout.  cells_cb > 0
+    (unified layout, cells cells_cb mesh cells wide): the slot layout IS
+    the deposit layout (pm_gradient_cells — no translation); else the
+    shared block-binding pm_gradient_layout.  Off-TPU (interpret=True)
+    the unified route falls back to the layout-agnostic sort path —
+    identical deposit→FFT→gather math, no per-program interpret-mode
+    kernel overhead in CI.
     Returns (state, n_pm_overflow, mass_sum)."""
-    if unified and not interpret:
+    if cells_cb > 0 and not interpret:
         fd3, n_over, mass_sum = pm_gradient_cells(
             state.pos, state.valid, mass, G, scale, boxsize, mesh,
-            interpret=interpret,
+            cb=cells_cb, interpret=interpret,
         )
     else:
         fd3, n_over, mass_sum = pm_gradient_layout(
@@ -466,7 +467,8 @@ class P3MRungSimulation:
                  softening_kernel: str = "plummer",
                  fac_rung: float = 1.0,
                  rebucket_every_max: int = 64,
-                 unified: bool | None = None):
+                 unified: bool | None = None,
+                 unified_cb: int | None = None):
         self.N = n_part**3 if isinstance(n_part, int) else int(n_part)
         self.boxsize = boxsize
         self.mass = mass
@@ -484,24 +486,49 @@ class P3MRungSimulation:
         mesh_h = boxsize / self.mesh
         if unified is None:
             # auto: the unified layout's payoff is the TPU kernels; the
-            # CPU/CI path keeps the tight layout (its reach-2 XLA sweep
-            # is ~4× the offsets — physics equivalence is asserted by
-            # tests/test_unified_layout.py, which forces unified=True)
+            # CPU/CI path keeps the tight layout (physics equivalence is
+            # asserted by tests/test_unified_layout.py, which forces
+            # unified layouts explicitly)
             unified = (
-                self.mesh % 4 == 0 and self.mesh // 4 >= 5
+                self.mesh % 4 == 0 and self.mesh // 4 >= 3
                 and jax.default_backend() == "tpu"
             )
         self.unified = bool(unified)
-        if self.unified and (self.mesh % 4 or self.mesh // 4 < 5):
-            raise ValueError("unified layout needs mesh % 4 == 0, mesh ≥ 20")
         if self.unified:
-            self.nc = self.mesh // 4
-            self.cell_width = 4.0 * mesh_h
-            # one-sided drift tolerance: min(deposit halo 0.5·mesh_h,
-            # sweep pruning margin); the 0.45 budget rule then bounds
-            # the two-sided pair error identically to the tight layout
-            self.margin = 2.0 * min(0.5, UNIFIED_SWEEP_MARGIN) * mesh_h
+            # cell width: 8 mesh cells (4³ deposit blocks) when possible —
+            # wider than the cutoff (5.625·mesh_h), so the plain ±1-offset
+            # sweep applies and the per-column occupancy is high enough
+            # (mean 64 at mesh = 2·n_part) that the K-row padding waste
+            # stays ~(1.3)²; 4 mesh cells (reach-2 gap-pruned sweep)
+            # otherwise.  Measured at 256³/512: the 4-cell layout's
+            # mean-8 occupancy costs ~3× sweep time over this.
+            if unified_cb is not None:
+                assert unified_cb in (4, 8)
+                self.ucb = unified_cb
+                assert self.mesh % self.ucb == 0
+            elif self.mesh % 8 == 0 and self.mesh // 8 >= 3:
+                self.ucb = 8
+            elif self.mesh % 4 == 0 and self.mesh // 4 >= 5:
+                self.ucb = 4
+            else:
+                raise ValueError(
+                    "unified layout needs mesh % 8 == 0 (mesh ≥ 24) or "
+                    "mesh % 4 == 0 (mesh ≥ 20)"
+                )
+            self.nc = self.mesh // self.ucb
+            self.cell_width = float(self.ucb) * mesh_h
+            if self.ucb == 8:
+                # plain ±1 sweep: pair margin = cell − cutoff (as the
+                # tight layout); deposit halo allows ±0.5 mesh cells
+                self.margin = 2.0 * min(
+                    0.5 * mesh_h, 0.5 * (self.cell_width - self.cutoff)
+                )
+            else:
+                # reach-2 sweep: one-sided tolerance min(deposit halo
+                # 0.5·mesh_h, gap-pruning margin)
+                self.margin = 2.0 * min(0.5, UNIFIED_SWEEP_MARGIN) * mesh_h
         else:
+            self.ucb = 0
             self.nc = margin_cell_count(boxsize, self.cutoff, margin_frac)
             self.cell_width = boxsize / self.nc
             self.margin = self.cell_width - self.cutoff
@@ -538,7 +565,7 @@ class P3MRungSimulation:
         # device reduction) instead of doubling-until-fit: avoids both
         # oversized layouts (sweep cost ∝ K²) and repeated bucketize
         # compiles at rejected capacities
-        mc = 4 if self.unified else 0
+        mc = self.ucb
         cell = jnp.zeros((N,), jnp.int32)
         for comp in pos:
             cell = cell * self.nc + _cell_index(
@@ -572,7 +599,7 @@ class P3MRungSimulation:
             softening_kernel=self.softening_kernel, NR=self.NR,
             assign=True, dt_base=jnp.asarray(dt_base, state.pos.dtype),
             eps_rung=jnp.asarray(self.eps_rung, state.pos.dtype),
-            fac_rung=self.fac_rung, unified=self.unified,
+            fac_rung=self.fac_rung, unified=self.ucb == 4,
         )
         # the layout order is stale w.r.t. the new rungs: re-sort now
         state = self.rebucket(state)
@@ -593,7 +620,7 @@ class P3MRungSimulation:
             state, self.mass, self.G, jnp.asarray(int_pm, dtype),
             self.boxsize, self.mesh, jnp.asarray(self.scale, dtype),
             k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
-            interpret=self.interpret, unified=self.unified,
+            interpret=self.interpret, cells_cb=self.ucb,
         )
         if self.unified and not self.interpret:
             self._check_pm_mass(float(mass_sum))
@@ -646,7 +673,7 @@ class P3MRungSimulation:
                 fac_rung=self.fac_rung,
                 acc_cache=self._acc_cache if use_cache else None,
                 use_cache=use_cache, return_acc=last,
-                unified=self.unified,
+                unified=self.ucb == 4,
             )
             if last:
                 state, (K_act_new, v2), acc = out
@@ -700,7 +727,7 @@ class P3MRungSimulation:
             int(v) if i == 0 else np.asarray(v)
             for i, v in enumerate(occupancy_and_activity(
                 state, self.boxsize, self.nc, self.NR,
-                mesh_cells=4 if self.unified else 0,
+                mesh_cells=self.ucb,
             ))
         )
         need = max(8, ((max_count + 7) // 8) * 8)
@@ -708,7 +735,7 @@ class P3MRungSimulation:
             self.capacity = max(8, int(math.ceil(1.3 * need / 8)) * 8)
         new_state, kept = rebucketize_rungs(
             state, self.boxsize, self.nc, self.capacity, self.N, self.NR,
-            mesh_cells=4 if self.unified else 0,
+            mesh_cells=self.ucb,
         )
         assert int(kept) == self.N, (int(kept), self.N)
         self._K_act = K_act
@@ -768,7 +795,7 @@ class P3MRungSimulation:
                 state, self.mass, self.G, jnp.asarray(int_pm, dtype),
                 self.boxsize, self.mesh, jnp.asarray(self.scale, dtype),
                 k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
-                interpret=self.interpret, unified=self.unified,
+                interpret=self.interpret, cells_cb=self.ucb,
             )
         return state
 
@@ -927,7 +954,7 @@ class RungSimulationAdapter:
                 layout, sim.mass, sim.G, jnp.asarray(int_pm, dtype),
                 sim.boxsize, sim.mesh, jnp.asarray(sim.scale, dtype),
                 k_pm=sim.k_pm, pm_max_overflow=sim.pm_max_overflow,
-                interpret=sim.interpret, unified=sim.unified,
+                interpret=sim.interpret, cells_cb=sim.ucb,
             )
         flat = self._to_flat(layout)
         self._cached_flat = flat

@@ -583,7 +583,7 @@ def _pm_gradient_layout_mapped(pos3, valid, mass, G, scale, boxsize: float,
 
 
 def pm_gradient_cells(pos3, valid, mass, G, scale, boxsize: float,
-                      mesh: int, interpret: bool = False):
+                      mesh: int, cb: int = 4, interpret: bool = False):
     """Unified-layout PM potential gradient: the short-range (K, C) slot
     layout IS the deposit layout (cells are exactly 4 mesh cells wide,
     C = (mesh/4)³, cell ids x-major z-fastest — shortrange.bucketize
@@ -604,8 +604,8 @@ def pm_gradient_cells(pos3, valid, mass, G, scale, boxsize: float,
 
     K, C = valid.shape
     n = mesh
-    assert n % 4 == 0
-    nc = n // 4
+    assert n % cb == 0
+    nc = n // cb
     assert C == nc**3, (C, nc)
     dtype = pos3.dtype
     h = boxsize / n
@@ -625,7 +625,7 @@ def pm_gradient_cells(pos3, valid, mass, G, scale, boxsize: float,
         pad = ((0, 0), (0, Cp - C))
         px, py, pz, wv = (jnp.pad(a, pad) for a in (px, py, pz, wv))
     grid = deposit_pallas_cells(
-        px, py, pz, wv * mass, n, boxsize, cb=4, nchunks=nchunks,
+        px, py, pz, wv * mass, n, boxsize, cb=cb, nchunks=nchunks,
         interpret=interpret,
     )
     mass_sum = jnp.sum(grid)
@@ -637,7 +637,7 @@ def pm_gradient_cells(pos3, valid, mass, G, scale, boxsize: float,
         irfft3(fourier.fourier_diff(phi, n, boxsize, d), n) for d in range(3)
     )
     fds = gather_pallas_cells(
-        px, py, pz, wv, grads, n, boxsize, cb=4, nchunks=nchunks,
+        px, py, pz, wv, grads, n, boxsize, cb=cb, nchunks=nchunks,
         interpret=interpret,
     )
     fd3 = jnp.stack([fd[:, :C] for fd in fds])

@@ -106,11 +106,11 @@ def setup():
     return dict(bg=bg, box=box, G=G, N=N, mass=mass, pos=pos, mom=mom)
 
 
-def _evolve(s, unified, a_end=0.05):
+def _evolve(s, unified, a_end=0.05, cb=None):
     sim = P3MRungSimulation(
         8, s["box"], s["mass"], s["G"], mesh=32, bg=s["bg"], N_rungs=4,
         softening=0.03 * s["box"] / 8, softening_kernel="spline",
-        unified=unified,
+        unified=unified, unified_cb=cb,
     )
     assert sim.unified == unified
     st = sim.init_state(
@@ -124,12 +124,13 @@ def _evolve(s, unified, a_end=0.05):
     return np.asarray(p)[o], np.asarray(m)[o]
 
 
-def test_unified_matches_legacy_layout(setup):
+@pytest.mark.parametrize("cb", [4, 8])
+def test_unified_matches_legacy_layout(setup, cb):
     s = setup
-    p_u, m_u = _evolve(s, unified=True)
+    p_u, m_u = _evolve(s, unified=True, cb=cb)
     p_l, m_l = _evolve(s, unified=False)
     dx = p_u - p_l
     dx -= s["box"] * np.round(dx / s["box"])
     mean_disp = np.mean(np.sqrt((dx**2).sum(1))) / s["box"]
     # same force law, different summation order: far below physical tols
-    assert mean_disp < 2e-4, mean_disp
+    assert mean_disp < 2e-4, (cb, mean_disp)
