@@ -1,0 +1,88 @@
+"""Device-count invariance of the PRODUCTION persistent rung stepper
+(the reference's nprocs_p3m analogue, test/nprocs_p3m/analyze.py:122,
+tol 2e-2 — VERDICT r2 item 3: the persistent P³M stepper had no
+device-count invariance assertion).
+
+The (K, C) slot layout is sharded along the cell axis (C = nc³,
+x-major cell ids ⇒ contiguous x-slabs per device); every stepper op is
+GSPMD-compatible (multi-operand sorts, roll-based neighbor sweeps,
+distributed-friendly FFT, segment sums), so XLA inserts the halo
+collectives.  The 8-virtual-device evolution must match the
+single-device one bitwise-closely (same arithmetic, different
+partitioning)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from concept_tpu.units import units, constants
+from concept_tpu.cosmology.background import Background
+from concept_tpu.components import particle_mass
+from concept_tpu.p3mrungs import P3MRungSimulation, RungState, extract_flat
+
+TOL = 2e-2  # reference test/nprocs_p3m/analyze.py:122
+
+
+def _shard_state(state: RungState, n_dev: int):
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    sh2 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "x")
+    )
+    sh3 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, "x")
+    )
+    return RungState(
+        pos=jax.device_put(state.pos, sh3),
+        mom=jax.device_put(state.mom, sh3),
+        valid=jax.device_put(state.valid, sh2),
+        rungs=jax.device_put(state.rungs, sh2),
+        ids=jax.device_put(state.ids, sh2),
+    )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_rung_stepper_device_count_invariance():
+    h = 0.70
+    H0 = 70 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.30)
+    box = 8 * units.Mpc / h
+    G = constants.G_Newton
+    N = 8**3
+    mass = particle_mass(0.30, bg.rho_crit_of(G), box, N)
+    rng = np.random.default_rng(9)
+    lin = (np.arange(8, dtype=np.float32) + 0.5) * (box / 8)
+    pos = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
+    pos = np.mod(
+        pos + 0.2 * (box / 8) * rng.standard_normal(pos.shape).astype(np.float32),
+        box,
+    ).astype(np.float32)
+    mom = np.zeros((N, 3), np.float32)
+
+    results = {}
+    for n_dev in (1, 8):
+        # unified 8-mesh-cell layout: C = (32/8)³ = 64 cells — divisible
+        # by the device count, x-major ids ⇒ contiguous x-slabs
+        sim = P3MRungSimulation(
+            8, box, mass, G, mesh=32, bg=bg, N_rungs=4,
+            softening=0.03 * box / 8, softening_kernel="spline",
+            unified=True, unified_cb=8,
+        )
+        st = sim.init_state(
+            tuple(jnp.asarray(pos[:, d]) for d in range(3)),
+            tuple(jnp.asarray(mom[:, d]) for d in range(3)),
+        )
+        if n_dev > 1:
+            st = _shard_state(st, n_dev)
+        st = sim.evolve(st, float(bg.t_of_a_np(0.02)),
+                        float(bg.t_of_a_np(0.05)))
+        p, m, ids = extract_flat(st, N)
+        o = np.argsort(np.asarray(ids))
+        results[n_dev] = np.asarray(p)[o]
+
+    dx = results[8] - results[1]
+    dx -= box * np.round(dx / box)
+    mean_disp = np.mean(np.sqrt((dx**2).sum(1))) / box
+    assert mean_disp <= TOL, mean_disp
+    # same arithmetic, different partitioning: expect near-bitwise
+    assert mean_disp < 1e-5, mean_disp
