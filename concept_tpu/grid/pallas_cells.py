@@ -45,7 +45,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 LANES = 128
-CH_DEP = 8  # deposit-kernel slot-row chunk (bounds the one-hot VMEM peak)
+
+
+def _dep_chunk(K: int, L: int) -> int:
+    """Deposit-kernel slot-row chunk: the (CH, L, LANES) one-hot
+    broadcast is the VMEM peak — keep it ≤ ~2 MB (CH·L·LANES·4 B),
+    and CH must divide K (capacities are multiples of 8)."""
+    for ch in (8, 4, 2, 1):
+        if K % ch == 0 and ch * L * LANES * 4 <= (2 << 20):
+            return ch
+    return 1
 
 
 # --------------------------------------------------------------------- #
@@ -150,26 +159,26 @@ def _corner_w(f, c):
 
 
 def _deposit_kernel_cells(col0_ref, px_ref, py_ref, pz_ref, w_ref, out_ref,
-                          *, nc: int, cb: int, inv_h: float):
+                          *, nc: int, cb: int, inv_h: float, ch: int):
     ldim = cb + 2
     L = ldim**3
     K = px_ref.shape[0]
     pid = pl.program_id(0)
     base = pid * LANES + col0_ref[0, 0]
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
-    c1 = base + jax.lax.broadcasted_iota(jnp.int32, (CH_DEP, LANES), 1)
+    c1 = base + jax.lax.broadcasted_iota(jnp.int32, (ch, LANES), 1)
     out_ref[...] = jnp.zeros((L, LANES), w_ref.dtype)
 
-    # chunk the slot rows: the (CH, L, LANES) one-hot broadcast is the
-    # VMEM peak (~CH·L·LANES·4 B per corner) — CH_DEP=8 keeps it <1 MB
-    # where a full-K broadcast at K=32+ would blow the scoped VMEM
+    # chunk the slot rows: the (ch, L, LANES) one-hot broadcast is the
+    # VMEM peak (~ch·L·LANES·4 B per corner) — a full-K broadcast at
+    # K=32+ would blow the scoped VMEM (see _dep_chunk)
     def body(ci, _):
-        s = pl.multiple_of(ci * CH_DEP, CH_DEP)
+        s = pl.multiple_of(ci * ch, ch)
         lidx, fx, fy, fz, in_halo = _cell_geometry(
-            px_ref[pl.ds(s, CH_DEP), :], py_ref[pl.ds(s, CH_DEP), :],
-            pz_ref[pl.ds(s, CH_DEP), :], c1, nc, cb, inv_h,
+            px_ref[pl.ds(s, ch), :], py_ref[pl.ds(s, ch), :],
+            pz_ref[pl.ds(s, ch), :], c1, nc, cb, inv_h,
         )
-        qv = w_ref[pl.ds(s, CH_DEP), :] * in_halo.astype(w_ref.dtype)
+        qv = w_ref[pl.ds(s, ch), :] * in_halo.astype(w_ref.dtype)
         acc = jnp.zeros((L, LANES), qv.dtype)
         for cxs in (0, 1):
             for cys in (0, 1):
@@ -190,7 +199,7 @@ def _deposit_kernel_cells(col0_ref, px_ref, py_ref, pz_ref, w_ref, out_ref,
         out_ref[...] += acc
         return 0
 
-    jax.lax.fori_loop(0, K // CH_DEP, body, 0)
+    jax.lax.fori_loop(0, K // ch, body, 0)
 
 
 def _gather_kernel_cells(col0_ref, px_ref, py_ref, pz_ref, w_ref, *refs,
@@ -255,7 +264,6 @@ def deposit_pallas_cells(px, py, pz, w, gridsize: int, boxsize: float,
     L = ldim**3
     C = nc**3
     K, Cp = w.shape
-    assert K % CH_DEP == 0, f"capacity {K} must be a multiple of {CH_DEP}"
     assert Cp % LANES == 0 and Cp >= C
     assert nchunks == 1 or (Cp == C and nc % nchunks == 0)
     ncx = nc // nchunks
@@ -263,7 +271,8 @@ def deposit_pallas_cells(px, py, pz, w, gridsize: int, boxsize: float,
     inv_h = float(n / boxsize)
     S = jnp.asarray(_cell_selection(cb, nc, n), w.dtype)
     Sband = jnp.asarray(_band_selection_cells(cb, ncx), w.dtype)
-    kern = partial(_deposit_kernel_cells, nc=nc, cb=cb, inv_h=inv_h)
+    kern = partial(_deposit_kernel_cells, nc=nc, cb=cb, inv_h=inv_h,
+                   ch=_dep_chunk(K, L))
     sb = pl.BlockSpec((1, 1), lambda i: (0, 0))
     kb = pl.BlockSpec((K, LANES), lambda i: (0, i))
     lb = pl.BlockSpec((L, LANES), lambda i: (0, i))

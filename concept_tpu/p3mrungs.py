@@ -30,9 +30,16 @@ TPU-native design (this module):
     (which sweeps everyone, kmin = 0) from the freshly computed
     short-range acceleration — no extra assignment sweep (the reference
     reuses the kick acceleration the same way).
-  * the PM long range kicks at the base cadence through the shared
-    pm_gradient_layout (p3msim), centered leapfrog-style by the host's
-    straddling integral.
+  * the PM long range kicks at the base cadence, centered
+    leapfrog-style by the host's straddling integral.  On TPU the
+    stepper defaults to the UNIFIED layout: cells exactly 8 mesh cells
+    wide (= 4³ deposit blocks), so the PM deposit and force gather run
+    DIRECTLY on the sweep's slot arrays (p3msim.pm_gradient_cells /
+    grid/pallas_cells) with no per-step layout translation — the
+    round-2 block-binding path's dominant cost.  A 4-mesh-cell variant
+    (unified_cb=4) swaps the plain ±1 sweep for reach-2 gap-pruned
+    offsets; the tight cutoff-wide layout (unified=False) remains the
+    CPU/CI default and shares all rung machinery.
 
 Kick staggering: rung k (span s_k substeps) kicks at every boundary i
 with i mod s_k == 0, covering the STRADDLING integral
@@ -66,8 +73,8 @@ from concept_tpu.p3msim import (
 
 FAC_SOFTENING = 0.025  # reference main.py:2433 Δt_rung_factor base
 
-# Unified 4-mesh-cell layout (cells = 2×2×2 deposit blocks; sweep reach 2
-# with box-gap offset pruning): the sweep margin, in mesh cells, entering
+# Unified 4-mesh-cell variant (unified_cb=4; sweep reach 2 with box-gap
+# offset pruning): the sweep margin, in mesh cells, entering
 # pallas_shortrange.kept_offsets.  One-sided drift tolerance is
 # min(0.5 mesh cells [deposit halo], this) — see needs_rebucket.
 UNIFIED_SWEEP_MARGIN = 0.55

@@ -633,9 +633,14 @@ def pm_gradient_cells(pos3, valid, mass, G, scale, boxsize: float,
     phi = gravity_potential_slab(
         slab, n, boxsize, G, deconv_order=4, longrange_scale=scale
     )
-    grads = tuple(
-        irfft3(fourier.fourier_diff(phi, n, boxsize, d), n) for d in range(3)
+    # one batched inverse FFT for all three gradient components (the
+    # TPU FFT handles the batch dim in one pass — measured faster than
+    # three sequential irfft3 calls)
+    slabs = jnp.stack(
+        [fourier.fourier_diff(phi, n, boxsize, d) for d in range(3)]
     )
+    grads_b = jnp.fft.irfftn(slabs, s=(n, n, n), axes=(-3, -2, -1))
+    grads = tuple(grads_b[d] for d in range(3))
     fds = gather_pallas_cells(
         px, py, pz, wv, grads, n, boxsize, cb=cb, nchunks=nchunks,
         interpret=interpret,
