@@ -400,15 +400,75 @@ def _flatten(obj):
 # is_selected semantics used throughout)
 # --------------------------------------------------------------------- #
 def is_selected(spec, selector: dict, default=None):
-    """Match a ComponentSpec against a selector dict whose keys may be a
-    component name, species, 'all', or tuples thereof."""
+    """Match a ComponentSpec (or a SEQUENCE of them) against a selector
+    dict — reference commons.py:5471 is_selected semantics:
+
+    Single component: keys matched with precedence (higher wins)
+      'default' < 'all' < representation < species part < species < name,
+    case-insensitively; a str key that matches nothing directly is tried
+    as a full regular-expression match against each attribute.
+
+    Component combination (tuple/list of specs): keys that are
+    tuples/sets are matched as SETS of names/species/representations
+    covering exactly the given components; 'all combinations' is the
+    wildcard (reference powerspec_select pair keys etc.)."""
     if not isinstance(selector, dict):
         return selector
-    keys = [spec.name, spec.species, getattr(spec, "representation", None), "all"]
+    import re
+
+    if isinstance(spec, (tuple, list)):
+        specs = list(spec)
+        attr_sets = []
+        for attr in ("name", "species", "representation"):
+            vals = {str(getattr(s, attr, "") or "").lower() for s in specs}
+            attr_sets.append(vals)
+        best = None  # (precedence, value)
+        for key, val in selector.items():
+            if isinstance(key, (tuple, list, set, frozenset)):
+                kset = {str(k).lower() for k in key}
+                for prec, vals in ((4, attr_sets[0]), (3, attr_sets[1]),
+                                   (2, attr_sets[2])):
+                    if kset == vals and (best is None or prec > best[0]):
+                        best = (prec, val)
+            elif str(key).lower() == "all combinations":
+                if best is None or 1 > best[0]:
+                    best = (1, val)
+            elif str(key).lower() == "default":
+                if best is None or 0 > best[0]:
+                    best = (0, val)
+        return best[1] if best is not None else default
+
+    name = str(spec.name or "").lower()
+    species = str(spec.species or "").lower()
+    parts = [p.strip() for p in species.split("+")]
+    rep = str(getattr(spec, "representation", "") or "").lower()
+    # precedence: higher index wins
+    ladder = (["default", "all", rep] + ([] if len(parts) < 2 else parts)
+              + [species, name])
+    best = None
     for key, val in selector.items():
-        if isinstance(key, tuple):
-            if spec.name in key or spec.species in key:
-                return val
-        elif key in keys:
-            return val
-    return default
+        if isinstance(key, (tuple, list, set, frozenset)):
+            kl = {str(k).lower() for k in key}
+            # any-of shorthand for single components (established usage)
+            if name in kl or species in kl:
+                prec = ladder.index(name) if name in kl else ladder.index(species)
+                if best is None or prec > best[0]:
+                    best = (prec, val)
+            continue
+        k = str(key).lower()
+        prec = None
+        if k in ladder:
+            prec = len(ladder) - 1 - ladder[::-1].index(k)  # last occurrence
+        else:
+            # regex fallback (reference: full-string match per attribute)
+            try:
+                pat = re.compile(k)
+            except re.error:
+                continue
+            for i, attr in enumerate(ladder[2:], start=2):
+                if attr and pat.fullmatch(attr):
+                    prec = i
+                    break
+        if prec is not None and (best is None or prec > best[0]):
+            best = (prec, val)
+    return best[1] if best is not None else default

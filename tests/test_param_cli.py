@@ -234,3 +234,38 @@ initial_conditions = {'species': 'matter', 'N': 8**3}
 """)
     assert cfg.potential_options["gridsize_per_method"] == {"pm": 40, "p3m": 160}
     assert cfg.potential_options["gridsize"] == 160
+
+
+def test_is_selected_reference_semantics():
+    """Reference commons.py:5471 is_selected: precedence ladder
+    ('default' < 'all' < representation < species part < species <
+    name), case-insensitive + regex fallback, and component-COMBINATION
+    keys matched as sets with the 'all combinations' wildcard (the
+    pair-selector form, e.g. powerspec_select[('a', 'b')])."""
+    from concept_tpu.param import is_selected
+
+    class S:
+        def __init__(self, name, species, rep="particles"):
+            self.name, self.species, self.representation = name, species, rep
+
+    m = S("matter", "matter")
+    nu = S("nu", "neutrino", "fluid")
+    assert is_selected(m, {"all": 1, "matter": 2}) == 2
+    assert is_selected(nu, {"all": 1, "neutrino": 3, "nu": 4}) == 4
+    assert is_selected(m, {"default": 0, "all": 1}) == 1
+    assert is_selected(m, {"default": 7}, default=None) == 7
+    assert is_selected(nu, {"neutr.*": 5}) == 5
+    assert is_selected(m, {"neutr.*": 5}, default=-1) == -1
+    assert is_selected(nu, {"fluid": 6}) == 6
+    assert is_selected((m, nu), {("matter", "nu"): 11}) == 11
+    assert is_selected((m, nu), {("matter", "neutrino"): 12}) == 12
+    assert is_selected((m, nu), {"all combinations": 13}) == 13
+    assert is_selected((m, nu), {("matter", "other"): 14}, default=-2) == -2
+    assert is_selected(
+        (m, nu),
+        {"all combinations": 1, ("matter", "neutrino"): 2,
+         ("matter", "nu"): 3},
+    ) == 3
+    cb = S("cb", "cdm+baryon")
+    assert is_selected(cb, {"cdm": 21}) == 21
+    assert is_selected(cb, {"cdm+baryon": 22, "cdm": 21}) == 22
