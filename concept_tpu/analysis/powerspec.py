@@ -154,6 +154,41 @@ def delta_power_grid(
     )
 
 
+def grid_powerspec(delta, boxsize: float, n_particles: int | None = None):
+    """P(k) of a real-space δ grid (fluid components and combined-set
+    spectra; same estimator/binning as :func:`powerspec`).  Shot noise
+    V/n_particles subtracted into 'power_corrected' when given."""
+    from concept_tpu.grid.fft import rfft3
+
+    n = delta.shape[0]
+    V = boxsize**3
+    slab = rfft3(delta)
+    p2 = jnp.abs(slab) ** 2
+    bins, k_phys, nbins = bin_indices_and_k(n, boxsize)
+    mult = jnp.broadcast_to(fourier.hermitian_multiplicity(n), p2.shape)
+    bflat = jnp.clip(bins, 0, nbins).reshape(-1)
+    wsum = jax.ops.segment_sum(
+        (mult * p2).reshape(-1), bflat, num_segments=nbins + 1
+    )[:nbins]
+    counts = jax.ops.segment_sum(
+        mult.reshape(-1), bflat, num_segments=nbins + 1
+    )[:nbins]
+    ksum = jax.ops.segment_sum(
+        (mult * k_phys).reshape(-1), bflat, num_segments=nbins + 1
+    )[:nbins]
+    counts_np = np.asarray(counts)
+    sel = counts_np > 0
+    sel[0] = False
+    out = {
+        "k": np.asarray(ksum / jnp.maximum(counts, 1))[sel],
+        "modes": counts_np[sel],
+        "power": (V / n**6) * np.asarray(wsum / jnp.maximum(counts, 1))[sel],
+    }
+    if n_particles:
+        out["power_corrected"] = out["power"] - V / n_particles
+    return out
+
+
 def powerspec(
     pos_list,
     weight_list,

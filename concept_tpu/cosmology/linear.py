@@ -163,6 +163,18 @@ class LinearCosmology:
         aHf = jnp.asarray(a) * self.bg.hubble(a) * self.bg.growth("f1", a)
         return -aHf * self.transfer_delta(k, a, species)
 
+    def transfer_sigma(self, k, a, species: str = "nu"):
+        """Anisotropic-stress (shear) transfer σ(k, a) per unit ζ, from
+        the installed Boltzmann tables (CLASS/EB velocity-potential
+        convention); None without species-resolved tables (the analytic
+        EH layer carries no σ — reference always sources σ from CLASS,
+        linear.py:2877)."""
+        if self.tables is not None:
+            key = _species_key(species)
+            if self.tables.has(key, "sigma"):
+                return self.tables.interp(key, "sigma", jnp.asarray(k), a)
+        return None
+
     def power_delta(self, k, a, species: str = "matter"):
         """Linear power spectrum P(k, a) (internal units³)."""
         T = self.transfer_delta(k, a, species)

@@ -217,6 +217,62 @@ def realize_delta_slab(
     return jax.jit(_core)()
 
 
+def realize_sigma_grids(
+    lin,
+    gridsize: int,
+    boxsize: float,
+    a: float,
+    rho_plus_P: float,
+    seed: int = 0,
+    dist: GridDistribution | None = None,
+    dtype=jnp.float32,
+    species: str = "nu",
+):
+    """Realize the shear tensor ςⁱⱼ = (ϱ̄ + c⁻²𝒫̄)·σⁱⱼ from the linear σ
+    transfer function (reference ic.py:670 realize_grid rank-2 kernel
+    K(k⃗) = (3/2)(δⁱⱼ/3 − kⁱkⱼ/k²), ic.py:466 ς scaling).
+
+    Uses the same counter-based primordial noise as realize_delta_slab
+    (same seed ⇒ shared phases with the component's δ/J realizations).
+    rho_plus_P: the ϱ̄(1 + w)-like prefactor.  Returns packed
+    (6, n, n, n) components (xx, xy, xz, yy, yz, zz), or None when the
+    linear layer has no σ tables (analytic EH backend)."""
+    Tsig = getattr(lin, "transfer_sigma", None)
+    if Tsig is None or Tsig(jnp.asarray([1.0]), a, species) is None:
+        return None
+    n = gridsize
+    V = boxsize**3
+    pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+    def _core():
+        R = generate_primordial_noise(n, seed, False, 0.0, dist, dtype,
+                                      "simple")
+        kmag = _k_magnitude_grid(n, boxsize, dtype)
+        kmag_safe = jnp.where(kmag > 0, kmag, 1.0)
+        sig = Tsig(kmag_safe, a, species)
+        amp = (
+            jnp.asarray(sig, dtype)
+            * lin.primordial.zeta_amplitude(kmag_safe)
+            * math.sqrt(n**3 / V)
+        )
+        base_k = jnp.where(kmag > 0, R * amp, 0.0)
+        kfac = 2 * math.pi / boxsize
+        kvecs = [
+            fourier.k_int_vectors(n)[d].astype(dtype) * kfac for d in range(3)
+        ]
+        inv_k2 = jnp.where(kmag > 0, 1.0 / kmag_safe**2, 0.0)
+        grids = []
+        for (i, j) in pairs:
+            delta_ij = 1.0 if i == j else 0.0
+            Kij = 1.5 * (delta_ij / 3.0 - kvecs[i] * kvecs[j] * inv_k2)
+            grids.append(irfft3(Kij * base_k, n, dist))
+        return rho_plus_P * jnp.stack(grids).astype(dtype)
+
+    if _tracing():
+        return _core()
+    return jax.jit(_core)()
+
+
 def displacement_from_delta(delta_slab, gridsize: int, boxsize: float, dist=None):
     """ψ_d(x) grids from δ(k): ψ(k) = i k_d/k² δ(k).  Returns (3,n,n,n)."""
     n = gridsize

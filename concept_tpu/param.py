@@ -49,6 +49,7 @@ class RunConfig:
     potential_options: dict = field(default_factory=dict)
     shortrange_params: dict = field(default_factory=dict)
     powerspec_options: dict = field(default_factory=dict)
+    powerspec_select: dict = field(default_factory=lambda: {"all": True})
     bispec_options: dict = field(default_factory=dict)
     ewald_gridsize: int = 64
     # input/output
@@ -231,6 +232,7 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     )
     cfg.shortrange_params = raw.get("shortrange_params", {})
     cfg.powerspec_options = raw.get("powerspec_options", {}) if isinstance(raw.get("powerspec_options", {}), dict) else {"gridsize": raw.get("powerspec_options")}
+    cfg.powerspec_select = raw.get("powerspec_select", {"all": True})
     cfg.bispec_options = raw.get("bispec_options", {})
     cfg.ewald_gridsize = int(raw.get("ewald_gridsize", 64))
     # io

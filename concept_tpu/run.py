@@ -706,41 +706,80 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
     dirname = cfg.output_dirs.get(kind, "output")
     tag = f"a={a:.4g}"
     if kind == "powerspec":
-        from concept_tpu.analysis.powerspec import powerspec
+        from concept_tpu.analysis.powerspec import powerspec, grid_powerspec
         from concept_tpu.analysis.output import save_powerspec_txt
+
+        def _sel_on(val):
+            if isinstance(val, dict):
+                return bool(val.get("data", True))
+            return bool(val)
 
         for name, pstate in state.particles.items():
             spec = sim.pspecs[name]
+            if not _sel_on(is_selected(spec, cfg.powerspec_select,
+                                       default=True)):
+                continue
             gridsize = sim.config.potential_gridsize
             pk = powerspec([pstate.pos], [1.0], gridsize, cfg.boxsize, spec.N)
             fn = os.path.join(dirname, f"{base}_{name}_{tag}.txt")
             save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length)
             masterprint(f"Saved power spectrum ({name}): {fn}")
+
+        # component-COMBINATION spectra (reference powerspec_select set
+        # keys / 'all combinations', analysis.py: the combined
+        # mass-weighted density field's P(k)): pairs of components whose
+        # combination is selected get a joint spectrum
+        import itertools
+
+        from concept_tpu.grid.interp import deposit
+
+        all_specs = {**sim.pspecs, **sim.fspecs}
+        names = list(all_specs)
+        for na, nb in itertools.combinations(names, 2):
+            sel = is_selected(
+                (all_specs[na], all_specs[nb]), cfg.powerspec_select,
+                default=False,
+            )
+            if not _sel_on(sel):
+                continue
+            gridsize = sim.config.potential_gridsize
+
+            cell_volume = (cfg.boxsize / gridsize) ** 3
+
+            def _rho_grid(nm):
+                # comoving density on the shared mesh: particle CIC
+                # deposit (mass/cell ÷ cell volume) or the fluid's ϱ grid,
+                # harmonically rescaled onto the common gridsize when the
+                # fluid lives on a different mesh (fourier.copy_modes)
+                if nm in state.particles:
+                    sp = sim.pspecs[nm]
+                    return deposit(state.particles[nm].pos, sp.mass,
+                                   gridsize, cfg.boxsize,
+                                   order=2) / cell_volume
+                g = state.fluids[nm].varrho
+                if g.shape[0] != gridsize:
+                    from concept_tpu.grid.fft import rfft3, irfft3
+                    from concept_tpu.grid import fourier as _f
+
+                    slab = _f.copy_modes(rfft3(g), g.shape[0], gridsize)
+                    g = irfft3(slab, gridsize)
+                return g
+
+            ga, gb = _rho_grid(na), _rho_grid(nb)
+            tot = ga + gb
+            delta = tot / jnp.mean(tot) - 1.0
+            pk = grid_powerspec(delta, cfg.boxsize)
+            fn = os.path.join(dirname, f"{base}_{na}+{nb}_{tag}.txt")
+            save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length)
+            masterprint(f"Saved combined power spectrum ({na}+{nb}): {fn}")
         for name, f in state.fluids.items():
+            spec = sim.fspecs[name]
+            if not _sel_on(is_selected(spec, cfg.powerspec_select,
+                                       default=True)):
+                continue
             # fluid δ power directly from the grid
-            from concept_tpu.grid.fft import rfft3
-            from concept_tpu.grid import fourier as _fourier
-            import jax
-
             delta = f.varrho / jnp.mean(f.varrho) - 1.0
-            slab = rfft3(delta)
-            n = delta.shape[0]
-            from concept_tpu.analysis.powerspec import bin_indices_and_k
-
-            bins, k_phys, nbins = bin_indices_and_k(n, cfg.boxsize)
-            mult = jnp.broadcast_to(_fourier.hermitian_multiplicity(n), slab.shape)
-            p2 = jnp.abs(slab) ** 2
-            bflat = jnp.clip(bins, 0, nbins).reshape(-1)
-            wsum = jax.ops.segment_sum((mult * p2).reshape(-1), bflat, num_segments=nbins + 1)[:nbins]
-            counts = jax.ops.segment_sum(mult.reshape(-1), bflat, num_segments=nbins + 1)[:nbins]
-            ksum = jax.ops.segment_sum((mult * k_phys).reshape(-1), bflat, num_segments=nbins + 1)[:nbins]
-            sel = np.asarray(counts) > 0
-            sel[0] = False
-            pk = {
-                "k": np.asarray(ksum / jnp.maximum(counts, 1))[sel],
-                "modes": np.asarray(counts)[sel],
-                "power": (cfg.boxsize**3 / n**6) * np.asarray(wsum / jnp.maximum(counts, 1))[sel],
-            }
+            pk = grid_powerspec(delta, cfg.boxsize)
             fn = os.path.join(dirname, f"{base}_{name}_{tag}.txt")
             save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length)
             masterprint(f"Saved fluid power spectrum ({name}): {fn}")

@@ -274,7 +274,21 @@ class MultiSimulation:
                     FluidState(varrho=f.varrho, J=None,
                                P=f.P, sigma=None),
                     want_J=False)
-                new_fluids[name] = f._replace(P=lin_state.P)
+                # linear ς closure: re-realized continuously from the
+                # σ tables (reference species.py:914-915 'linear ς')
+                from concept_tpu.ic import realize_sigma_grids
+
+                sigma = realize_sigma_grids(
+                    self.lin, f.varrho.shape[0], self.config.boxsize, a,
+                    self._fluid_rho_mean(name) * (1.0 + w[name]),
+                    seed=self._fluid_seeds.get(name, 0),
+                    dtype=self.config.dtype,
+                    species=fluid_species_key(spec.species),
+                )
+                new_fluids[name] = f._replace(
+                    P=lin_state.P,
+                    sigma=sigma if sigma is not None else f.sigma,
+                )
         return MultiState(particles=state.particles, fluids=new_fluids)
 
     def _apply_internal_sources(self, state: MultiState, decay_fac: dict,
@@ -803,4 +817,15 @@ def realize_fluid_from_linear(lin, spec: ComponentSpec, boxsize: float, a,
     varrho, J, P = _core(delta_k, spec.boltzmann_order > -1)
     if spec.boltzmann_order <= -1:
         return FluidState(varrho=varrho, J=None, P=None)
-    return FluidState(varrho=varrho, J=J, P=P)
+    sigma = None
+    if spec.boltzmann_order >= 1:
+        # linear shear ς = ϱ̄(1+w)σⁱⱼ from the Boltzmann tables (order 1
+        # 'class' closure re-realizes it continuously; order ≥ 2 keeps
+        # this IC realization frozen — reference species.py:880-928)
+        from concept_tpu.ic import realize_sigma_grids
+
+        sigma = realize_sigma_grids(
+            lin, n, boxsize, a, rho_mean * (1.0 + w), seed=seed,
+            dtype=dtype, species=species,
+        )
+    return FluidState(varrho=varrho, J=J, P=P, sigma=sigma)

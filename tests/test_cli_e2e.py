@@ -48,10 +48,14 @@ def test_example_nonlinnu_shrunk_runs(tmp_path):
         "-c", "output_times={'powerspec': [0.04]}",
         "-c", "boltzmann_options={'modes_per_decade':3,'rtol':1e-4,"
               "'n_q':4,'l_max_ncdm':6,'l_max_ur':10,'k_max':3.0}",
+        "-c", "powerspec_select={'all': True, 'all combinations': True}",
     ])
     assert rc == 0
     files = glob.glob(os.path.join(out, "powerspec*"))
     assert len(files) >= 2  # matter + neutrino spectra
+    # combined-set spectrum of the (matter, neutrino) pair (reference
+    # powerspec_select 'all combinations', analysis.py combined field)
+    assert any("+" in os.path.basename(f) for f in files), files
 
 
 def test_example_relativistic_shrunk_runs(tmp_path):

@@ -136,3 +136,39 @@ def test_two_particle_components_match_one(setup):
         np.asarray(out2.particles["B"].pos), np.asarray(out2.particles["A"].pos),
         atol=1e-6 * BOX,
     )
+
+
+def test_realize_sigma_grids_traceless():
+    """ς realization from σ tables (reference ic.py:670 rank-2 kernel):
+    the realized shear is traceless (K(k)'s trace is 3/2·(1 − 1) = 0)
+    and symmetric-packed; without σ tables it degrades to None."""
+    import numpy as np
+    import jax.numpy as jnp
+    from concept_tpu.units import units, constants
+    from concept_tpu.cosmology.background import Background
+    from concept_tpu.cosmology.primordial import PrimordialSpectrum
+    from concept_tpu.cosmology.linear import LinearCosmology
+    from concept_tpu.cosmology.boltzmann import TransferTables
+    from concept_tpu.ic import realize_sigma_grids
+
+    H0 = 67 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.319)
+    prim = PrimordialSpectrum(A_s=2.1e-9, n_s=0.96, pivot=0.05 / units.Mpc)
+    lin = LinearCosmology(bg, prim, Omega_b=0.049, Omega_cdm=0.27,
+                          light_speed=constants.light_speed, Mpc=units.Mpc)
+    assert realize_sigma_grids(lin, 8, 64 * units.Mpc, 0.1, 1.0) is None
+
+    k = np.logspace(-4, 1, 32) / units.Mpc
+    a = np.logspace(-3, 0, 16)
+    sig = np.outer(a, 1e-2 / (1 + (k * units.Mpc) ** 2))
+    lin.tables = TransferTables(
+        k=k, a=a, tables={("nu", "sigma"): sig,
+                          ("nu", "delta"): sig.copy()},
+        aux={}, gauge="synchronous",
+    )
+    out = realize_sigma_grids(lin, 8, 64 * units.Mpc, 0.1, 2.5, seed=3)
+    assert out is not None and out.shape == (6, 8, 8, 8)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    trace = out[0] + out[3] + out[5]  # xx + yy + zz
+    scale = float(jnp.max(jnp.abs(out)))
+    assert float(jnp.max(jnp.abs(trace))) < 1e-5 * max(scale, 1e-30)
