@@ -405,6 +405,25 @@ def lpt3_sources(psi_slabs_k, S2_k, fac2, gridsize: int, boxsize: float,
     return S3a, S3b, A3c
 
 
+def preic_lattice_of(N: int) -> str:
+    """Pre-IC lattice implied by the particle count (reference
+    species.py:1107-1117): n³ → sc, 2n³ → bcc, 4n³ → fcc."""
+    def _iscube(m: int) -> bool:
+        r = round(m ** (1 / 3))
+        return r**3 == m
+
+    if _iscube(N):
+        return "sc"
+    if N % 2 == 0 and _iscube(N // 2):
+        return "bcc"
+    if N % 4 == 0 and _iscube(N // 4):
+        return "fcc"
+    raise ValueError(
+        f"N = {N} matches no pre-IC lattice (needs n**3, 2*n**3 "
+        f"or 4*n**3 for sc/bcc/fcc)"
+    )
+
+
 def realize_particles(
     lin,
     spec: ComponentSpec,
@@ -412,7 +431,7 @@ def realize_particles(
     a: float,
     seed: int = 0,
     lpt_order: int = 1,
-    lattice: str = "sc",
+    lattice: str | None = None,
     fixed_amplitude: bool = False,
     phase_shift: float = 0.0,
     dist: GridDistribution | None = None,
@@ -430,6 +449,10 @@ def realize_particles(
     (ic.py:1447-2058).  ``delta_k`` overrides the realized density (used
     for deterministic closed-form tests).
     """
+    if lattice is None:
+        # auto: derive the lattice from N as the reference does
+        # (species.py:1107-1117) — cubes get sc, 2n³ bcc, 4n³ fcc
+        lattice = preic_lattice_of(spec.N)
     n_per_lattice = {"sc": 1, "bcc": 2, "fcc": 4}[lattice]
     gridsize = round((spec.N // n_per_lattice) ** (1 / 3))
     if n_per_lattice * gridsize**3 != spec.N:

@@ -154,6 +154,32 @@ def build_components(cfg: RunConfig, bg, constants):
     return out
 
 
+def p_eq_wrho_selected(cfg, spec) -> bool:
+    """Evaluate select_approximations 'P=wρ' for a component — reference
+    species.py:1320-1351 (spelling-variant normalization) and :1657-1665
+    (forced True when no re-realizable 𝒫 variable exists).  Default
+    False (param/example_explanatory:367-371)."""
+    sel = is_selected(spec, cfg.select_approximations, default={})
+    val = False
+    if isinstance(sel, dict):
+        for key, v in sel.items():
+            k = str(key)
+            for ch in " *×^":
+                k = k.replace(ch, "")
+            for alias in ("\\rho", "rho"):
+                k = k.replace(alias, "ρ")
+            if k in ("P=wρ", "P=ρw", "wρ=P", "ρw=P"):
+                val = bool(v)
+    elif isinstance(sel, bool):
+        val = sel
+    if spec.boltzmann_order < 0 or (
+        spec.boltzmann_order == 0 and spec.boltzmann_closure == "truncate"
+    ):
+        # 𝒫 is not an independent variable at all here
+        return True
+    return val
+
+
 def shortrange_overrides(cfg: RunConfig, boxsize: float, gridsize: int) -> dict:
     """Evaluate shortrange_params['gravity'] scale/range expressions
     (reference param surface: scale = '1.25*boxsize/gridsize',
@@ -603,12 +629,14 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
             eos[s.name] = EquationOfState.constant(1.0 / 3.0)
         else:
             fluid_Omegas[s.name] = cfg.Omega_m
+    approximations = {s.name: p_eq_wrho_selected(cfg, s) for s in fspecs}
     sim = MultiSimulation(pspecs, fspecs, sim_config, bg, lin,
                           light_speed=consts.light_speed,
                           fluid_Omegas=fluid_Omegas, rho_crit=rho_crit,
                           eos=eos, fluid_seeds=fluid_seeds,
                           fluid_options=cfg.fluid_options,
-                          fluid_scheme_select=cfg.fluid_scheme_select)
+                          fluid_scheme_select=cfg.fluid_scheme_select,
+                          approximations=approximations)
     lpt = int(cfg.realization_options.get("lpt", 1))
 
     def realize_p(pspec, a_at):

@@ -56,6 +56,7 @@ class MultiSimulation:
         fluid_seeds: dict | None = None,
         fluid_options: dict | None = None,
         fluid_scheme_select: dict | None = None,
+        approximations: dict | None = None,
     ):
         from concept_tpu.components import EquationOfState
 
@@ -79,6 +80,10 @@ class MultiSimulation:
             for name, s in self.fspecs.items()
         }
         self._fluid_seeds = fluid_seeds or {}
+        # per-fluid 'P=wρ' approximation flag (reference
+        # select_approximations, species.py:1320-1351): when True the
+        # linear-𝒫 closure is replaced by 𝒫 = w·c²·ϱ (nonlinear ϱ)
+        self.P_eq_wrho = dict(approximations or {})
         # interaction orchestration via the registry (reference
         # find_interactions, interactions.py:2456-2645): only components
         # selecting gravity act as PM suppliers/receivers.  Specs without
@@ -265,6 +270,13 @@ class MultiSimulation:
                 new_fluids[name] = self._realize_linear(
                     name, a, weff[name], w[name], f, want_J=True)
             elif spec.boltzmann_order == 1 and f.P is not None:
+                if self.P_eq_wrho.get(name):
+                    # P=wρ approximation selected: 𝒫 tracks the
+                    # NONLINEAR ϱ (reference species.py:904-909)
+                    new_fluids[name] = f._replace(
+                        P=(w[name] * self.light_speed**2) * f.varrho,
+                    )
+                    continue
                 # linear 𝒫 closure: 𝒫 = w·c²·ϱ̄(1+δ_lin) from the
                 # component's own linear realization (tables' δP when a
                 # CLASS source is installed; the P = wρ form otherwise —

@@ -21,3 +21,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Seed the Einstein-Boltzmann disk cache (.reusable/eb, the analogue of
+# the reference's .reusable/class HDF5, commons.py:5593) from checked-in
+# fixture tables so CI does not pay the minutes-long hierarchy solves.
+# Content-keyed filenames: a stale fixture is simply a cache miss.
+import shutil
+
+
+def _seed_eb_cache():
+    here = os.path.dirname(os.path.abspath(__file__))
+    fixture_dir = os.path.join(here, "fixtures", "eb")
+    if not os.path.isdir(fixture_dir):
+        return
+    cache_dir = os.path.join(os.getcwd(), ".reusable", "eb")
+    os.makedirs(cache_dir, exist_ok=True)
+    for name in os.listdir(fixture_dir):
+        dst = os.path.join(cache_dir, name)
+        if name.endswith(".npz") and not os.path.exists(dst):
+            shutil.copy(os.path.join(fixture_dir, name), dst)
+
+
+_seed_eb_cache()

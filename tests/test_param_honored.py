@@ -146,3 +146,29 @@ def test_select_softening_length_honored():
     # default expression when nothing matches
     cfg.select_softening_length = {}
     assert np.isclose(softening_length(cfg, spec, 16), 0.025 * 100.0 / 8.0)
+
+
+def test_select_approximations_p_eq_wrho():
+    """select_approximations 'P=wρ' (reference species.py:1320-1351):
+    spelling variants accepted; forced True when 𝒫 is not an
+    independently realized variable; and the selected approximation
+    replaces the linear-𝒫 closure by 𝒫 = w·c²·ϱ in the re-realization."""
+    from concept_tpu.run import p_eq_wrho_selected
+    from concept_tpu.param import RunConfig
+    from concept_tpu.components import ComponentSpec
+
+    spec = ComponentSpec(name="nu", species="neutrino",
+                         representation="fluid", gridsize=8, w=1 / 3,
+                         boltzmann_order=1, boltzmann_closure="class")
+    cfg = RunConfig()
+    assert p_eq_wrho_selected(cfg, spec) is False  # default False
+    for key in ("P=wρ", "P = wρ", "P=w*rho", "P=ρw"):
+        cfg.select_approximations = {"all": {key: True}}
+        assert p_eq_wrho_selected(cfg, spec) is True, key
+    cfg.select_approximations = {"all": {"P=wρ": False}}
+    assert p_eq_wrho_selected(cfg, spec) is False
+    # forced True for components without an independent 𝒫
+    low = ComponentSpec(name="nu", species="neutrino",
+                        representation="fluid", gridsize=8, w=1 / 3,
+                        boltzmann_order=0, boltzmann_closure="truncate")
+    assert p_eq_wrho_selected(cfg, low) is True
