@@ -40,8 +40,23 @@ def make_parser():
                         "file/pattern), reference `concept -t` analogue")
     p.add_argument("--seed", type=int, default=None, help="override primordial seed")
     p.add_argument("--version", action="store_true")
+    p.add_argument("--submit", action="store_true",
+                   help="generate a Slurm/TORQUE-PBS batch script under "
+                        "job/<id>/jobscript and submit it (reference "
+                        "concept:2315-2660)")
+    p.add_argument("-q", "--queue", default=None,
+                   help="scheduler queue/partition for --submit")
+    p.add_argument("-w", "--walltime", default=None,
+                   help="walltime for --submit (e.g. 12:00:00)")
+    p.add_argument("--memory", default=None,
+                   help="memory request for --submit (e.g. 64G)")
+    p.add_argument("-J", "--job-name", default=None,
+                   help="job name for --submit (default: param file stem)")
+    p.add_argument("--job-directive", action="append", default=[],
+                   help="extra raw scheduler directive line(s) for --submit")
     p.add_argument("--local", action="store_true",
-                   help="accepted for reference-CLI compatibility (no-op)")
+                   help="run in this process even when a scheduler is "
+                        "present (reference --local)")
     p.add_argument("--pure-python", action="store_true",
                    help="eager (non-jit) execution for debugging "
                         "(reference --pure-python analogue)")
@@ -49,7 +64,13 @@ def make_parser():
 
 
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
     args = make_parser().parse_args(argv)
+    if args.submit and not args.local:
+        from concept_tpu.submit import submit
+
+        return submit(args, list(argv))
     if args.version:
         from concept_tpu import __version__
 
