@@ -54,11 +54,13 @@ def render2D(
     terminal: bool = False,
     terminal_resolution: int = 80,
     save_data: bool = False,
+    data_filename: str | None = None,
     extent=None,
 ):
     """Full render2D: returns the enhanced image; optionally saves PNG,
     HDF5 data dump and/or prints an ANSI block (reference
-    render2D_select data/image/terminal image)."""
+    render2D_select data/image/terminal image — each artifact is
+    independently selectable)."""
     img = project_density(pos, gridsize, boxsize, axis=axis, extent=extent)
     enhanced = enhance(img)
     if filename:
@@ -69,13 +71,15 @@ def render2D(
         import matplotlib.pyplot as plt
 
         plt.imsave(filename, enhanced.T[::-1], cmap=colormap)
-        if save_data:
-            import h5py
+    if save_data and (data_filename or filename):
+        import h5py
 
-            with h5py.File(filename.rsplit(".", 1)[0] + ".hdf5", "w") as f:
-                f.create_dataset("data", data=img)
-                f.attrs["axis"] = axis
-                f.attrs["boxsize"] = boxsize
+        fn = data_filename or filename.rsplit(".", 1)[0] + ".hdf5"
+        os.makedirs(os.path.dirname(os.path.abspath(fn)), exist_ok=True)
+        with h5py.File(fn, "w") as f:
+            f.create_dataset("data", data=img)
+            f.attrs["axis"] = axis
+            f.attrs["boxsize"] = boxsize
     if terminal:
         print(terminal_render(enhanced, terminal_resolution, colormap))
     return enhanced

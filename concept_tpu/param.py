@@ -51,6 +51,9 @@ class RunConfig:
     powerspec_options: dict = field(default_factory=dict)
     powerspec_select: dict = field(default_factory=lambda: {"all": True})
     bispec_options: dict = field(default_factory=dict)
+    bispec_select: dict = field(default_factory=lambda: {"all": True})
+    render2D_select: dict = field(default_factory=lambda: {"all": True})
+    render3D_select: dict = field(default_factory=lambda: {"all": True})
     ewald_gridsize: int = 64
     # input/output
     initial_conditions: object = None
@@ -234,6 +237,9 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.powerspec_options = raw.get("powerspec_options", {}) if isinstance(raw.get("powerspec_options", {}), dict) else {"gridsize": raw.get("powerspec_options")}
     cfg.powerspec_select = raw.get("powerspec_select", {"all": True})
     cfg.bispec_options = raw.get("bispec_options", {})
+    cfg.bispec_select = raw.get("bispec_select", {"all": True})
+    cfg.render2D_select = raw.get("render2D_select", {"all": True})
+    cfg.render3D_select = raw.get("render3D_select", {"all": True})
     cfg.ewald_gridsize = int(raw.get("ewald_gridsize", 64))
     # io
     cfg.initial_conditions = raw.get("initial_conditions")

@@ -834,9 +834,19 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
 
         n = sim.config.potential_gridsize
         for name, pstate in state.particles.items():
+            flags = _output_flags(
+                sim.pspecs[name], cfg.render2D_select,
+                ("data", "image", "terminal image"), "image",
+            )
+            if not any(flags.values()):
+                continue
             fn = os.path.join(dirname, f"{base}_{name}_{tag}.png")
             os.makedirs(dirname, exist_ok=True)
-            render2D(pstate.pos, n, cfg.boxsize, filename=fn)
+            render2D(pstate.pos, n, cfg.boxsize,
+                     filename=fn if flags["image"] else None,
+                     terminal=flags["terminal image"],
+                     save_data=flags["data"],
+                     data_filename=fn.replace(".png", ".hdf5"))
             masterprint(f"Saved render2D ({name}): {fn}")
     elif kind == "render3D":
         from concept_tpu.graphics.render import render3D
@@ -849,6 +859,8 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
         comps = {
             name: (pstate.pos, cmaps[i % len(cmaps)])
             for i, (name, pstate) in enumerate(state.particles.items())
+            if _output_flags(sim.pspecs[name], cfg.render3D_select,
+                             ("image",), "image")["image"]
         }
         if comps:
             render3D(
@@ -865,6 +877,12 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
         gridsize = int(opts.get("gridsize") or sim.config.potential_gridsize)
         configuration = opts.get("configuration", "equilateral 10")
         for name, pstate in state.particles.items():
+            flags = _output_flags(
+                sim.pspecs[name], cfg.bispec_select,
+                ("data", "reduced", "treelevel", "plot"), "data",
+            )
+            if not (flags["data"] or flags["plot"]):
+                continue
             out = bispec(
                 [pstate.pos], [1.0], gridsize, cfg.boxsize,
                 configuration=configuration,
@@ -872,7 +890,11 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
             cols = [out["triangles"], out["n_triangles"][:, None],
                     out["B"][:, None]]
             header = "k1 k2 k3 triangles B"
-            if lin is not None:
+            if flags["reduced"]:
+                cols.append(out["Q"][:, None])
+                header += " Q_reduced"
+            tree = None
+            if lin is not None and flags["treelevel"]:
                 tree = bispec_treelevel(lin, out["triangles"], a)
                 cols.append(tree[:, None])
                 header += " B_treelevel"
@@ -880,6 +902,36 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
             os.makedirs(dirname, exist_ok=True)
             np.savetxt(fn, np.column_stack(cols), header=header)
             masterprint(f"Saved bispectrum ({name}): {fn}")
+            if flags["plot"] or opts.get("plot", False):
+                from concept_tpu.graphics.render import plot_bispec
+
+                plot_bispec(out, fn.replace(".txt", ".png"),
+                            treelevel=tree, a=a)
+
+
+def _output_flags(spec, selector, keys, primary):
+    """Evaluate an output ``*_select`` selector for a component into
+    per-flag booleans (reference bispec_select/render2D_select/
+    render3D_select dicts, param/example_explanatory:77-159).  A bare
+    bool switches the primary artifact on/off; a dict supplies
+    fine-grained flags with reference defaults for the rest."""
+    val = is_selected(spec, selector, default=True)
+    flags = {k: False for k in keys}
+    if isinstance(val, dict):
+        low = {str(k).lower(): bool(v) for k, v in val.items()}
+        for k in keys:
+            flags[k] = low.get(k, False)
+        if not any(k in low for k in keys):
+            # dict carrying none of the known flags: keep the primary on
+            flags[primary] = True
+    else:
+        flags[primary] = bool(val)
+        if flags[primary]:
+            # bool shorthand: switch the whole column family on, plots off
+            for k in keys:
+                if k not in ("plot", "terminal image"):
+                    flags[k] = True
+    return flags
 
 
 def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
@@ -928,22 +980,37 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
     elif kind == "render2D":
         from concept_tpu.graphics.render import render2D
 
+        flags = _output_flags(
+            sim.spec, cfg.render2D_select,
+            ("data", "image", "terminal image"), "image",
+        )
         opts = cfg.render2D_options or {}
+        terminal = flags["terminal image"] or bool(
+            opts.get("terminal image", opts.get("terminal", False)))
+        save_data = flags["data"] or bool(opts.get("data", False))
+        if not (flags["image"] or terminal or save_data):
+            return
         gridsize = int(opts.get("gridsize") or sim.config.potential_gridsize)
         fn = os.path.join(dirname, f"{base}_{tag}.png")
         render2D(
-            state.pos, gridsize, cfg.boxsize, filename=fn,
+            state.pos, gridsize, cfg.boxsize,
+            filename=fn if flags["image"] else None,
             axis={"x": 0, "y": 1, "z": 2}.get(opts.get("axis", "z"), 2),
             colormap=opts.get("colormap", "inferno"),
-            terminal=bool(opts.get("terminal image", opts.get("terminal", False))),
+            terminal=terminal,
             terminal_resolution=int(opts.get("terminal resolution", 80)),
-            save_data=bool(opts.get("data", False)),
+            save_data=save_data,
+            data_filename=fn.replace(".png", ".hdf5"),
             extent=opts.get("extent"),
         )
         masterprint(f"Saved render2D: {fn}")
     elif kind == "render3D":
         from concept_tpu.graphics.render import render3D
 
+        flags = _output_flags(sim.spec, cfg.render3D_select,
+                              ("image",), "image")
+        if not flags["image"]:
+            return
         opts = cfg.render3D_options or {}
         fn = os.path.join(dirname, f"{base}_{tag}.png")
         render3D(
@@ -969,6 +1036,12 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
     elif kind == "bispec":
         from concept_tpu.analysis.bispec import bispec, bispec_treelevel
 
+        flags = _output_flags(
+            sim.spec, cfg.bispec_select,
+            ("data", "reduced", "treelevel", "plot"), "data",
+        )
+        if not (flags["data"] or flags["plot"]):
+            return
         opts = cfg.bispec_options or {}
         gridsize = int(opts.get("gridsize") or sim.config.potential_gridsize)
         configuration = opts.get("configuration", "equilateral 10")
@@ -978,7 +1051,11 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
         )
         cols = [out["triangles"], out["n_triangles"][:, None], out["B"][:, None]]
         header = "k1 k2 k3 triangles B"
-        if lin is not None:
+        if flags["reduced"]:
+            cols.append(out["Q"][:, None])
+            header += " Q_reduced"
+        tree = None
+        if lin is not None and flags["treelevel"]:
             tree = bispec_treelevel(lin, out["triangles"], a)
             cols.append(tree[:, None])
             header += " B_treelevel"
@@ -986,8 +1063,7 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
         os.makedirs(dirname, exist_ok=True)
         np.savetxt(fn, np.column_stack(cols), header=header)
         masterprint(f"Saved bispectrum: {fn}")
-        if opts.get("plot", False):
+        if flags["plot"] or opts.get("plot", False):
             from concept_tpu.graphics.render import plot_bispec
 
-            plot_bispec(out, fn.replace(".txt", ".png"),
-                        treelevel=tree if lin is not None else None, a=a)
+            plot_bispec(out, fn.replace(".txt", ".png"), treelevel=tree, a=a)
