@@ -63,7 +63,9 @@ class RunConfig:
     autosave_interval: float = float("inf")
     snapshot_type: str = "concept"
     snapshot_select: dict = field(default_factory=dict)
+    snapshot_wrap: bool = False
     gadget_snapshot_params: dict = field(default_factory=dict)
+    select_particle_id: dict = field(default_factory=dict)
     # physics
     select_forces: dict = field(default_factory=dict)
     select_softening_length: dict = field(default_factory=dict)
@@ -76,6 +78,8 @@ class RunConfig:
     softening_kernel: str = "spline"
     # simulation
     N_rungs: int = 8
+    Delta_a_max_early: float = 0.00153
+    Delta_a_max_late: float = 0.022
     Delta_t_base_background_factor: float = 1.0
     Delta_t_base_nonlinear_factor: float = 1.0
     Delta_t_rung_factor: float = 1.0
@@ -93,6 +97,8 @@ class RunConfig:
     terminal_width: int = 80
     suppress_output: set = field(default_factory=set)
     print_load_imbalance: bool = True
+    enable_terminal_formatting: bool = True
+    bispec_antialiasing: bool = True
     # units
     unit_length: str = "Mpc"
     unit_time: str = "Gyr"
@@ -255,7 +261,9 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.autosave_interval = float(raw.get("autosave_interval", float("inf")))
     cfg.snapshot_type = str(raw.get("snapshot_type", "concept"))
     cfg.snapshot_select = raw.get("snapshot_select", {})
+    cfg.snapshot_wrap = bool(raw.get("snapshot_wrap", False))
     cfg.gadget_snapshot_params = raw.get("gadget_snapshot_params", {})
+    cfg.select_particle_id = raw.get("select_particle_id", {})
     # physics
     cfg.select_forces = raw.get(
         "select_forces", {"all": {"gravity": "p3m"}}
@@ -275,6 +283,8 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.Delta_t_base_background_factor = float(raw.get("Δt_base_background_factor", raw.get("Delta_t_base_background_factor", 1)))
     cfg.Delta_t_base_nonlinear_factor = float(raw.get("Δt_base_nonlinear_factor", raw.get("Delta_t_base_nonlinear_factor", 1)))
     cfg.Delta_t_rung_factor = float(raw.get("Δt_rung_factor", raw.get("Delta_t_rung_factor", 1)))
+    cfg.Delta_a_max_early = float(raw.get("Δa_max_early", raw.get("Delta_a_max_early", 0.00153)))
+    cfg.Delta_a_max_late = float(raw.get("Δa_max_late", raw.get("Delta_a_max_late", 0.022)))
     cfg.static_timestepping = raw.get("static_timestepping")
     cfg.random_seeds = raw.get("random_seeds", {"primordial amplitudes": 0, "primordial phases": 0})
     cfg.primordial_amplitude_fixed = bool(raw.get("primordial_amplitude_fixed", False))
@@ -299,6 +309,8 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
         sup = {sup}
     cfg.suppress_output = set(sup)
     cfg.print_load_imbalance = bool(raw.get("print_load_imbalance", True))
+    cfg.enable_terminal_formatting = bool(raw.get("enable_terminal_formatting", True))
+    cfg.bispec_antialiasing = bool(raw.get("bispec_antialiasing", True))
     return cfg
 
 

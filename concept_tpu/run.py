@@ -325,10 +325,12 @@ def make_distribution(n_devices: int):
 def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         deposit_method: str | None = None, n_devices: int = 1):
     """Run the simulation described by cfg; returns final (sim, state, a)."""
-    from concept_tpu.utils.terminal import set_suppress_output
+    from concept_tpu.utils.terminal import set_suppress_output, set_formatting
 
     if cfg.suppress_output:
         set_suppress_output(cfg.suppress_output)
+    if not cfg.enable_terminal_formatting:
+        set_formatting(False)
     units, consts, bg, lin = build_cosmology(cfg)
     comps = build_components(cfg, bg, consts)
     dist = make_distribution(n_devices)
@@ -351,6 +353,28 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
 
         meta, loaded = snap.load(source, units)
         (name, (spec, st)), = loaded.items()
+        # out-of-bounds handling (reference out_of_bounds_check,
+        # snapshot.py:3359-3410): wrap when snapshot_wrap is set,
+        # otherwise abort with the remedy spelled out
+        pos_np = np.asarray(st.pos)
+        if pos_np.size and (pos_np.min() < 0 or pos_np.max() >= meta.boxsize):
+            if cfg.snapshot_wrap:
+                from concept_tpu.components import ParticleState as _PS
+
+                st = _PS(pos=np.mod(pos_np, meta.boxsize), mom=st.mom,
+                         ids=st.ids)
+                masterprint(
+                    f"Wrapped out-of-bounds particles of {name!r} into "
+                    f"the box (snapshot_wrap)"
+                )
+            else:
+                from concept_tpu.utils.terminal import abort
+
+                abort(
+                    f"Snapshot {source!r} has particles outside "
+                    f"[0, {meta.boxsize:g}); set snapshot_wrap = True to "
+                    f"wrap them around the periodic box"
+                )
         method = is_selected_force(cfg, name, spec.species)
         spec = ComponentSpec(
             name=spec.name, species=spec.species, N=spec.N, mass=spec.mass,
@@ -387,6 +411,8 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         deposit_method=deposit_method or "auto",
         dt_base_background_factor=cfg.Delta_t_base_background_factor,
         dt_base_nonlinear_factor=cfg.Delta_t_base_nonlinear_factor,
+        da_max_early=cfg.Delta_a_max_early,
+        da_max_late=cfg.Delta_a_max_late,
         **shortrange_overrides(cfg, cfg.boxsize, int(gridsize)),
     )
     if (method == "p3m" and dist is None and cfg.N_rungs > 1
@@ -441,6 +467,8 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         masterprint(f"Realizing {spec.name} ({spec.N} particles, {lpt}LPT) ...")
         state = sim.initial_state(
             a_begin=cfg.a_begin, seed=seed_val, lpt_order=lpt,
+            with_ids=bool(is_selected(spec, cfg.select_particle_id,
+                                      default=False)),
             fixed_amplitude=cfg.primordial_amplitude_fixed,
             phase_shift=cfg.primordial_phase_shift,
             scheme=cfg.primordial_noise_imprinting,
@@ -601,6 +629,8 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
         interpolation_order=pot.get("interpolation", 2),
         interlace=bool(pot.get("interlace", False)),
         G=consts.G_Newton,
+        da_max_early=cfg.Delta_a_max_early,
+        da_max_late=cfg.Delta_a_max_late,
     )
     rho_crit = bg.rho_crit_of(consts.G_Newton)
     seed_val = seed if seed is not None else int(
@@ -886,6 +916,7 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
             out = bispec(
                 [pstate.pos], [1.0], gridsize, cfg.boxsize,
                 configuration=configuration,
+                antialias=cfg.bispec_antialiasing,
             )
             cols = [out["triangles"], out["n_triangles"][:, None],
                     out["B"][:, None]]
@@ -1048,6 +1079,7 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
         out = bispec(
             [state.pos], [1.0], gridsize, cfg.boxsize,
             configuration=configuration,
+            antialias=cfg.bispec_antialiasing,
         )
         cols = [out["triangles"], out["n_triangles"][:, None], out["B"][:, None]]
         header = "k1 k2 k3 triangles B"

@@ -78,6 +78,9 @@ class SimConfig:
     # Δt_base_nonlinear_factor, main.py:2401-2424)
     dt_base_background_factor: float = 1.0
     dt_base_nonlinear_factor: float = 1.0
+    # Δa per-step bounds (reference Δa_max_early/late, commons.py:3883)
+    da_max_early: float = DELTA_A_MAX_EARLY
+    da_max_late: float = DELTA_A_MAX_LATE
 
     def derived_shortrange(self):
         scale = self.shortrange_scale
@@ -380,7 +383,8 @@ class Simulation:
         if H > 0:
             limits.append((fac_bg * FAC_HUBBLE / H, "the Hubble time"))
             # Δa limiters: Δt ≈ Δa/(aH)
-            da_max = DELTA_A_MAX_EARLY if a < 0.1 else DELTA_A_MAX_LATE
+            da_max = (self.config.da_max_early if a < 0.1
+                      else self.config.da_max_late)
             limits.append((da_max / (a * H), "Δa"))
         if v_max is not None and v_max > 0:
             # comoving drift speed ẋ = v_pec/a; displacement per step bounded

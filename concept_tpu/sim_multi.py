@@ -605,7 +605,8 @@ class MultiSimulation:
             limits.append(FAC_DYNAMICAL / math.sqrt(self.config.G * rho_tot))
         if H > 0:
             limits.append(FAC_HUBBLE / H)
-            da_max = DELTA_A_MAX_EARLY if a < 0.1 else DELTA_A_MAX_LATE
+            da_max = (self.config.da_max_early if a < 0.1
+                      else self.config.da_max_late)
             limits.append(da_max / (a * H))
         # fluid Courant: 0.21·Δx/(c√w + |u|)-ish (reference fac_courant,
         # main.py:2413) — use the sound speed bound.  Only fluids whose

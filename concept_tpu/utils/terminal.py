@@ -27,6 +27,13 @@ def set_suppress_output(patterns):
     _suppress_patterns = [re.compile(p) for p in patterns]
 
 
+def set_formatting(enabled: bool):
+    """Toggle ANSI escapes in all output (reference
+    enable_terminal_formatting, param/example_explanatory:539)."""
+    global _enable_formatting
+    _enable_formatting = bool(enabled)
+
+
 def _suppressed(msg: str) -> bool:
     return any(p.search(msg) for p in _suppress_patterns)
 

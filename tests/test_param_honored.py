@@ -172,3 +172,143 @@ def test_select_approximations_p_eq_wrho():
                         representation="fluid", gridsize=8, w=1 / 3,
                         boltzmann_order=0, boltzmann_closure="truncate")
     assert p_eq_wrho_selected(cfg, low) is True
+
+
+def test_delta_a_max_honored():
+    """Δa_max_early/late reach the base-timestep limiter (reference
+    commons.py:3883-3885; previously hardcoded module constants)."""
+    from concept_tpu.sim import Simulation, SimConfig
+    from concept_tpu.components import ComponentSpec
+    from concept_tpu.cosmology.background import Background
+
+    H0 = 67 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.3)
+    spec = ComponentSpec(name="m", species="matter", N=8, mass=0.0)
+
+    def dt_at(a, **kw):
+        cfg = SimConfig(boxsize=100.0, potential_gridsize=8, method="pm",
+                        **kw)
+        sim = Simulation(spec, cfg, bg, None)
+        return sim.timestep_size(a)
+
+    # tighten the late bound 100×: Δa limiter binds and scales linearly
+    a = 0.5
+    dt_ref = dt_at(a)
+    dt_tight = dt_at(a, da_max_late=0.022 / 100)
+    assert dt_tight < dt_ref
+    H = float(bg.hubble_np(a))
+    assert np.isclose(dt_tight, (0.022 / 100) / (a * H), rtol=0.05)
+    # early-epoch bound at a < 0.1
+    dt_early = dt_at(0.05, da_max_early=1e-6)
+    assert np.isclose(dt_early, 1e-6 / (0.05 * float(bg.hubble_np(0.05))),
+                      rtol=0.05)
+
+
+def test_enable_terminal_formatting_honored(capsys):
+    """enable_terminal_formatting = False strips ANSI escapes
+    (reference param/example_explanatory:539)."""
+    from concept_tpu.utils import terminal
+
+    old = terminal._enable_formatting
+    try:
+        terminal.set_formatting(False)
+        terminal.masterwarn("plain warning")
+        out = capsys.readouterr()
+        assert "\033[" not in out.out + out.err
+        terminal.set_formatting(True)
+        terminal.masterwarn("fancy warning")
+        out = capsys.readouterr()
+        assert "\033[" in out.out + out.err
+    finally:
+        terminal._enable_formatting = old
+
+
+def test_bispec_antialiasing_honored():
+    """bispec_antialiasing toggles the cell-shell overlap weights: binary
+    shells count different mode numbers than anti-aliased ones."""
+    from concept_tpu.analysis.bispec import bispec
+
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.uniform(0, 50.0, (200, 3)).astype(np.float32))
+    out_aa = bispec([pos], [1.0], 16, 50.0, configuration="equilateral 4",
+                    antialias=True)
+    out_bin = bispec([pos], [1.0], 16, 50.0, configuration="equilateral 4",
+                     antialias=False)
+    assert not np.allclose(np.asarray(out_aa["n_triangles"]),
+                           np.asarray(out_bin["n_triangles"]))
+
+
+def test_snapshot_wrap_honored(tmp_path):
+    """snapshot_wrap = True wraps out-of-bounds particles on load;
+    False aborts (reference out_of_bounds_check, snapshot.py:3359)."""
+    from concept_tpu.io import snapshot as snap
+    from concept_tpu.components import ComponentSpec, ParticleState
+    from concept_tpu.param import RunConfig
+    from concept_tpu.run import run
+    from concept_tpu.units import UnitSystem
+
+    usys = UnitSystem("Mpc", "Gyr", "10**10 m_sun")
+    box = 32 * usys.Mpc
+    N = 8
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, box, (N, 3))
+    pos[0, 0] = box * 1.25  # out of bounds
+    spec = ComponentSpec(name="matter", species="matter", N=N, mass=1e5)
+    st = ParticleState(pos=jnp.asarray(pos), mom=jnp.zeros((N, 3)))
+    meta = snap.SnapshotMeta(a=0.5, boxsize=box, H0=67 * usys.km / (usys.s * usys.Mpc),
+                             Omega_b=0.049, Omega_cdm=0.27,
+                             unit_length="Mpc", unit_time="Gyr",
+                             unit_mass="10**10 m_sun")
+    fn = str(tmp_path / "oob.hdf5")
+    snap.save_concept(fn, meta, {"matter": (spec, st)})
+
+    def make_cfg(wrap):
+        cfg = RunConfig()
+        cfg.H0 = 67 * usys.km / (usys.s * usys.Mpc)
+        cfg.boxsize = box
+        cfg.initial_conditions = fn
+        cfg.snapshot_wrap = wrap
+        cfg.units = usys
+        cfg.output_dirs = {"snapshot": str(tmp_path / "out")}
+        cfg.output_times = {"a": {}}
+        cfg.select_forces = {"all": {"gravity": "pm"}}
+        cfg.potential_options = {"gridsize": 8}
+        cfg.boltzmann_backend = "eh"
+        return cfg
+
+    with pytest.raises(SystemExit):
+        run(make_cfg(False), max_steps=0)
+    sim, state, a = run(make_cfg(True), max_steps=0)
+    p = np.asarray(state.pos)
+    assert p.min() >= 0 and p.max() < box
+
+
+def test_select_particle_id_honored(tmp_path):
+    """select_particle_id controls whether realized particles carry IDs
+    (reference select_particle_id, param/example_explanatory:151)."""
+    from concept_tpu.param import RunConfig
+    from concept_tpu.run import run
+    from concept_tpu.units import UnitSystem
+
+    usys = UnitSystem("Mpc", "Gyr", "10**10 m_sun")
+
+    def make_cfg(sel):
+        cfg = RunConfig()
+        cfg.H0 = 67 * usys.km / (usys.s * usys.Mpc)
+        cfg.boxsize = 32 * usys.Mpc
+        cfg.initial_conditions = {"species": "matter", "N": 4**3}
+        cfg.select_particle_id = sel
+        cfg.units = usys
+        cfg.output_times = {"a": {}}
+        cfg.select_forces = {"all": {"gravity": "pm"}}
+        cfg.potential_options = {"gridsize": 4}
+        cfg.a_begin = 0.5
+        cfg.boltzmann_backend = "eh"
+        return cfg
+
+    sim, state, a = run(make_cfg({"all": True}), max_steps=0)
+    assert state.ids is not None
+    ids = np.sort(np.asarray(state.ids).ravel())
+    assert np.array_equal(ids, np.arange(4**3))
+    sim, state, a = run(make_cfg({}), max_steps=0)
+    assert state.ids is None
