@@ -66,6 +66,7 @@ class RunConfig:
     snapshot_wrap: bool = False
     gadget_snapshot_params: dict = field(default_factory=dict)
     select_particle_id: dict = field(default_factory=dict)
+    life_output_order: tuple = ("terminate", "activate", "dump")
     # physics
     select_forces: dict = field(default_factory=dict)
     select_softening_length: dict = field(default_factory=dict)
@@ -264,6 +265,8 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.snapshot_wrap = bool(raw.get("snapshot_wrap", False))
     cfg.gadget_snapshot_params = raw.get("gadget_snapshot_params", {})
     cfg.select_particle_id = raw.get("select_particle_id", {})
+    cfg.life_output_order = _canonicalize_life_output_order(
+        raw.get("life_output_order", ()))
     # physics
     cfg.select_forces = raw.get(
         "select_forces", {"all": {"gravity": "p3m"}}
@@ -312,6 +315,30 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.enable_terminal_formatting = bool(raw.get("enable_terminal_formatting", True))
     cfg.bispec_antialiasing = bool(raw.get("bispec_antialiasing", True))
     return cfg
+
+
+def _canonicalize_life_output_order(value) -> tuple:
+    """Normalize life_output_order exactly as the reference does
+    (commons.py:2912-2929): case-insensitive prefixes term/deact →
+    'terminate', act → 'activate', dump/out → 'dump'; missing actions
+    appended in the default order ('terminate', 'activate', 'dump');
+    anything else is an error."""
+    order = []
+    for act in value or ():
+        act = str(act).lower()
+        if act.startswith(("term", "deact")):
+            act = "terminate"
+        elif act.startswith("act"):
+            act = "activate"
+        elif act.startswith(("dump", "out")):
+            act = "dump"
+        order.append(act)
+    for act in ("terminate", "activate", "dump"):
+        if act not in order:
+            order.append(act)
+    if set(order) != {"terminate", "activate", "dump"} or len(order) != 3:
+        raise ValueError(f"life_output_order = {tuple(value)} not understood")
+    return tuple(order)
 
 
 def canonicalize_potential_options(value, cfg: RunConfig) -> dict:

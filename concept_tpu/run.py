@@ -712,7 +712,18 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
             events.append((float(s.life[0]), ("__activate__", s.name)))
         if s.life[1] < float("inf"):
             events.append((float(s.life[1]), ("__terminate__", s.name)))
-    events.sort(key=lambda e: e[0])
+
+    # coincident events run in life_output_order (reference
+    # main.py:1726-1803 orders activations/terminations relative to
+    # dumps at the same time; default terminate → activate → dump)
+    _order = {act: i for i, act in enumerate(cfg.life_output_order)}
+
+    def _event_key(e):
+        kind = e[1]
+        act = "dump" if isinstance(kind, str) else kind[0].strip("_")
+        return (e[0], _order.get(act, len(_order)))
+
+    events.sort(key=_event_key)
     a = cfg.a_begin
     for a_dump, kind in [e for e in events if e[0] <= a + 1e-12]:
         if isinstance(kind, str):

@@ -269,3 +269,56 @@ def test_is_selected_reference_semantics():
     cb = S("cb", "cdm+baryon")
     assert is_selected(cb, {"cdm": 21}) == 21
     assert is_selected(cb, {"cdm+baryon": 22, "cdm": 21}) == 22
+
+
+def test_life_output_order_canonicalization():
+    """Reference normalization (commons.py:2912-2929): prefixes,
+    case-insensitive, missing actions appended, errors on junk."""
+    from concept_tpu.param import _canonicalize_life_output_order as canon
+
+    assert canon(()) == ("terminate", "activate", "dump")
+    assert canon(("out",)) == ("dump", "terminate", "activate")
+    assert canon(("Deactivate", "OUTPUT")) == ("terminate", "dump", "activate")
+    assert canon(("act", "term", "dump")) == ("activate", "terminate", "dump")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        canon(("sideways",))
+
+
+def test_life_output_order_honored(tmp_path):
+    """A termination coinciding with a dump: default order terminates
+    BEFORE the dump (no spectrum); 'dump first' emits the spectrum
+    (reference life_output_order, main.py:1726-1803)."""
+    from concept_tpu import cli
+
+    def run_with(order, sub):
+        param = tmp_path / f"loo_{sub}.py"
+        param.write_text(
+            """
+initial_conditions = [
+    {'species': 'matter', 'N': 8**3},
+    {'species': 'matter', 'name': 'dying fluid', 'gridsize': 8},
+]
+select_lives = {'dying fluid': (0, 0.3), 'all': (0, float('inf'))}
+life_output_order = ORDER
+output_dirs = 'OUT'
+output_times = {'powerspec': [0.3]}
+boxsize = 512*Mpc
+potential_options = 8
+H0 = 67*km/(s*Mpc)
+Ωb = 0.049
+Ωcdm = 0.27
+a_begin = 0.1
+primordial_spectrum = {'A_s': 2.1e-9, 'n_s': 0.96}
+""".replace("OUT", str(tmp_path / "out" / sub)).replace("ORDER", repr(order))
+        )
+        rc = cli.main(["-p", str(param)])
+        assert rc == 0
+        return tmp_path / "out" / sub
+
+    out = run_with(("terminate", "activate", "dump"), "default")
+    assert not list(out.glob("powerspec_dying fluid_a=0.3*"))
+    assert list(out.glob("powerspec_matter_a=0.3*"))
+    out = run_with(("dump", "terminate", "activate"), "dumpfirst")
+    assert list(out.glob("powerspec_dying fluid_a=0.3*"))
