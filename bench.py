@@ -191,6 +191,63 @@ def bench_p3m_unified(n_part=256, n_steps=4):
     return (time.perf_counter() - t_start) / n_steps
 
 
+def bench_p3m_unified_clustered(n_part=256, a_end=0.12, n_steps=3):
+    """Production P³M (rung stepper) on an EVOLVED clustered state: 2LPT
+    ICs evolved to z ≈ 7 with the stepper itself, then the mean of the
+    next base steps — includes the rung sub-cycling and rebucketize
+    under real occupancy skew (the honest sustained number VERDICT r2
+    asked for alongside the lattice best case)."""
+    import numpy as np
+    from concept_tpu.p3mrungs import P3MRungSimulation
+    from concept_tpu.units import units, constants
+    from concept_tpu.cosmology.background import Background
+    from concept_tpu.cosmology.primordial import PrimordialSpectrum
+    from concept_tpu.cosmology.linear import LinearCosmology
+    from concept_tpu.components import ComponentSpec, particle_mass
+    from concept_tpu.ic import realize_particles
+
+    H0 = 67 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.319)
+    lin = LinearCosmology(
+        bg, PrimordialSpectrum(A_s=2.1e-9, n_s=0.96), Omega_b=0.049,
+        Omega_cdm=0.27, light_speed=constants.light_speed, Mpc=units.Mpc,
+    )
+    G = constants.G_Newton
+    box = n_part * units.Mpc  # 1 Mpc mean separation: nonlinear by z=4
+    N = n_part**3
+    mass = particle_mass(0.319, bg.rho_crit_of(G), box, N)
+    spec = ComponentSpec(name="m", species="matter", N=N, mass=mass)
+    st0 = realize_particles(lin, spec, box, 0.02, seed=0, lpt_order=2)
+    pos = np.asarray(st0.pos)
+    mom = np.asarray(st0.mom)
+    sim = P3MRungSimulation(n_part, box, mass, G, mesh=2 * n_part, bg=bg,
+                            N_rungs=8)
+    state = sim.init_state(
+        tuple(jnp.asarray(np.ascontiguousarray(pos[:, d])) for d in range(3)),
+        tuple(jnp.asarray(np.ascontiguousarray(mom[:, d])) for d in range(3)),
+    )
+    state = sim.evolve(state, float(bg.t_of_a_np(0.02)),
+                       float(bg.t_of_a_np(a_end)))
+    # timed segment at the clustered state (rebucketize included at the
+    # stepper's own cadence); warm one step first
+    a = a_end
+    t = float(bg.t_of_a_np(a))
+    dt = sim._timestep(a, 0.0)
+    state, vmax = sim.base_step(state, t, dt, t)
+    _ = float(state.pos[0, 0, 0])
+    t += dt
+    t0h = time.perf_counter()
+    for _ in range(n_steps):
+        if sim.needs_rebucket:
+            state = sim.rebucket(state)
+        dtn = min(sim._timestep(a, vmax / sim.mass), dt * 1.5)
+        state, vmax = sim.base_step(state, t, dtn, t)
+        t += dtn
+        a = float(bg.a_of_t_np(t))
+    _ = float(state.pos[0, 0, 0])
+    return (time.perf_counter() - t0h) / n_steps
+
+
 def bench_pm_sustained(n_grid=256, a_end=0.12):
     """Sustained PM throughput on an EVOLVING (clustering) state: 2LPT ICs
     evolved to z = 1/a_end − 1, then the mean of the next 10 steps —
@@ -270,8 +327,12 @@ def main():
     extras = [
         ("p3m_production_unified_256_updates_per_s",
          lambda: 256**3 / bench_p3m_unified(256), 900),
+        ("p3m_production_clustered_256_updates_per_s",
+         lambda: 256**3 / bench_p3m_unified_clustered(256), 1200),
         ("pm_sustained_clustered_256_updates_per_s",
          lambda: 256**3 / bench_pm_sustained(256), 900),
+        ("p3m_production_unified_512_updates_per_s",
+         lambda: 512**3 / bench_p3m_unified(512, n_steps=2), 1200),
         ("p3m_step_persistent_256_updates_per_s",
          lambda: 256**3 / bench_p3m_persistent(256), 420),
         ("p3m_kick_256_updates_per_s",
