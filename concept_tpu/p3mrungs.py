@@ -836,7 +836,7 @@ class RungSimulationAdapter:
     """
 
     def __init__(self, spec, config, bg, lin=None, N_rungs: int = 8,
-                 fac_rung: float = 1.0):
+                 fac_rung: float = 1.0, dist=None):
         from concept_tpu.forces.registry import get as _force_spec
 
         _force_spec("gravity")  # validate the force exists
@@ -844,6 +844,12 @@ class RungSimulationAdapter:
         self.config = config
         self.bg = bg
         self.lin = lin
+        # multi-chip: shard the (K, C) layout along the x-major cell
+        # axis (contiguous x-slabs per device); every stepper op is
+        # GSPMD-compatible so XLA inserts the halo collectives
+        # (tests/test_distributed_rungs.py asserts 1-vs-8 invariance)
+        self.dist = dist if (dist is not None
+                             and getattr(dist, "mesh", None) is not None) else None
         n_part = round(spec.N ** (1 / 3))
         if n_part**3 != spec.N:
             raise ValueError("rung stepper needs a cubic particle count")
@@ -893,7 +899,32 @@ class RungSimulationAdapter:
             ).astype(jnp.int8)
             st = st._replace(rungs=layout_rungs)
             st = self.inner.rebucket(st)
+        st = self._shard(st)
         return st
+
+    def _shard(self, st: RungState) -> RungState:
+        """Place the layout on the device mesh, cell axis sharded
+        (x-major cell ids ⇒ contiguous x-slabs per device).  No-op on a
+        single device or when C does not divide the device count."""
+        if self.dist is None:
+            return st
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.dist.mesh
+        n_dev = mesh.devices.size
+        C = st.valid.shape[1]
+        if n_dev <= 1 or C % n_dev:
+            return st
+        sh2 = NamedSharding(mesh, P(None, self.dist.axis))
+        sh3 = NamedSharding(mesh, P(None, None, self.dist.axis))
+        return RungState(
+            pos=_jax.device_put(st.pos, sh3),
+            mom=_jax.device_put(st.mom, sh3),
+            valid=_jax.device_put(st.valid, sh2),
+            rungs=_jax.device_put(st.rungs, sh2),
+            ids=_jax.device_put(st.ids, sh2),
+        )
 
     def _to_flat(self, layout: RungState):
         from concept_tpu.components import ParticleState
@@ -940,7 +971,8 @@ class RungSimulationAdapter:
             layout, vmax = sim.base_step(layout, t, dt, t_mom)
             steps += 1
             if sim.needs_rebucket or steps % sim.rebucket_every_max == 0:
-                layout = sim.rebucket(layout)
+                # re-pin the sharding: a capacity regrow re-allocates
+                layout = self._shard(sim.rebucket(layout))
             t_mom = min(t + 0.5 * dt, t1)
             t += dt
             a = float(bg.a_of_t_np(t))

@@ -415,18 +415,19 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         da_max_late=cfg.Delta_a_max_late,
         **shortrange_overrides(cfg, cfg.boxsize, int(gridsize)),
     )
-    if (method == "p3m" and dist is None and cfg.N_rungs > 1
+    if (method == "p3m" and cfg.N_rungs > 1
             and round(spec.N ** (1 / 3)) ** 3 == spec.N):
         # production P³M is rungs-by-default (reference N_rungs = 8,
         # param/example_explanatory:385; cadence main.py:1347-1443):
         # the persistent-layout rung stepper behind the Simulation
-        # facade.  N_rungs = 1 (or a multi-chip mesh) selects the
-        # global-stepping fused path instead.
+        # facade.  N_rungs = 1 selects the global-stepping fused path.
+        # With a device mesh (-n N) the (K, C) layout shards along the
+        # cell axis (GSPMD halo collectives; test_distributed_rungs).
         from concept_tpu.p3mrungs import RungSimulationAdapter
 
         sim = RungSimulationAdapter(
             spec, sim_config, bg, lin, N_rungs=cfg.N_rungs,
-            fac_rung=cfg.Delta_t_rung_factor,
+            fac_rung=cfg.Delta_t_rung_factor, dist=dist,
         )
     else:
         sim = Simulation(spec, sim_config, bg, lin, dist=dist)
