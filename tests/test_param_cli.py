@@ -322,3 +322,17 @@ primordial_spectrum = {'A_s': 2.1e-9, 'n_s': 0.96}
     assert list(out.glob("powerspec_matter_a=0.3*"))
     out = run_with(("dump", "terminate", "activate"), "dumpfirst")
     assert list(out.glob("powerspec_dying fluid_a=0.3*"))
+
+
+def test_example_explanatory_loads():
+    """The full-catalogue example parameter file must load cleanly and
+    canonicalize every documented parameter."""
+    from concept_tpu.param import load_params
+
+    cfg = load_params("param/example_explanatory.py")
+    assert cfg.potential_options["gridsize_per_method"] == {"pm": 32, "p3m": 64}
+    assert cfg.N_rungs == 8
+    assert cfg.softening_kernel == "spline"
+    assert cfg.life_output_order == ("terminate", "activate", "dump")
+    assert cfg.fluid_scheme_select == {"all": "kurganovtadmor"}
+    assert cfg.realization_options["lpt"] == 2
