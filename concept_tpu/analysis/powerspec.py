@@ -201,6 +201,8 @@ def powerspec(
     shotnoise_correction: bool = True,
     deposit_method: str = "scatter",
     dist=None,
+    bins_per_decade: int = 40,
+    k_max: float | None = None,
 ):
     """Measure P(k).  Returns dict with k, modes, power, power_corrected.
 
@@ -208,7 +210,9 @@ def powerspec(
     with w_herm the Hermitian multiplicity (grid/fourier.py).  Shot noise
     V/N_particles subtracted for the 'corrected' spectrum (reference
     analysis.py:610-795).  ``dist``: distributed measurement (see
-    delta_power_grid).
+    delta_power_grid).  ``bins_per_decade``/``k_max``: binning resolution
+    at high k and a hard measurement cutoff (reference powerspec_options
+    'bins per decade' / 'k_max', param/example_explanatory:246-266).
     """
     n = gridsize
     V = boxsize**3
@@ -216,7 +220,8 @@ def powerspec(
         tuple(pos_list), tuple(weight_list), n, boxsize, order, deconvolve,
         interlace, deposit_method, dist=dist,
     )
-    bins, k_phys, nbins = bin_indices_and_k(n, boxsize)
+    bins, k_phys, nbins = bin_indices_and_k(n, boxsize,
+                                            bins_per_decade=bins_per_decade)
     mult = jnp.broadcast_to(fourier.hermitian_multiplicity(n), p2.shape)
     bflat = jnp.clip(bins, 0, nbins).reshape(-1)
     wsum = jax.ops.segment_sum(
@@ -231,6 +236,8 @@ def powerspec(
     counts_np = np.asarray(counts)
     sel = counts_np > 0
     sel[0] = False  # drop the k=0 bin
+    if k_max is not None:
+        sel &= np.asarray(k_mean) <= float(k_max)
     out = {
         "k": np.asarray(k_mean)[sel],
         "modes": counts_np[sel],

@@ -789,8 +789,15 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
             if not _sel_on(is_selected(spec, cfg.powerspec_select,
                                        default=True)):
                 continue
-            gridsize = sim.config.potential_gridsize
-            pk = powerspec([pstate.pos], [1.0], gridsize, cfg.boxsize, spec.N)
+            opts = cfg.powerspec_options or {}
+            gridsize = int(opts.get("gridsize")
+                           or sim.config.potential_gridsize)
+            pk = powerspec(
+                [pstate.pos], [1.0], gridsize, cfg.boxsize, spec.N,
+                bins_per_decade=int(opts.get("bins per decade",
+                                             opts.get("bins_per_decade", 40))),
+                k_max=opts.get("k_max"),
+            )
             fn = os.path.join(dirname, f"{base}_{name}_{tag}.txt")
             save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length)
             masterprint(f"Saved power spectrum ({name}): {fn}")
@@ -991,11 +998,14 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
             [state.pos], [1.0], gridsize, cfg.boxsize, sim.spec.N,
             order=opts.get("interpolation", 4),
             interlace=bool(opts.get("interlace", True)),
+            bins_per_decade=int(opts.get("bins per decade",
+                                         opts.get("bins_per_decade", 40))),
+            k_max=opts.get("k_max"),
         )
         lin_col = None
         if lin is not None:
             lin_col = np.asarray(lin.power_delta(jnp.asarray(pk["k"]), a))
-        R = 8 / cfg.h * units.Mpc
+        R = float(opts.get("tophat", 8 / cfg.h * units.Mpc))
         sigma = lin.sigma_R(R, a) if lin is not None else None
         fn = os.path.join(dirname, f"{base}_{tag}.txt")
         save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length, sigma, R, lin_col)

@@ -312,3 +312,20 @@ def test_select_particle_id_honored(tmp_path):
     assert np.array_equal(ids, np.arange(4**3))
     sim, state, a = run(make_cfg({}), max_steps=0)
     assert state.ids is None
+
+
+def test_powerspec_options_binning_honored():
+    """powerspec_options 'bins per decade' / 'k_max' reach the estimator
+    (reference powerspec_options, param/example_explanatory:246-266)."""
+    from concept_tpu.analysis.powerspec import powerspec
+
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(0, 100.0, (500, 3)).astype(np.float32))
+    pk_lo = powerspec([pos], [1.0], 32, 100.0, 500, bins_per_decade=10)
+    pk_hi = powerspec([pos], [1.0], 32, 100.0, 500, bins_per_decade=80)
+    assert len(pk_hi["k"]) > len(pk_lo["k"])
+    k_cut = float(pk_hi["k"][len(pk_hi["k"]) // 2])
+    pk_cut = powerspec([pos], [1.0], 32, 100.0, 500, bins_per_decade=80,
+                       k_max=k_cut)
+    assert pk_cut["k"].max() <= k_cut + 1e-12
+    assert len(pk_cut["k"]) < len(pk_hi["k"])
