@@ -134,24 +134,53 @@ def util_render3d(paths: list[str], cli_args) -> int:
 
 def util_class(args: list[str], cli_args) -> int:
     """Dump the processed background + linear perturbations to HDF5
-    (reference utilities.py:923 'class' utility).  Uses the internal
-    Boltzmann layer (EH transfer); classy when installed."""
+    (reference utilities.py:923 'class' utility; option surface of
+    util/class: --kmin/--kmax/--modes/--times/--gauge).  Uses the
+    configured Boltzmann backend (classy / internal EB solver / EH)."""
+    import argparse
+
     import h5py
     import jax.numpy as jnp
     from concept_tpu.param import load_params
     from concept_tpu.run import build_cosmology
 
-    cfg = load_params(cli_args.param) if cli_args.param else load_params(
-        text="H0 = 67*km/(s*Mpc)\nΩb = 0.049\nΩcdm = 0.27\n"
-    )
+    ap = argparse.ArgumentParser(prog="-u class", add_help=False)
+    ap.add_argument("output", nargs="?", default="class_processed.hdf5")
+    ap.add_argument("--kmin", type=float, default=None,
+                    help="minimum k in 1/<unit_length> (default 1e-4/Mpc)")
+    ap.add_argument("--kmax", type=float, default=None,
+                    help="maximum k (default 10/Mpc)")
+    ap.add_argument("--modes", type=int, default=256,
+                    help="number of log-spaced k modes")
+    ap.add_argument("--times", default="0.01,0.1,0.5,1.0",
+                    help="comma-separated scale factors to dump at")
+    ap.add_argument("--gauge", default=None,
+                    choices=("nbody", "synchronous"),
+                    help="realization gauge override for the tables")
+    ns = ap.parse_args(args)
+
+    overrides = []
+    if ns.gauge:
+        overrides.append(
+            f"realization_options = {{'gauge': {ns.gauge!r}}}"
+        )
+    cfg = (load_params(cli_args.param, overrides=overrides)
+           if cli_args.param else load_params(
+               text="H0 = 67*km/(s*Mpc)\nΩb = 0.049\nΩcdm = 0.27\n"
+                    + "\n".join(overrides)))
     units_, consts, bg, lin = build_cosmology(cfg)
-    out = (args[0] if args else "class_processed.hdf5")
-    kmin, kmax, nk = 1e-4 / units_.Mpc, 10 / units_.Mpc, 256
+    out = ns.output
+    kmin = ns.kmin if ns.kmin is not None else 1e-4 / units_.Mpc
+    kmax = ns.kmax if ns.kmax is not None else 10 / units_.Mpc
+    nk = ns.modes
+    a_outs = [float(x) for x in str(ns.times).split(",") if x]
     k = np.exp(np.linspace(np.log(kmin), np.log(kmax), nk))
     with h5py.File(out, "w") as f:
         f.attrs["H0"] = cfg.H0
         f.attrs["Ωb"] = cfg.Omega_b
         f.attrs["Ωcdm"] = cfg.Omega_cdm
+        f.attrs["gauge"] = ns.gauge or str(
+            (cfg.realization_options or {}).get("gauge", "nbody"))
         bgrp = f.create_group("background")
         a_tab = np.exp(np.linspace(np.log(1e-6), 0, 512))
         bgrp.create_dataset("a", data=a_tab)
@@ -161,7 +190,7 @@ def util_class(args: list[str], cli_args) -> int:
         bgrp.create_dataset("f1", data=bg.growth_np("f1", a_tab))
         pgrp = f.create_group("perturbations")
         pgrp.create_dataset("k", data=k)
-        for a_out in (0.01, 0.1, 0.5, 1.0):
+        for a_out in a_outs:
             g = pgrp.create_group(f"a={a_out}")
             g.create_dataset(
                 "delta_m",
