@@ -34,7 +34,7 @@ class SnapshotMeta:
     Omega_cdm: float
     unit_length: str = "Mpc"
     unit_time: str = "Gyr"
-    unit_mass: str = "10*^10 m_sun"
+    unit_mass: str = "10**10 m_sun"
 
 
 # --------------------------------------------------------------------- #
@@ -116,7 +116,7 @@ def load_concept(filename: str):
             Omega_cdm=float(f.attrs["Ωcdm"]),
             unit_length=str(f.attrs.get("unit length", "Mpc")),
             unit_time=str(f.attrs.get("unit time", "Gyr")),
-            unit_mass=str(f.attrs.get("unit mass", "10*^10 m_sun")),
+            unit_mass=str(f.attrs.get("unit mass", "10**10 m_sun")),
         )
         for name, g in f["components"].items():
             if "gridsize" in g.attrs:  # fluid component

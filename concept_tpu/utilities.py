@@ -40,9 +40,16 @@ def delegate(util_args: list[str], cli_args) -> int:
 
 
 def util_info(paths: list[str], cli_args) -> int:
-    """Print snapshot metadata (reference utilities.py:617)."""
+    """Print snapshot metadata (reference utilities.py:617).  With
+    --generate-params, also write a parameter file matching each
+    snapshot (reference `info --generate-params`)."""
     from concept_tpu.io import snapshot as snap
 
+    generate = False
+    paths = list(paths)
+    if "--generate-params" in paths:
+        paths.remove("--generate-params")
+        generate = True
     for path in paths:
         kind = snap.snapshot_type(path)
         if kind is None:
@@ -54,6 +61,22 @@ def util_info(paths: list[str], cli_args) -> int:
         print(f"  Ωb = {meta.Omega_b}, Ωcdm = {meta.Omega_cdm}")
         for name, (spec, state) in comps.items():
             print(f"  component {name!r}: species={spec.species}, N={spec.N}, mass={spec.mass}")
+        if generate:
+            pf = path + ".params.py"
+            with open(pf, "w") as f:
+                f.write(
+                    f"# Parameter file generated from {path}\n"
+                    f"initial_conditions = {path!r}\n"
+                    f"boxsize = {meta.boxsize!r}\n"
+                    f"H0 = {meta.H0!r}\n"
+                    f"Ωb = {meta.Omega_b!r}\n"
+                    f"Ωcdm = {meta.Omega_cdm!r}\n"
+                    f"a_begin = {meta.a!r}\n"
+                    f"unit_length = {meta.unit_length!r}\n"
+                    f"unit_time = {meta.unit_time!r}\n"
+                    f"unit_mass = {meta.unit_mass!r}\n"
+                )
+            print(f"  wrote {pf}")
     return 0
 
 

@@ -127,3 +127,44 @@ class TestNewUtilities:
         # the test repo has no upstream: update must fail gracefully
         rc = delegate(["update"], ca)
         assert rc != 0 or rc == 0  # no crash; rc depends on git state
+
+
+def test_info_generate_params(tmp_path):
+    """-u info --generate-params writes a loadable parameter file
+    matching the snapshot (reference info --generate-params)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from concept_tpu.io import snapshot as snap
+    from concept_tpu.components import ComponentSpec, ParticleState
+    from concept_tpu.cli import main
+    from concept_tpu.param import load_params
+
+    meta = snap.SnapshotMeta(a=0.5, boxsize=32.0, H0=0.0683,
+                             Omega_b=0.049, Omega_cdm=0.27)
+    spec = ComponentSpec(name="matter", species="matter", N=8, mass=1e5)
+    st = ParticleState(pos=jnp.asarray(np.random.default_rng(0).random((8, 3)) * 32),
+                       mom=jnp.zeros((8, 3)))
+    fn = str(tmp_path / "s.hdf5")
+    snap.save_concept(fn, meta, {"matter": (spec, st)})
+    assert main(["-u", "info", fn, "--generate-params"]) == 0
+    cfg = load_params(fn + ".params.py")
+    assert cfg.boxsize == 32.0
+    assert cfg.a_begin == 0.5
+    assert cfg.initial_conditions == fn
+
+
+def test_util_class_options(tmp_path):
+    """-u class honors --kmin/--kmax/--modes/--times/--gauge
+    (reference util/class option surface)."""
+    import h5py
+    from concept_tpu.cli import main
+
+    out = str(tmp_path / "c.hdf5")
+    rc = main(["-u", "class", out, "--kmin", "1e-3", "--kmax", "2",
+               "--modes", "32", "--times", "0.5,1.0",
+               "--gauge", "synchronous"])
+    assert rc == 0
+    with h5py.File(out) as f:
+        assert f["perturbations/k"].shape == (32,)
+        assert set(f["perturbations"].keys()) == {"k", "a=0.5", "a=1.0"}
+        assert f.attrs["gauge"] == "synchronous"
