@@ -214,6 +214,9 @@ def powerspec(
     at high k and a hard measurement cutoff (reference powerspec_options
     'bins per decade' / 'k_max', param/example_explanatory:246-266).
     """
+    from concept_tpu.grid.interp import interpolation_order
+
+    order = interpolation_order(order)  # 'PCS' etc. accepted
     n = gridsize
     V = boxsize**3
     p2 = delta_power_grid(

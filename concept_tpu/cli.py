@@ -32,9 +32,10 @@ def make_parser():
         "-u", "--utility", nargs=argparse.REMAINDER,
         help="run a utility: powerspec|bispec|info|convert|render3D|class <args>",
     )
-    p.add_argument("-n", "--nprocs", type=int, default=1,
-                   help="device count for the 1D grid mesh; 0 = all "
-                        "available devices, 1 = single device (default)")
+    p.add_argument("-n", "--nprocs", default="1",
+                   help="device count for the grid mesh: N (1D slabs), "
+                        "AxB (2D pencils, e.g. 2x4), 0 = all available, "
+                        "1 = single device (default)")
     p.add_argument("-t", "--test", nargs="?", const="all", default=None,
                    help="run the test suite (optionally a single test "
                         "file/pattern), reference `concept -t` analogue")

@@ -308,6 +308,39 @@ def deposit_distributed_2d(pos, quantity, gridsize: int, boxsize: float,
     )(pos)
 
 
+def pm_momentum_updates_distributed_2d(pos, mass, gridsize: int,
+                                       boxsize: float, G, int_a1, dist2d,
+                                       order: int = 2,
+                                       longrange_scale=None):
+    """Momentum updates Δq of one PM kick over a 2D pencil mesh —
+    the kick half of pm_step_distributed_2d, usable inside
+    Simulation's KDK structure (so `-n AxB` runs the product loop on
+    a 2D device mesh).  Returns dmom with the particle sharding of
+    ``pos``."""
+    from concept_tpu.grid.fft import rfft3, irfft3
+    from concept_tpu.grid import fourier
+    from concept_tpu.forces.pm import gravity_potential_slab
+    from concept_tpu.grid.interp import gather
+    from jax.sharding import NamedSharding
+
+    n = gridsize
+    cell_volume = (boxsize / n) ** 3
+    grid = deposit_distributed_2d(pos, mass, n, boxsize, order, dist2d)
+    slab = rfft3(grid / cell_volume, dist2d)
+    deconv = 2 * order
+    phi = gravity_potential_slab(slab, n, boxsize, G, deconv_order=deconv,
+                                 longrange_scale=longrange_scale)
+    dmom = jnp.zeros_like(pos)
+    for d in range(3):
+        grad = irfft3(fourier.fourier_diff(phi, n, boxsize, d), n, dist2d)
+        grad = jax.lax.with_sharding_constraint(
+            grad, NamedSharding(dist2d.mesh, P(None, None, None))
+        )
+        comp = gather(grad, pos, boxsize, order=order)
+        dmom = dmom.at[:, d].add((-mass * int_a1) * comp)
+    return dmom
+
+
 def pm_step_distributed_2d(pos, mom, mass, gridsize: int, boxsize: float,
                            G, int_a1, int_a2, dist2d, order: int = 2):
     """One PM KDK step over a 2D pencil mesh: 2D-sharded deposit →

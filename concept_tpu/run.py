@@ -295,15 +295,33 @@ def clear_autosave(cfg: RunConfig):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def make_distribution(n_devices: int):
-    """`-n N` → a 1D device mesh GridDistribution (reference `-n` maps to
-    mpiexec rank count, concept:2737; here it picks how many local JAX
-    devices the grid/particle shardings span).  n_devices = 0 means all
-    available; 1 means single-device (dist=None); requesting more devices
-    than exist is an error, not a silent no-op."""
+def make_distribution(n_devices):
+    """`-n N` → a 1D device mesh GridDistribution; `-n AxB` (e.g. 2x4)
+    → a 2D pencil GridDistribution2D, lifting the slab limit
+    n_devices ≤ gridsize (reference `-n` maps to mpiexec rank count,
+    concept:2737; here it picks how many local JAX devices the
+    grid/particle shardings span).  n_devices = 0 means all available;
+    1 means single-device (dist=None); requesting more devices than
+    exist is an error, not a silent no-op."""
     import jax
 
     avail = jax.device_count()
+    if isinstance(n_devices, str) and "x" in n_devices.lower():
+        from jax.sharding import Mesh
+        from concept_tpu.grid.fft import GridDistribution2D
+
+        na, nb = (int(v) for v in n_devices.lower().split("x"))
+        if na * nb > avail:
+            raise ValueError(
+                f"-n {n_devices} requested but only {avail} device(s) "
+                f"available"
+            )
+        if na * nb == 1:
+            return None
+        devs = np.array(jax.devices()[:na * nb]).reshape(na, nb)
+        return GridDistribution2D(mesh=Mesh(devs, ("x", "y")),
+                                  axis_a="x", axis_b="y")
+    n_devices = int(n_devices)
     if n_devices == 0:
         n_devices = avail
     if n_devices == 1:
@@ -416,6 +434,7 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         **shortrange_overrides(cfg, cfg.boxsize, int(gridsize)),
     )
     if (method == "p3m" and cfg.N_rungs > 1
+            and (dist is None or hasattr(dist, "axis"))
             and round(spec.N ** (1 / 3)) ** 3 == spec.N):
         # production P³M is rungs-by-default (reference N_rungs = 8,
         # param/example_explanatory:385; cadence main.py:1347-1443):
@@ -481,11 +500,14 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         masterprint("done")
 
     if dist is not None and dist.mesh is not None:
-        # shard the particle state over the mesh (P('x', None))
+        # shard the particle state over the mesh: P('x', None) for 1D
+        # slabs, P(('x','y'), None) over a 2D pencil mesh
         from jax.sharding import NamedSharding, PartitionSpec as P
         import jax as _jax
 
-        pshard = NamedSharding(dist.mesh, P("x", None))
+        axes = ("x" if hasattr(dist, "axis")
+                else (dist.axis_a, dist.axis_b))
+        pshard = NamedSharding(dist.mesh, P(axes, None))
         state = state._replace(
             pos=_jax.device_put(state.pos, pshard),
             mom=_jax.device_put(state.mom, pshard),

@@ -32,7 +32,7 @@ from concept_tpu.components import ComponentSpec, ParticleState, particle_mass
 from concept_tpu.cosmology.background import Background
 from concept_tpu.cosmology.linear import LinearCosmology
 from concept_tpu.cosmology.primordial import PrimordialSpectrum
-from concept_tpu.grid.fft import GridDistribution
+from concept_tpu.grid.fft import GridDistribution, GridDistribution2D
 from concept_tpu.forces import pm as pm_force
 from concept_tpu.units import UnitSystem
 
@@ -188,6 +188,41 @@ class Simulation:
             )
             dmom = jnp.stack([dx, dy, dz], axis=1)
             aux = (n_sr, n_pm)
+        elif method in ("pm", "p3m") and (
+            self.dist is not None and self.dist.mesh is not None
+            and isinstance(self.dist, GridDistribution2D)
+            and cfg.differentiation in ("fourier", 0)
+            and not cfg.interlace
+        ):
+            # 2D pencil device mesh (-n AxB): 2D-sharded deposit +
+            # pencil FFT; lifts the 1D n_devices ≤ gridsize slab limit
+            from concept_tpu.parallel.step import (
+                pm_momentum_updates_distributed_2d,
+            )
+
+            longrange_scale = self._sr_scale if method == "p3m" else None
+            dmom = pm_momentum_updates_distributed_2d(
+                state.pos, self.spec.mass, cfg.potential_gridsize,
+                cfg.boxsize, cfg.G, int_a1, self.dist,
+                order=cfg.interpolation_order,
+                longrange_scale=longrange_scale,
+            )
+            if method == "p3m":
+                from concept_tpu.forces.shortrange import (
+                    shortrange_momentum_updates,
+                )
+
+                dmom_sr, n_sr = shortrange_momentum_updates(
+                    state.pos, self.spec.mass, cfg.boxsize,
+                    self._sr_scale, self._sr_range, int_a1,
+                    n_cells=self._sr_ncells, capacity=self._sr_capacity,
+                    softening=cfg.softening, G=cfg.G,
+                    max_overflow=self._sr_max_overflow,
+                    return_overflow=True,
+                    softening_kernel=cfg.softening_kernel,
+                )
+                dmom = dmom + dmom_sr
+                aux = (n_sr, aux[1])
         elif method in ("pm", "p3m") and (
             self.dist is not None and self.dist.mesh is not None
             and cfg.differentiation in ("fourier", 0)

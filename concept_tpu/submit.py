@@ -67,13 +67,20 @@ def build_job_script(
     queue: str | None = None,
     walltime: str | None = None,
     memory: str | None = None,
-    nprocs: int = 1,
+    nprocs: int | str = 1,
     directives: list[str] | None = None,
 ) -> str:
     """Render the batch script text.  Header layouts follow the
     reference's Slurm/TORQUE-PBS templates (concept:2411-2447): job
     name, queue/partition, node/task geometry, walltime, memory, and
     combined log path, then the run command."""
+    if isinstance(nprocs, str):
+        # '-n AxB' 2D mesh form: the scheduler geometry wants the total
+        ns = nprocs.lower()
+        total = 1
+        for v in ns.split("x"):
+            total *= int(v)
+        nprocs = total
     lines = ["#!/usr/bin/env bash"]
     if scheduler == "slurm":
         lines += [

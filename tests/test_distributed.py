@@ -226,3 +226,32 @@ def test_n_devices_too_many_errors():
     assert make_distribution(1) is None
     d = make_distribution(8)
     assert d is not None and d.n_devices == 8
+
+
+def test_cli_2d_mesh_invariance(tmp_path):
+    """`-n 2x4` builds a 2D pencil GridDistribution2D and the product
+    run's P(k) matches single-device (the pencil path lifts the 1D
+    slab limit n_devices ≤ gridsize; SURVEY §5.7)."""
+    from concept_tpu.param import load_params
+    from concept_tpu.run import run, make_distribution
+    from concept_tpu.grid.fft import GridDistribution2D
+
+    d = make_distribution("2x4")
+    assert isinstance(d, GridDistribution2D)
+    assert tuple(d.mesh.devices.shape) == (2, 4)
+    outs = {}
+    for n_dev in ("1", "2x4"):
+        out = tmp_path / f"out{n_dev}"
+        param = tmp_path / f"p{n_dev}.py"
+        param.write_text(
+            "initial_conditions = {'species': 'matter', 'N': 8**3}\n"
+            "potential_options = 16\n"
+            f"output_dirs = '{out}'\n"
+            "output_times = {'powerspec': 0.025}\n"
+            "a_begin = 0.02\n"
+            "boxsize = 128*Mpc\n"
+        )
+        cfg = load_params(str(param))
+        run(cfg, n_devices=n_dev)
+        outs[n_dev] = np.loadtxt(out / "powerspec_a=0.025.txt")
+    np.testing.assert_allclose(outs["2x4"], outs["1"], rtol=2e-2)
