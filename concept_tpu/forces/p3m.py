@@ -120,7 +120,10 @@ def pm_longrange_components(
     has_over = n_overflow > 0
 
     def compact(_):
-        sidx = jnp.nonzero(rank >= K, size=S, fill_value=N)[0]
+        # int32 explicitly: under jax_enable_x64 nonzero returns int64,
+        # which must match no_compact's branch dtype
+        sidx = jnp.nonzero(rank >= K, size=S, fill_value=N)[0].astype(
+            jnp.int32)
         ok = sidx < N
         safe = jnp.minimum(sidx, N - 1)
         s_pos = jnp.stack([pxs[safe], pys[safe], pzs[safe]], axis=1)

@@ -535,7 +535,10 @@ def shortrange_momentum_updates(
     n_off = offs27.shape[0]
 
     def with_overflow(acc):
-        sidx = jnp.nonzero(b["rank"] >= K, size=S, fill_value=N)[0]
+        # int32 explicitly: under jax_enable_x64 nonzero returns int64,
+        # which must match the without_overflow branch's dtype
+        sidx = jnp.nonzero(b["rank"] >= K, size=S, fill_value=N)[0].astype(
+            jnp.int32)
         ok = sidx < N
         safe = jnp.minimum(sidx, N - 1)
         sx, sy, sz = b["px"][safe], b["py"][safe], b["pz"][safe]

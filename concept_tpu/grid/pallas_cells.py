@@ -135,8 +135,9 @@ def _cell_geometry(px, py, pz, c, nc: int, cb: int, inv_h: float):
     convention (cx·nc + cy)·nc + cz).  Returns (lidx, fx, fy, fz,
     in_halo)."""
     ldim = cb + 2
-    cz = jax.lax.rem(c, nc)
-    cy = jax.lax.rem(c // nc, nc)
+    # weak-typed % (lax.rem(c, python_int) breaks under jax_enable_x64)
+    cz = c % nc
+    cy = (c // nc) % nc
     cx = c // (nc * nc)
     lrels, fs = [], []
     for p, cc in ((px, cx), (py, cy), (pz, cz)):

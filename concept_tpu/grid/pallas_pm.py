@@ -186,8 +186,10 @@ def _slot_geometry(px, py, pz, c, nb: int, inv_h: float):
 
     c: flat block id (z-major: c = (bz·nb + by)·nb + bx).  Returns
     (lidx, fx, fy, fz, in_halo) with lidx clipped into the mini-grid."""
-    bx = jax.lax.rem(c, nb)
-    by = jax.lax.rem(c // nb, nb)
+    # weak-typed % (lax.rem(c, python_int) breaks under jax_enable_x64:
+    # the literal promotes to int64 against int32 c)
+    bx = c % nb
+    by = (c // nb) % nb
     bz = c // (nb * nb)
     lrels, fs = [], []
     for p, b in ((px, bx), (py, by), (pz, bz)):

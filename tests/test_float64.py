@@ -95,3 +95,55 @@ def test_f64_powerspec_subprocess():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "F64OK" in r.stdout
+
+
+def test_f64_p3m_jit_vs_eager_subprocess():
+    """Full P³M step, float64, jitted vs eager: ≤ 1e-10 — the analogue
+    of the reference's pure_python_p3m equivalence at its tolerance
+    (test/pure_python_p3m/analyze.py:125).  Also regression-guards the
+    x64 dtype discipline of the fused Pallas/overflow paths (lax.cond
+    branches must agree on int32)."""
+    code = textwrap.dedent(
+        """
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import numpy as np, jax.numpy as jnp
+        from concept_tpu.units import units, constants
+        from concept_tpu.cosmology.background import Background
+        from concept_tpu.components import (
+            ComponentSpec, ParticleState, particle_mass)
+        from concept_tpu.sim import Simulation, SimConfig
+
+        H0 = 67*units.km/(units.s*units.Mpc)
+        bg = Background(H0=H0, Omega_m=0.3)
+        box = 8*units.Mpc; N = 4**3
+        mass = particle_mass(0.3, bg.rho_crit_of(constants.G_Newton),
+                             box, N)
+        spec = ComponentSpec(name="m", species="matter", N=N, mass=mass,
+                             forces=(("gravity", "p3m"),))
+        cfg = SimConfig(boxsize=box, potential_gridsize=8, method="p3m",
+                        G=constants.G_Newton, dtype=jnp.float64,
+                        softening=0.03*box/4, softening_kernel="spline")
+        sim = Simulation(spec, cfg, bg, None)
+        rng = np.random.default_rng(2)
+        st = ParticleState(
+            pos=jnp.asarray(rng.uniform(0, box, (N, 3))),
+            mom=jnp.asarray(rng.normal(0, 1e-3, (N, 3)) * mass))
+        out_j, _ = jax.jit(sim._step)(st, 1e-4, 2e-4)
+        with jax.disable_jit():
+            out_e, _ = sim._step(st, 1e-4, 2e-4)
+        dp = np.max(np.abs(np.asarray(out_j.pos)
+                           - np.asarray(out_e.pos))) / box
+        mscale = np.max(np.abs(np.asarray(out_e.mom)))
+        dm = np.max(np.abs(np.asarray(out_j.mom)
+                           - np.asarray(out_e.mom))) / mscale
+        assert dp <= 1e-10, dp
+        assert dm <= 1e-10, dm
+        print("OK", dp, dm)
+        """
+    )
+    res = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=560)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK" in res.stdout
