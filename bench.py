@@ -304,6 +304,29 @@ def bench_pm_sustained(n_grid=256, a_end=0.12):
     return (time.perf_counter() - t0) / n_iter
 
 
+class _SectionTimeout(Exception):
+    pass
+
+
+def _alarm(seconds: int):
+    """SIGALRM watchdog: a wedged TPU tunnel hangs inside backend calls
+    indefinitely — every section must be bounded so the driver always
+    gets the one JSON line."""
+    import signal
+
+    def handler(signum, frame):
+        raise _SectionTimeout()
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(max(1, int(seconds)))
+
+
+def _alarm_off():
+    import signal
+
+    signal.alarm(0)
+
+
 def main():
     target = 1e8  # particle-updates/s/chip (BASELINE.json north star)
     t_start = time.perf_counter()
@@ -315,10 +338,16 @@ def main():
     headline = None
     for n_grid in (512, 256, 128, 64):
         try:
+            _alarm(int(budget_s * 0.45))
             dt = bench_once(n_grid)
+            _alarm_off()
             headline = (n_grid, n_grid**3 / dt)
             break
+        except _SectionTimeout:
+            print(f"# gridsize {n_grid} timed out (wedged backend?)",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — OOM or backend limits: scale down
+            _alarm_off()
             print(f"# gridsize {n_grid} failed: {type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
 
     def budget_left():
@@ -344,8 +373,13 @@ def main():
                   f"< {est}s estimate", file=sys.stderr)
             continue
         try:
+            _alarm(min(est * 2, budget_left()))
             extra[name] = fn()
+            _alarm_off()
+        except _SectionTimeout:
+            print(f"# extra {name} timed out", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
+            _alarm_off()
             print(f"# extra {name} failed: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
 
