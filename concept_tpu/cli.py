@@ -58,6 +58,9 @@ def make_parser():
     p.add_argument("--local", action="store_true",
                    help="run in this process even when a scheduler is "
                         "present (reference --local)")
+    p.add_argument("--float64", action="store_true",
+                   help="run in float64 end-to-end (the validation tier;"
+                        " equivalent to enable_float64 = True)")
     p.add_argument("--pure-python", action="store_true",
                    help="eager (non-jit) execution for debugging "
                         "(reference --pure-python analogue)")
@@ -105,6 +108,8 @@ def main(argv=None):
     from concept_tpu.run import run
 
     cfg = load_params(args.param, overrides=args.command_line_params)
+    if args.float64:
+        cfg.enable_float64 = True
     with job_logging() as jobid:
         print(f"concept_tpu run, job {jobid}")
         run(cfg, seed=args.seed, n_devices=args.nprocs)

@@ -100,6 +100,9 @@ class RunConfig:
     print_load_imbalance: bool = True
     enable_terminal_formatting: bool = True
     bispec_antialiasing: bool = True
+    # float64 end-to-end (the reference is f64 throughout; here f32 is
+    # the TPU performance default and f64 the validation tier)
+    enable_float64: bool = False
     # units
     unit_length: str = "Mpc"
     unit_time: str = "Gyr"
@@ -314,6 +317,7 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.print_load_imbalance = bool(raw.get("print_load_imbalance", True))
     cfg.enable_terminal_formatting = bool(raw.get("enable_terminal_formatting", True))
     cfg.bispec_antialiasing = bool(raw.get("bispec_antialiasing", True))
+    cfg.enable_float64 = bool(raw.get("enable_float64", False))
     return cfg
 
 

@@ -349,6 +349,13 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         set_suppress_output(cfg.suppress_output)
     if not cfg.enable_terminal_formatting:
         set_formatting(False)
+    if cfg.enable_float64:
+        # f64 end-to-end (validation tier; reference precision).  The
+        # flag is process-global and must precede any f64 tracing.
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        masterprint("Running in float64 (enable_float64)")
     units, consts, bg, lin = build_cosmology(cfg)
     comps = build_components(cfg, bg, consts)
     dist = make_distribution(n_devices)
@@ -416,6 +423,7 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
     softening = softening_length(cfg, spec, int(gridsize))
     sim_config = SimConfig(
         boxsize=cfg.boxsize,
+        dtype=jnp.float64 if cfg.enable_float64 else jnp.float32,
         potential_gridsize=int(gridsize),
         interpolation_order=pot.get("interpolation", 2),
         deconvolve=pot.get("deconvolve", (True, True)),
@@ -649,6 +657,7 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
     )
     sim_config = SimConfig(
         boxsize=cfg.boxsize, potential_gridsize=int(gridsize),
+        dtype=jnp.float64 if cfg.enable_float64 else jnp.float32,
         interpolation_order=pot.get("interpolation", 2),
         interlace=bool(pot.get("interlace", False)),
         G=consts.G_Newton,

@@ -147,3 +147,35 @@ def test_f64_p3m_jit_vs_eager_subprocess():
                          capture_output=True, text=True, timeout=560)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "OK" in res.stdout
+
+
+def test_enable_float64_param_subprocess():
+    """enable_float64 / --float64 runs the product loop in f64
+    end-to-end (reference precision; SURVEY §7(g) f64-on-request)."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from concept_tpu.param import load_params\n"
+        "from concept_tpu.run import run\n"
+        "cfg = load_params(None, text=(\n"
+        "    \"initial_conditions = {'species': 'matter', 'N': 6**3}\\n\"\n"
+        "    \"boxsize = 64*Mpc\\n\"\n"
+        "    \"potential_options = 8\\n\"\n"
+        "    \"H0 = 67*km/(s*Mpc)\\n\"\n"
+        "    \"Omega_b = 0.049\\n\"\n"
+        "    \"Omega_cdm = 0.27\\n\"\n"
+        "    \"a_begin = 0.1\\n\"\n"
+        "    \"output_times = {'powerspec': [0.11]}\\n\"\n"
+        "    \"output_dirs = '/tmp/out_f64'\\n\"\n"
+        "    \"select_forces = {'all': {'gravity': 'pm'}}\\n\"\n"
+        "    \"boltzmann_backend = 'eh'\\n\"\n"
+        "    \"enable_float64 = True\\n\"))\n"
+        "sim, st, a = run(cfg)\n"
+        "assert np.asarray(st.pos).dtype == np.float64, st.pos.dtype\n"
+        "print('OK', np.asarray(st.pos).dtype)\n"
+    )
+    res = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=560)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK float64" in res.stdout
