@@ -307,6 +307,7 @@ unit_mass   = '10**10 m_sun'
 ########################
 
 enable_Hubble = True            # False: static universe (a ≡ 1)
+enable_float64 = False          # True: float64 end-to-end (validation)
 print_load_imbalance = True
 terminal_width = 80
 enable_terminal_formatting = True
