@@ -56,13 +56,20 @@ def render2D(
     save_data: bool = False,
     data_filename: str | None = None,
     extent=None,
+    enhancement: bool = True,
 ):
     """Full render2D: returns the enhanced image; optionally saves PNG,
     HDF5 data dump and/or prints an ANSI block (reference
     render2D_select data/image/terminal image — each artifact is
-    independently selectable)."""
+    independently selectable).  ``enhancement`` toggles the
+    gridsize-independent contrast enhancement (reference
+    render2D_options 'enhancement', graphics.py:1568)."""
     img = project_density(pos, gridsize, boxsize, axis=axis, extent=extent)
-    enhanced = enhance(img)
+    if enhancement:
+        enhanced = enhance(img)
+    else:
+        lo, hi = float(np.min(img)), float(np.max(img))
+        enhanced = (img - lo) / (hi - lo if hi > lo else 1.0)
     if filename:
         os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
         import matplotlib

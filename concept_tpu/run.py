@@ -1086,6 +1086,7 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
             save_data=save_data,
             data_filename=fn.replace(".png", ".hdf5"),
             extent=opts.get("extent"),
+            enhancement=bool(opts.get("enhancement", True)),
         )
         masterprint(f"Saved render2D: {fn}")
     elif kind == "render3D":
