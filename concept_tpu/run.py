@@ -1056,7 +1056,15 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
         )
         if cfg.snapshot_type == "gadget":
             fn = os.path.join(dirname, f"{base}_{tag}")
-            snap.save_gadget(fn, meta, sim.spec, state, units)
+            gp = cfg.gadget_snapshot_params or {}
+            snap.save_gadget_multifile(
+                fn, meta, sim.spec, state, units,
+                particles_per_file=int(gp.get("particles per file",
+                                              gp.get("particles_per_file",
+                                                     2**31))),
+                snapformat=int(gp.get("snapformat", 2)),
+                single_precision=int(gp.get("dataformat", 32)) == 32,
+            )
         else:
             fn = os.path.join(dirname, f"{base}_{tag}.hdf5")
             snap.save_concept(fn, meta, {sim.spec.name: (sim.spec, state)})

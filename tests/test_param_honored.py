@@ -329,3 +329,50 @@ def test_powerspec_options_binning_honored():
                        k_max=k_cut)
     assert pk_cut["k"].max() <= k_cut + 1e-12
     assert len(pk_cut["k"]) < len(pk_hi["k"])
+
+
+def test_gadget_snapshot_params_honored(tmp_path):
+    """gadget_snapshot_params snapformat/dataformat/particles-per-file
+    reach the product snapshot dump (previously save_gadget ran with
+    hardcoded defaults)."""
+    from concept_tpu.param import RunConfig
+    from concept_tpu.run import dump
+    from concept_tpu.units import UnitSystem
+    from concept_tpu.components import ComponentSpec, ParticleState
+    from concept_tpu.io import snapshot as snap
+    from concept_tpu.sim import Simulation, SimConfig
+    from concept_tpu.cosmology.background import Background
+
+    usys = UnitSystem("Mpc", "Gyr", "10**10 m_sun")
+    H0 = 67 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.3)
+    N = 27
+    spec = ComponentSpec(name="matter", species="matter", N=N, mass=1e3)
+    simcfg = SimConfig(boxsize=32.0, potential_gridsize=8, method="pm",
+                       G=1.0)
+    sim = Simulation(spec, simcfg, bg, None)
+    rng = np.random.default_rng(0)
+    state = ParticleState(pos=jnp.asarray(rng.uniform(0, 32, (N, 3))),
+                          mom=jnp.zeros((N, 3)))
+    cfg = RunConfig()
+    cfg.H0 = H0
+    cfg.boxsize = 32.0
+    cfg.units = usys
+    cfg.snapshot_type = "gadget"
+    cfg.output_dirs = {"snapshot": str(tmp_path)}
+    cfg.output_bases = {"snapshot": "snap"}
+    cfg.gadget_snapshot_params = {
+        "snapformat": 1, "dataformat": 64, "particles per file": 10,
+    }
+    dump(cfg, sim, state, 0.5, "snapshot", usys, None)
+    files = sorted(tmp_path.glob("snap_a=0.5.*"))
+    assert len(files) == 3, files  # 27 particles / 10 per file
+    # SnapFormat 1: first block is the bare 256-byte header record
+    import struct
+    with open(files[0], "rb") as f:
+        first = struct.unpack("<I", f.read(4))[0]
+    assert first == 256, first  # snapformat 2 would lead with 8 ('HEAD')
+    # dataformat 64: POS block is f64 (record length 3*8*n)
+    meta, comps = snap.load(str(files[0]).replace(".0", ""), usys)
+    (name, (sp, st)), = comps.items()
+    assert sp.N == N
