@@ -174,13 +174,30 @@ _GADGET_HEADER = struct.Struct("<6I6dddii6Iiiddddii6Ii60x")  # 256 bytes
 
 def _gadget_header_bytes(npart, masses, time, redshift, boxsize,
                          omega0, omega_lambda, hubble_param, num_files=1,
-                         nall=None):
+                         nall=None, overrides: dict | None = None):
+    """``overrides``: reference gadget_snapshot_params['header'] field
+    overrides by GADGET header-field name (snapshot.py:673-702)."""
     nall_arr = list(npart)
     if nall is not None:
         nall_arr = [0, int(nall), 0, 0, 0, 0]
+    fields = {
+        "Time": time, "Redshift": redshift, "BoxSize": boxsize,
+        "Omega0": omega0, "OmegaLambda": omega_lambda,
+        "HubbleParam": hubble_param, "NumFilesPerSnapshot": num_files,
+        "FlagSfr": 0, "FlagFeedback": 0, "FlagCooling": 0,
+        "FlagAge": 0, "FlagMetals": 0, "FlagEntropyICs": 0,
+    }
+    for key, val in (overrides or {}).items():
+        if key not in fields:
+            raise ValueError(f"unknown GADGET header field {key!r}")
+        fields[key] = val
     return _GADGET_HEADER.pack(
-        *npart, *masses, time, redshift, 0, 0, *nall_arr, 0, num_files,
-        boxsize, omega0, omega_lambda, hubble_param, 0, 0, *([0] * 6), 0,
+        *npart, *masses, fields["Time"], fields["Redshift"],
+        fields["FlagSfr"], fields["FlagFeedback"], *nall_arr,
+        fields["FlagCooling"], fields["NumFilesPerSnapshot"],
+        fields["BoxSize"], fields["Omega0"], fields["OmegaLambda"],
+        fields["HubbleParam"], fields["FlagAge"], fields["FlagMetals"],
+        *([0] * 6), fields["FlagEntropyICs"],
     )
 
 
@@ -194,6 +211,7 @@ def save_gadget(
     single_precision: bool = True,
     num_files: int = 1,
     nall: int | None = None,
+    header_overrides: dict | None = None,
 ):
     """Write a GADGET-2 snapshot (particle type 1 = halo/cdm).
 
@@ -222,6 +240,7 @@ def save_gadget(
         meta.Omega_b + meta.Omega_cdm,
         1 - meta.Omega_b - meta.Omega_cdm, h,
         num_files=num_files, nall=nall if nall is not None else spec.N,
+        overrides=header_overrides,
     )
 
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
@@ -321,7 +340,8 @@ def save_gadget_components(
 def save_gadget_multifile(filename_base: str, meta: SnapshotMeta,
                           spec: ComponentSpec, state: ParticleState, units,
                           particles_per_file: int, snapformat: int = 2,
-                          single_precision: bool = True):
+                          single_precision: bool = True,
+                          header_overrides: dict | None = None):
     """Split a component over snapshot.0, snapshot.1, ... files
     (reference multi-file GADGET snapshots, snapshot.py:639-2642;
     gadget_snapshot_params['particles per file'])."""
@@ -343,7 +363,8 @@ def save_gadget_multifile(filename_base: str, meta: SnapshotMeta,
         fn = f"{filename_base}.{i}" if n_files > 1 else filename_base
         save_gadget(fn, meta, sub_spec, sub_state, units,
                     snapformat=snapformat, single_precision=single_precision,
-                    num_files=n_files, nall=N)
+                    num_files=n_files, nall=N,
+                    header_overrides=header_overrides)
         files.append(fn)
     return files
 

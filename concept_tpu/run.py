@@ -1064,6 +1064,7 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
                                                      2**31))),
                 snapformat=int(gp.get("snapformat", 2)),
                 single_precision=int(gp.get("dataformat", 32)) == 32,
+                header_overrides=gp.get("header"),
             )
         else:
             fn = os.path.join(dirname, f"{base}_{tag}.hdf5")

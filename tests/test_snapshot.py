@@ -213,3 +213,38 @@ class TestGadgetMultiType:
                 np.asarray(st1.mom), np.asarray(st0.mom), rtol=1e-4,
                 atol=1e-4 * float(np.abs(np.asarray(st0.mom)).max()),
             )
+
+
+def test_gadget_header_overrides(tmp_path):
+    """gadget_snapshot_params['header'] field overrides land in the
+    written header (reference snapshot.py:673-702)."""
+    import struct
+    import numpy as np
+    import jax.numpy as jnp
+    from concept_tpu.io import snapshot as snap
+    from concept_tpu.components import ComponentSpec, ParticleState
+    from concept_tpu.units import UnitSystem
+
+    usys = UnitSystem("Mpc", "Gyr", "10**10 m_sun")
+    meta = snap.SnapshotMeta(a=0.5, boxsize=32.0, H0=0.0683,
+                             Omega_b=0.049, Omega_cdm=0.27)
+    spec = ComponentSpec(name="m", species="matter", N=8, mass=1e3)
+    st = ParticleState(
+        pos=jnp.asarray(np.random.default_rng(0).random((8, 3)) * 32),
+        mom=jnp.zeros((8, 3)))
+    fn = str(tmp_path / "g")
+    snap.save_gadget(fn, meta, spec, st, usys,
+                     header_overrides={"HubbleParam": 0.42})
+    with open(fn, "rb") as f:
+        raw = f.read(4 + 8 + 4 + 4)  # SnapFormat2 HEAD marker + record head
+        body = f.read(256)
+    # HubbleParam offset inside the header struct: 6I(24)+6d(48)
+    # +Time,Redshift(16)+FlagSfr,FlagFeedback(8)+6I Nall(24)
+    # +FlagCooling,NumFiles(8)+BoxSize,Omega0,OmegaLambda(24) = 152
+    hp = struct.unpack_from("<d", body, 152)[0]
+    assert hp == 0.42, hp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snap.save_gadget(fn, meta, spec, st, usys,
+                         header_overrides={"NotAField": 1})
