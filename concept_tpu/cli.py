@@ -36,6 +36,11 @@ def make_parser():
                    help="device count for the grid mesh: N (1D slabs), "
                         "AxB (2D pencils, e.g. 2x4), 0 = all available, "
                         "1 = single device (default)")
+    p.add_argument("-m", "--main", dest="main_script", default=None,
+                   help="run a custom Python script instead of the time "
+                        "loop, with the loaded RunConfig as `cfg` and the "
+                        "unit system in scope (reference `-m MAIN`; its "
+                        "tests' analyze.py pattern)")
     p.add_argument("-t", "--test", nargs="?", const="all", default=None,
                    help="run the test suite (optionally a single test "
                         "file/pattern), reference `concept -t` analogue")
@@ -97,8 +102,9 @@ def main(argv=None):
         from concept_tpu.utilities import delegate
 
         return delegate(args.utility, args)
-    if not args.param and not args.command_line_params:
-        print("nothing to do (pass -p/--param or -u/--utility)", file=sys.stderr)
+    if not args.param and not args.command_line_params and not args.main_script:
+        print("nothing to do (pass -p/--param, -u/--utility or -m SCRIPT)",
+              file=sys.stderr)
         return 1
     if args.pure_python:
         import jax
@@ -110,6 +116,24 @@ def main(argv=None):
     cfg = load_params(args.param, overrides=args.command_line_params)
     if args.float64:
         cfg.enable_float64 = True
+    if args.main_script:
+        # custom main (reference `-m MAIN`, concept:1040-1315): execute
+        # the script with the canonicalized config and units in scope —
+        # the reference tests' analyze.py pattern
+        from concept_tpu.units import UnitSystem
+
+        usys = cfg.units or UnitSystem(cfg.unit_length, cfg.unit_time,
+                                       cfg.unit_mass)
+        ns = {
+            "__name__": "__main__",
+            "__file__": os.path.abspath(args.main_script),
+            "cfg": cfg,
+            "units": usys,
+        }
+        with open(args.main_script) as f:
+            code = compile(f.read(), args.main_script, "exec")
+        exec(code, ns)  # noqa: S102 — user-supplied script, by request
+        return 0
     with job_logging() as jobid:
         print(f"concept_tpu run, job {jobid}")
         run(cfg, seed=args.seed, n_devices=args.nprocs)

@@ -336,3 +336,18 @@ def test_example_explanatory_loads():
     assert cfg.life_output_order == ("terminate", "activate", "dump")
     assert cfg.fluid_scheme_select == {"all": "kurganovtadmor"}
     assert cfg.realization_options["lpt"] == 2
+
+
+def test_main_script_option(tmp_path):
+    """-m SCRIPT executes a custom main with cfg and units in scope
+    (reference `-m MAIN`; its tests' analyze.py pattern)."""
+    from concept_tpu import cli
+
+    script = tmp_path / "custom.py"
+    marker = tmp_path / "ran.txt"
+    script.write_text(
+        f"open({str(marker)!r}, 'w').write(str(cfg.boxsize))\n"
+    )
+    rc = cli.main(["-m", str(script), "-c", "boxsize = 77*Mpc"])
+    assert rc == 0
+    assert marker.read_text() == "77.0"
