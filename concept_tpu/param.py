@@ -211,7 +211,37 @@ def _exec_pass(text, override_text, units, h, param_name, param_path,
     return {k: v for k, v in ns.items() if k not in base and not k.startswith("_")}
 
 
+# Reference parameters that are deliberately NOT supported — setting one
+# warns with the reason instead of silently ignoring it (VERDICT r2
+# item 10: document descopes, no silently-dead config).
+DESCOPED_PARAMS = {
+    "random_generator": "noise is counter-based and mode-indexed by design"
+        " (device-count- and gridsize-invariant); there is no stream RNG"
+        " to select",
+    "fourier_structure_caching": "realization noise is recomputed (cheap"
+        " counter-based kernel); no noise cache exists",
+    "particle_reordering": "particles are deterministically re-sorted"
+        " into the persistent cell layout every rebucketize by design",
+    "fftw_wisdom_rigor": "XLA compiles the FFT; there is no FFTW wisdom",
+    "fftw_wisdom_reuse": "XLA compiles the FFT; there is no FFTW wisdom",
+    "fftw_wisdom_share": "XLA compiles the FFT; there is no FFTW wisdom",
+    "enable_warm_dark_matter": "WDM needs a patched-CLASS backend; use"
+        " boltzmann_backend='class' with your own class_params instead",
+    "allow_snapshot_multifile_singleload": "multi-file GADGET sets are"
+        " always loaded whole (single-controller I/O)",
+    "enable_debugging": "use --pure-python (eager mode) and the test"
+        " suite's debug helpers instead",
+}
+
+
 def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> RunConfig:
+    from concept_tpu.utils.terminal import masterwarn
+
+    for key in sorted(set(raw) & set(DESCOPED_PARAMS)):
+        masterwarn(
+            f"parameter {key!r} is not supported in concept_tpu and has "
+            f"no effect: {DESCOPED_PARAMS[key]}"
+        )
     cfg = RunConfig(param_name=param_name, param_path=param_path, units=units)
     cfg.unit_length = str(raw.get("unit_length", "Mpc"))
     cfg.unit_time = str(raw.get("unit_time", "Gyr"))

@@ -351,3 +351,19 @@ def test_main_script_option(tmp_path):
     rc = cli.main(["-m", str(script), "-c", "boxsize = 77*Mpc"])
     assert rc == 0
     assert marker.read_text() == "77.0"
+
+
+def test_descoped_params_warn(capsys):
+    """Setting a deliberately-unsupported reference parameter warns with
+    the reason instead of silently ignoring it."""
+    from concept_tpu.param import load_params
+
+    load_params(None, text=(
+        "boxsize = 100*Mpc\n"
+        "random_generator = 'PCG64DXSM'\n"
+        "fftw_wisdom_rigor = 'measure'\n"
+    ))
+    err = capsys.readouterr()
+    out = err.out + err.err
+    assert "random_generator" in out and "not supported" in out
+    assert "fftw_wisdom_rigor" in out
