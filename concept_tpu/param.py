@@ -268,6 +268,18 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
             f"got {cfg.boltzmann_backend!r}"
         )
     cfg.boltzmann_options = dict(raw.get("boltzmann_options", {}))
+    # reference-name aliases so reference parameter files port cleanly
+    # (class_modes_per_decade, class_k_max, class_reuse —
+    # param/example_explanatory:289-293, 429-431)
+    if "class_modes_per_decade" in raw:
+        mpd = raw["class_modes_per_decade"]
+        if isinstance(mpd, dict):  # reference k-dependent dict: use max
+            mpd = max(mpd.values())
+        cfg.boltzmann_options.setdefault("modes_per_decade", int(mpd))
+    if "class_k_max" in raw:
+        cfg.boltzmann_options.setdefault("k_max", float(raw["class_k_max"]))
+    if "class_reuse" in raw and not bool(raw["class_reuse"]):
+        cfg.boltzmann_options.setdefault("cache_dir", "")
     # numerics
     cfg.boxsize = float(raw.get("boxsize", 512 * units.Mpc))
     cfg.potential_options = canonicalize_potential_options(
