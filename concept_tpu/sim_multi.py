@@ -130,11 +130,31 @@ class MultiSimulation:
         for key, val in (fluid_options or {}).items():
             if key.lower().replace("-", "") == "maccormack":
                 mc_opts = val
-        self._mc_vacuum = bool(_first(mc_opts.get("vacuum_corrections"), True))
-        self._mc_vacuum_passes = int(
-            _first(mc_opts.get("max_vacuum_corrections"), 2)
-        )
-        self._mc_smoothing = float(_first(mc_opts.get("smoothing"), 1.0))
+        def _mc(key, default):
+            # both spellings: ours ('smoothing') and the reference's
+            # selector form ('smoothing_select', example_explanatory:406)
+            val = mc_opts.get(key, mc_opts.get(f"{key}_select"))
+            return _first(val, default)
+
+        self._mc_vacuum = bool(_mc("vacuum_corrections", True))
+        passes = _mc("max_vacuum_corrections", 2)
+        if isinstance(passes, (tuple, list)):
+            # reference (1, 'gridsize') form: a fixed count for the
+            # predictor plus up-to-gridsize for the corrector — the
+            # conservative redistribution here converges in a few
+            # passes, so take the numeric entry
+            passes = next((p for p in passes
+                           if isinstance(p, (int, float))), 2)
+        self._mc_vacuum_passes = int(passes)
+        self._mc_smoothing = float(_mc("smoothing", 1.0))
+        if _mc("foresight", None) is not None:
+            from concept_tpu.utils.terminal import masterwarn
+
+            masterwarn(
+                "fluid_options MacCormack 'foresight' has no effect: "
+                "vacuum handling here is conservative redistribution "
+                "per step, not look-ahead detection"
+            )
         # per-particle-component gravity method (reference
         # find_interactions builds (force, method, receivers, suppliers)
         # groups, interactions.py:2456): p3m components receive the

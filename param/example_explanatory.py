@@ -19,7 +19,7 @@
 # mixes both freely.
 initial_conditions = {
     'species': 'matter',
-    'N'      : 32**3,        # particle count (cubes, or 2n³ bcc / 4n³ fcc)
+    'N'      : 16**3,        # particle count (cubes, or 2n³ bcc / 4n³ fcc)
 }
 # Fluid form: {'species': 'neutrino', 'gridsize': 64,
 #              'boltzmann order': 1, 'boltzmann closure': 'class'}
@@ -89,13 +89,13 @@ render3D_select  = {'all': {'image': True}}
 ########################
 
 # Comoving box side length.
-boxsize = 128*Mpc
+boxsize = 64*Mpc
 
 # Particle-mesh options for every mesh-based force.  A bare int is the
 # global grid size.
 potential_options = {
     'gridsize': {
-        'global': {'gravity': {'pm': 32, 'p3m': 64}},
+        'global': {'gravity': {'pm': 16, 'p3m': 32}},
     },
     'interpolation'  : 'CIC',          # NGP/CIC/TSC/PCS or 1/2/3/4
     'deconvolve'     : (True, True),   # (upstream, downstream)
@@ -118,7 +118,7 @@ shortrange_params = {
 
 # Power-spectrum measurement (a bare int = {'gridsize': ...}).
 powerspec_options = {
-    'gridsize'     : 64,
+    'gridsize'     : 32,
     'interpolation': 'PCS',
     'interlace'    : True,
     'plot'         : False,
@@ -127,7 +127,7 @@ powerspec_options = {
 # Bispectrum measurement: named triangle family + resolution.
 bispec_options = {
     'configuration': 'equilateral 10',
-    'gridsize'     : 32,
+    'gridsize'     : 16,
 }
 
 # Anti-aliased cell-shell overlap weights for the bispectrum shells
