@@ -90,6 +90,8 @@ class TransferTables:
         """
         if gauge in (self.gauge, None):
             return self
+        if gauge == "newtonian" and self.gauge == "synchronous":
+            return self._to_newtonian(bg, light_speed, w_of_a)
         if gauge != "nbody" or self.gauge != "synchronous":
             raise ValueError(
                 f"unsupported gauge transform {self.gauge} → {gauge}"
@@ -150,6 +152,50 @@ class TransferTables:
                 new_tables[(species, var)] = tab.copy()
         return TransferTables(k=self.k, a=self.a, tables=new_tables,
                               aux=dict(self.aux), gauge="nbody")
+
+    def _to_newtonian(self, bg, light_speed: float, w_of_a=None):
+        """Synchronous → conformal-Newtonian gauge (Ma & Bertschinger
+        1995 eq. 27, with α = (h′+6η′)/(2k²) from aux['alpha']):
+
+          δ_N  = δ_s + 3ℋ(1+w)·α
+          θ_N  = θ_s + c²k²·α
+          δP_N/ρ̄ = δP_s/ρ̄ − α·(ẇ − 3ℋw(1+w))
+          σ unchanged.
+        """
+        if "alpha" not in self.aux:
+            raise ValueError(
+                "Newtonian gauge transform needs aux['alpha'] "
+                "(provided by the internal EB solver; classy-sourced "
+                "tables lack it — request gauge 'nbody' or "
+                "'synchronous' instead)"
+            )
+        a = self.a
+        k = self.k
+        c2 = light_speed**2
+        H = np.asarray([float(bg.hubble_np(ai)) for ai in a])
+        aH = a * H  # conformal ℋ in unit-system 1/time
+        alpha = np.asarray(self.aux["alpha"], np.float64)  # (Na, Nk), time
+        new_tables = {}
+        for (species, var), tab in self.tables.items():
+            w = np.zeros_like(a)
+            if w_of_a and species in w_of_a:
+                w = np.asarray([w_of_a[species](ai) for ai in a])
+            if var == "delta":
+                coef = 3.0 * aH * (1.0 + w)
+                new_tables[(species, var)] = tab + coef[:, None] * alpha
+            elif var == "theta":
+                new_tables[(species, var)] = (
+                    tab + c2 * (k[None, :] ** 2) * alpha
+                )
+            elif var == "deltaP":
+                dw_da = np.gradient(w, a)
+                wdot = dw_da * aH  # conformal ẇ
+                coef = -(wdot - 3.0 * aH * w * (1.0 + w))
+                new_tables[(species, var)] = tab + coef[:, None] * alpha
+            else:  # σ gauge-invariant at this order
+                new_tables[(species, var)] = tab.copy()
+        return TransferTables(k=self.k, a=self.a, tables=new_tables,
+                              aux=dict(self.aux), gauge="newtonian")
 
 
 def _bilinear(tab, loga_grid, logk_grid, k, a):

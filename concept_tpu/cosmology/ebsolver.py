@@ -745,7 +745,7 @@ class EBSolver:
         rho_m = rho_c + rho_b
         out.update(
             eta=eta, tau=tau, h_prime=h_p, theta_tot=theta_tot,
-            R_com=R_com, phi=phi, psi=psi,
+            R_com=R_com, phi=phi, psi=psi, alpha=alpha,
             d_cdm=d_c, d_b=d_b, t_b=t_b,
             d_g=d_g, t_g=t_g, s_g=s_g,
             d_ur=d_ur, t_ur=t_ur, s_ur=s_ur,
@@ -871,5 +871,11 @@ def tabulate_eb(params: EBParams, k_internal, Mpc: float, light_speed: float,
         "psi": rows["psi"],
         "H_T_prime": HT_prime * inv_t,
     }
+    if "alpha" in rows:
+        # α = (h' + 6η')/(2k²), conformal-time units → unit-system time
+        # (used by the synchronous → Newtonian gauge transform; absent
+        # from disk caches written before it was exported — those still
+        # serve every other gauge)
+        aux["alpha"] = rows["alpha"] / inv_t
     return TransferTables(k=np.asarray(k_internal), a=a, tables=tables,
                           aux=aux, gauge="synchronous")

@@ -203,3 +203,43 @@ def test_metric_and_lapse_species_construction(lin):
     construct_lapse_delta(tabs, lin.bg, G, c, rho_m)
     assert tabs.has("lapse", "delta")
     assert np.isfinite(tabs.tables[("lapse", "delta")]).all()
+
+
+def test_newtonian_gauge_transform_identities():
+    """Synchronous → Newtonian (MB95 eq. 27): θ_N(cdm) = c²k²α exactly
+    (θ_s(cdm) ≡ 0), δ_N − δ_s = 3ℋ(1+w)α per species, σ invariant."""
+    import numpy as np
+    from concept_tpu.cosmology.boltzmann import TransferTables
+    from concept_tpu.cosmology.background import Background
+    from concept_tpu.units import units
+
+    rng = np.random.default_rng(0)
+    a = np.linspace(0.1, 1.0, 8)
+    k = np.array([0.01, 0.1, 1.0])
+    c = 299.792458  # Mpc/Gyr-ish scale; any consistent value works
+    alpha = rng.random((8, 3))
+    tables = {
+        ("cdm", "delta"): rng.random((8, 3)),
+        ("cdm", "theta"): np.zeros((8, 3)),
+        ("photon", "delta"): rng.random((8, 3)),
+        ("photon", "sigma"): rng.random((8, 3)),
+    }
+    tt = TransferTables(k=k, a=a, tables={kk: v.copy() for kk, v in tables.items()},
+                        aux={"alpha": alpha}, gauge="synchronous")
+    H0 = 67 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.3)
+    out = tt.to_gauge("newtonian", bg, c,
+                      w_of_a={"photon": lambda ai: 1.0 / 3.0})
+    assert out.gauge == "newtonian"
+    aH = np.asarray([ai * float(bg.hubble_np(ai)) for ai in a])
+    np.testing.assert_allclose(
+        out.tables[("cdm", "theta")], c**2 * k[None, :] ** 2 * alpha,
+        rtol=1e-12)
+    np.testing.assert_allclose(
+        out.tables[("cdm", "delta")] - tables[("cdm", "delta")],
+        3.0 * aH[:, None] * alpha, rtol=1e-12)
+    np.testing.assert_allclose(
+        out.tables[("photon", "delta")] - tables[("photon", "delta")],
+        3.0 * aH[:, None] * (4.0 / 3.0) * alpha, rtol=1e-12)
+    np.testing.assert_allclose(out.tables[("photon", "sigma")],
+                               tables[("photon", "sigma")], rtol=0)
