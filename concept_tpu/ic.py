@@ -179,6 +179,7 @@ def realize_delta_slab(
     nongaussianity: float = 0.0,
     species: str = "matter",
     scheme: str = "simple",
+    backscale: bool = False,
 ):
     """δ(k) in DFT normalisation at scale factor a.
 
@@ -187,9 +188,14 @@ def realize_delta_slab(
     the primordial potential (reference realization_options
     'nongaussianity').  species selects the transfer function (matter /
     cb / nu — reference TransferFunction species, linear.py:3517).
+    ``backscale``: realize with the z = 0 spectrum scaled back by
+    D1(a)/D1(1) instead of the a-epoch transfer function (the classic
+    N-body IC convention; reference realization_options 'backscale').
     """
     n = gridsize
     V = boxsize**3
+    bs_fac = float(lin.bg.growth_np("D1", a)) if backscale else 1.0
+    a_amp = 1.0 if backscale else a
 
     # One jitted program: eager per-op dispatch of complex arithmetic is
     # not supported on all TPU runtimes (and is slow anyway).
@@ -207,9 +213,10 @@ def realize_delta_slab(
             zeta_x = irfft3(zeta_k, n, dist)
             fnl_term = (3.0 / 5.0) * nongaussianity * (zeta_x**2 - jnp.mean(zeta_x**2))
             zeta_k = zeta_k + rfft3(fnl_term.astype(dtype), dist)
-            Tdelta = lin.transfer_delta(kmag_safe, a, species)
+            Tdelta = lin.transfer_delta(kmag_safe, a_amp, species) * bs_fac
             return jnp.where(kmag > 0, zeta_k * Tdelta, 0.0)
-        amp = lin.delta_amplitude(kmag_safe, a, species) * math.sqrt(n**3 / V)
+        amp = (lin.delta_amplitude(kmag_safe, a_amp, species) * bs_fac
+               * math.sqrt(n**3 / V))
         return jnp.where(kmag > 0, R * amp, 0.0)
 
     if _tracing():
@@ -442,6 +449,7 @@ def realize_particles(
     delta_k=None,
     scheme: str = "simple",
     dealias: bool = False,
+    backscale: bool = False,
 ) -> ParticleState:
     """Generate particle ICs for a matter-like component at scale factor a.
 
@@ -470,6 +478,7 @@ def realize_particles(
             delta_k = realize_delta_slab(
                 lin, gridsize, boxsize, a, seed, fixed_amplitude, phase_shift,
                 dist, dtype, nongaussianity, species, scheme,
+                backscale=backscale,
             )
         kfac = 2 * math.pi / boxsize
         k2 = fourier.k2_int_grid(gridsize).astype(dtype) * kfac**2

@@ -504,6 +504,7 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
                 cfg.realization_options.get("nongaussianity", 0.0)
             ),
             dealias=bool(cfg.realization_options.get("dealias", False)),
+            backscale=bool(cfg.realization_options.get("backscale", False)),
         )
         masterprint("done")
 
@@ -709,6 +710,7 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
             lin, pspec, cfg.boxsize, a_at, seed=seed_val,
             lpt_order=lpt, scheme=cfg.primordial_noise_imprinting,
             dealias=bool(cfg.realization_options.get("dealias", False)),
+            backscale=bool(cfg.realization_options.get("backscale", False)),
         )
         masterprint("done")
         return st

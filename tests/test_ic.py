@@ -240,3 +240,31 @@ class TestNoiseSpectralQuality:
         num = np.abs(np.mean(a * np.conj(b)))
         den = np.sqrt(np.mean(np.abs(a) ** 2) * np.mean(np.abs(b) ** 2))
         assert num / den < 0.01, num / den
+
+
+def test_backscale_realization():
+    """realization_options 'backscale': z=0 spectrum scaled back by
+    D1(a)/D1(1).  On the scale-independent-growth EH backend this must
+    reproduce the a-epoch realization to roundoff — validating both the
+    plumbing and the D1(a_today)=1 normalization (reference
+    realization_options 'backscale', ic.py:1199)."""
+    from concept_tpu.units import units, constants
+    from concept_tpu.cosmology.background import Background
+    from concept_tpu.cosmology.primordial import PrimordialSpectrum
+    from concept_tpu.cosmology.linear import LinearCosmology
+    from concept_tpu.components import ComponentSpec
+    from concept_tpu.ic import realize_particles
+
+    H0 = 67 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.319)
+    lin = LinearCosmology(
+        bg, PrimordialSpectrum(A_s=2.1e-9, n_s=0.96), Omega_b=0.049,
+        Omega_cdm=0.27, light_speed=constants.light_speed, Mpc=units.Mpc,
+    )
+    box = 64 * units.Mpc
+    spec = ComponentSpec(name="m", species="matter", N=8**3, mass=1.0)
+    st0 = realize_particles(lin, spec, box, 0.02, seed=0)
+    st1 = realize_particles(lin, spec, box, 0.02, seed=0, backscale=True)
+    d = np.abs(np.asarray(st0.pos) - np.asarray(st1.pos))
+    d = np.minimum(d, box - d)
+    assert d.max() / box < 1e-6, d.max()
