@@ -218,7 +218,8 @@ realization_options = {
     'lpt'           : 2,
     'dealias'       : False,
     'nongaussianity': 0.0,      # f_NL
-    'gauge'         : 'nbody',  # N-body gauge (reference default)
+    'gauge'         : 'nbody',  # 'nbody' | 'synchronous' | 'newtonian'
+    'backscale'     : False,    # z=0 spectrum scaled back by D1(a)
 }
 
 
