@@ -81,19 +81,33 @@ def util_info(paths: list[str], cli_args) -> int:
 
 
 def util_powerspec(paths: list[str], cli_args) -> int:
-    """Measure P(k) of existing snapshots (reference utilities.py:465)."""
+    """Measure P(k) of existing snapshots (reference utilities.py:465).
+    Honors powerspec_options from `-p PARAM` (gridsize, interpolation,
+    interlace, bins per decade, k_max)."""
     import jax.numpy as jnp
     from concept_tpu.io import snapshot as snap
     from concept_tpu.analysis.powerspec import powerspec
     from concept_tpu.analysis.output import save_powerspec_txt
 
+    opts = {}
+    if getattr(cli_args, "param", None):
+        from concept_tpu.param import load_params
+
+        opts = load_params(cli_args.param).powerspec_options or {}
     for path in paths:
         meta, comps = snap.load(path)
         for name, (spec, state) in comps.items():
-            gridsize = 2 * round(spec.N ** (1 / 3))
+            gridsize = int(opts.get("gridsize")
+                           or 2 * round(spec.N ** (1 / 3)))
             pk = powerspec(
                 [jnp.asarray(state.pos, jnp.float32)], [1.0],
                 gridsize, meta.boxsize, spec.N,
+                order=opts.get("interpolation", 4),
+                interlace=bool(opts.get("interlace", True)),
+                bins_per_decade=int(opts.get("bins per decade",
+                                             opts.get("bins_per_decade",
+                                                      40))),
+                k_max=opts.get("k_max"),
             )
             out = path + f"_powerspec_{name}.txt"
             save_powerspec_txt(out, pk, meta.a, meta.boxsize)
