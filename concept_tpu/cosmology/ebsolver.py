@@ -761,6 +761,12 @@ class EBSolver:
 
 
 # --------------------------------------------------------------------- #
+def _solve_mode_chunk(params: "EBParams", ks, a_out, rtol):
+    """Worker: solve a chunk of k modes (module-level for pickling)."""
+    solver = EBSolver(params)
+    return [solver.solve_mode(k, a_out, rtol=rtol) for k in ks]
+
+
 def solve_tables(params: EBParams, k_mpc, a_out=None, rtol=1e-6,
                  cache_dir=None, verbose=False):
     """Solve all modes; return raw per-mode dict-of-(Na, Nk) arrays,
@@ -779,10 +785,42 @@ def solve_tables(params: EBParams, k_mpc, a_out=None, rtol=1e-6,
         if os.path.exists(path):
             with np.load(path) as z:
                 return {name: z[name] for name in z.files}
-    solver = EBSolver(params)
+    # modes are independent: fan them out over host CPUs (the
+    # reference's node-distributed CLASS computation, commons.py:4705 —
+    # k modes dealt round-robin across workers).  Serial on 1-CPU hosts.
+    n_workers = min(
+        int(os.environ.get("CONCEPT_TPU_EB_WORKERS",
+                           os.cpu_count() or 1)),
+        len(k_mpc),
+    )
+    results = [None] * len(k_mpc)
+    if n_workers > 1:
+        import concurrent.futures as _cf
+
+        chunks = [list(range(j, len(k_mpc), n_workers))
+                  for j in range(n_workers)]
+        with _cf.ProcessPoolExecutor(max_workers=n_workers) as ex:
+            futs = {
+                ex.submit(_solve_mode_chunk, params,
+                          [float(k_mpc[j]) for j in chunk], a_out, rtol):
+                chunk
+                for chunk in chunks if chunk
+            }
+            for fut in _cf.as_completed(futs):
+                for j, res in zip(futs[fut], fut.result()):
+                    results[j] = res
+                if verbose:
+                    done = sum(r is not None for r in results)
+                    print(f"  EB modes {done}/{len(k_mpc)}", flush=True)
+    else:
+        solver = EBSolver(params)
+        for j, k in enumerate(k_mpc):
+            results[j] = solver.solve_mode(float(k), a_out, rtol=rtol)
+            if verbose:
+                print(f"  EB mode {j + 1}/{len(k_mpc)} k={k:.4g}/Mpc",
+                      flush=True)
     rows = None
-    for j, k in enumerate(k_mpc):
-        res = solver.solve_mode(float(k), a_out, rtol=rtol)
+    for j, res in enumerate(results):
         # normalize per unit comoving curvature at the initial time,
         # global sign flipped so δ_cdm(a=1) > 0
         norm = -res["R_init"][0]
@@ -793,9 +831,6 @@ def solve_tables(params: EBParams, k_mpc, a_out=None, rtol=1e-6,
             # bookkeeping columns stay physical
             div = 1.0 if name in ("R_init", "a_rsa", "tau") else norm
             rows[name][:, j] = series / div
-        if verbose:
-            print(f"  EB mode {j + 1}/{len(k_mpc)} k={k:.4g}/Mpc",
-                  flush=True)
     rows["k_mpc"] = k_mpc
     rows["a"] = a_out
     # R_com was normalized too: un-normalize bookkeeping columns that
