@@ -1,7 +1,9 @@
 # This parameter file enumerates EVERY parameter the framework accepts,
 # each set to its default (or an illustrative value, commented as such),
 # with an explanation.  It is executable — `python -m concept_tpu -p
-# param/example_explanatory.py` runs a small but complete simulation.
+# param/example_explanatory.py` runs a small but complete P³M+rungs
+# simulation (seconds per step on a TPU chip; ~10-20 min total on a
+# single CPU core — switch select_forces to 'pm' for a quick CPU tour).
 # Parameter files are ordinary Python, executed with the unit system
 # (Mpc, kpc, Gyr, km, s, m_sun, ...) and `h` in scope; they are executed
 # twice so forward references like `boxsize = 512*Mpc/h` work even when
