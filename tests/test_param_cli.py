@@ -330,7 +330,7 @@ def test_example_explanatory_loads():
     from concept_tpu.param import load_params
 
     cfg = load_params("param/example_explanatory.py")
-    assert cfg.potential_options["gridsize_per_method"] == {"pm": 32, "p3m": 64}
+    assert cfg.potential_options["gridsize_per_method"] == {"pm": 16, "p3m": 32}
     assert cfg.N_rungs == 8
     assert cfg.softening_kernel == "spline"
     assert cfg.life_output_order == ("terminate", "activate", "dump")
