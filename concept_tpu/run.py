@@ -267,6 +267,58 @@ def write_autosave(cfg: RunConfig, sim, state, a, events, units,
     masterprint(f"Autosaved at a = {a:.6g} → {d}")
 
 
+def write_autosave_multi(cfg: RunConfig, sim, state, a, events):
+    """Autosave for multi-component runs: every particle AND fluid
+    component into one CONCEPT snapshot + the event queue (reference
+    autosave covers all components the same way, main.py:1821)."""
+    import json
+    from concept_tpu.io import snapshot as snap
+
+    d = autosave_path(cfg)
+    os.makedirs(d, exist_ok=True)
+    meta = snap.SnapshotMeta(
+        a=a, boxsize=cfg.boxsize, H0=cfg.H0,
+        Omega_b=cfg.Omega_b, Omega_cdm=cfg.Omega_cdm,
+        unit_length=cfg.unit_length, unit_time=cfg.unit_time,
+        unit_mass=cfg.unit_mass,
+    )
+    comps = {}
+    for name, pstate in state.particles.items():
+        comps[name] = (sim.pspecs[name], pstate)
+    for name, fstate in state.fluids.items():
+        comps[name] = (sim.fspecs[name], fstate)
+    snap.save_concept(os.path.join(d, "snapshot.hdf5"), meta, comps)
+    aux = {"a": a, "events": [[e[0], list(e[1])] if isinstance(e[1], tuple)
+                              else [e[0], e[1]] for e in events],
+           "multi": True}
+    with open(os.path.join(d, "auxiliary.json"), "w") as f:
+        json.dump(aux, f)
+    masterprint(f"Autosaved at a = {a:.6g} → {d}")
+
+
+def check_autosave_multi(cfg: RunConfig):
+    """Detect a multi-component autosave: returns
+    ({name: (spec, state)}, a, events) or None."""
+    import json
+    from concept_tpu.io import snapshot as snap
+
+    d = autosave_path(cfg)
+    fn = os.path.join(d, "snapshot.hdf5")
+    aux = os.path.join(d, "auxiliary.json")
+    if not (os.path.exists(fn) and os.path.exists(aux)):
+        return None
+    with open(aux) as f:
+        info = json.load(f)
+    if not info.get("multi"):
+        return None
+    meta, comps = snap.load_concept(fn)
+    events = [
+        (float(e0), tuple(e1) if isinstance(e1, list) else e1)
+        for e0, e1 in info["events"]
+    ]
+    return comps, float(info["a"]), events
+
+
 def check_autosave(cfg: RunConfig):
     """Detect a previous autosave to resume from (reference main.py:1928).
     Returns (state_arrays, a, remaining_events, hysteresis, step_total)
@@ -725,14 +777,39 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
         masterprint("done")
         return st
 
-    particles = {
-        s.name: realize_p(s, cfg.a_begin) for s in pspecs
-        if s.life[0] <= cfg.a_begin
-    }
-    fluids = {
-        s.name: realize_f(s, cfg.a_begin) for s in fspecs
-        if s.life[0] <= cfg.a_begin
-    }
+    resume_multi = check_autosave_multi(cfg)
+    if resume_multi is not None:
+        comps_saved, a_resume, events_resume = resume_multi
+        particles = {}
+        fluids = {}
+        for name, (sp, st) in comps_saved.items():
+            if hasattr(st, "pos"):
+                from concept_tpu.components import ParticleState as _PS
+
+                particles[name] = _PS(
+                    pos=jnp.asarray(st.pos, jnp.float32),
+                    mom=jnp.asarray(st.mom, jnp.float32),
+                )
+            else:
+                from concept_tpu.components import FluidState as _FS
+
+                fluids[name] = _FS(
+                    varrho=jnp.asarray(st.varrho, jnp.float32),
+                    J=None if st.J is None else jnp.asarray(st.J, jnp.float32),
+                    P=None if st.P is None else jnp.asarray(st.P, jnp.float32),
+                    sigma=None if st.sigma is None else jnp.asarray(
+                        st.sigma, jnp.float32),
+                )
+        masterprint(f"Resumed from autosave at a = {a_resume:.6g}")
+    else:
+        particles = {
+            s.name: realize_p(s, cfg.a_begin) for s in pspecs
+            if s.life[0] <= cfg.a_begin
+        }
+        fluids = {
+            s.name: realize_f(s, cfg.a_begin) for s in fspecs
+            if s.life[0] <= cfg.a_begin
+        }
     state = MultiState(particles=particles, fluids=fluids)
 
     # events: output dumps + component activation/termination (the
@@ -758,21 +835,55 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
         return (e[0], _order.get(act, len(_order)))
 
     events.sort(key=_event_key)
-    a = cfg.a_begin
-    for a_dump, kind in [e for e in events if e[0] <= a + 1e-12]:
-        if isinstance(kind, str):
-            dump_multi(cfg, sim, state, a, kind, units, lin)
-    events = [e for e in events if e[0] > a + 1e-12]
+    if resume_multi is not None:
+        a = a_resume
+        events = events_resume
+    else:
+        a = cfg.a_begin
+        for a_dump, kind in [e for e in events if e[0] <= a + 1e-12]:
+            if isinstance(kind, str):
+                dump_multi(cfg, sim, state, a, kind, units, lin)
+        events = [e for e in events if e[0] > a + 1e-12]
     all_specs = {s.name: s for s in pspecs + fspecs}
     from concept_tpu.timestep import prepare_static_timestepping
 
     static_dt = prepare_static_timestepping(cfg.static_timestepping)
+
+    # interrupted-run trap + periodic autosave (as in run(); segment
+    # granularity — sim_multi.evolve carries no mid-segment callback)
+    import signal as _signal
+
+    trap = {"state": state, "a": a, "events": events}
+    last_save = _time.monotonic()
+
+    def _on_signal(signum, frame):
+        masterprint(
+            f"Received signal {_signal.Signals(signum).name}: "
+            f"writing autosave before exiting ..."
+        )
+        try:
+            write_autosave_multi(cfg, sim, trap["state"], trap["a"],
+                                 trap["events"])
+        finally:
+            raise SystemExit(128 + signum)
+
+    old_handlers = {}
+    for sig in (_signal.SIGINT, _signal.SIGTERM):
+        try:
+            old_handlers[sig] = _signal.signal(sig, _on_signal)
+        except (ValueError, OSError):
+            pass
+
     while events:
         a_next = events[0][0]
         masterprint(f"Evolving to a = {a_next:.4g} ...")
         state, a = sim.evolve(state, a, a_next, max_steps=max_steps,
                               static_dt=static_dt)
         masterprint("done")
+        trap.update(state=state, a=a, events=events)
+        if (_time.monotonic() - last_save) > cfg.autosave_interval:
+            write_autosave_multi(cfg, sim, state, a, events)
+            last_save = _time.monotonic()
         while events and events[0][0] <= a + 1e-9:
             _, kind = events.pop(0)
             if isinstance(kind, tuple):
@@ -796,6 +907,10 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
                     state = MultiState(particles=parts, fluids=fls)
             else:
                 dump_multi(cfg, sim, state, a, kind, units, lin)
+        trap.update(state=state, a=a, events=events)
+    for sig, h in old_handlers.items():
+        _signal.signal(sig, h)
+    clear_autosave(cfg)
     masterprint(f"Simulation complete: a = {a:.6g}")
     return sim, state, a
 

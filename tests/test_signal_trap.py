@@ -133,3 +133,67 @@ def test_resume_matches_uninterrupted(tmp_path):
     pk_res = spectrum(int_dir)
     # identical step chain ⇒ near-bitwise agreement (f32 end-to-end)
     np.testing.assert_allclose(pk_res, pk_base, rtol=1e-5)
+
+
+def test_multi_component_sigterm_and_resume(tmp_path):
+    """Multi-component (particles + fluid) runs also trap signals,
+    autosave every component (fluid grids included) and resume
+    (previously only the single-component path had the trap)."""
+    out = tmp_path / "out"
+    param = tmp_path / "p.py"
+    param.write_text(
+        "initial_conditions = [\n"
+        "    {'species': 'matter', 'N': 6**3},\n"
+        "    {'species': 'matter', 'name': 'dust fluid', 'gridsize': 8,\n"
+        "     'boltzmann order': 1},\n"
+        "]\n"
+        "potential_options = 16\n"
+        f"output_dirs = '{out}'\n"
+        "output_times = {'powerspec': [0.5, 1.0]}\n"
+        "a_begin = 0.02\n"
+        "boxsize = 128*Mpc\n"
+    )
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "from concept_tpu.cli import main; "
+        f"sys.exit(main(['-p', r'{param}']))"
+    )
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", code], cwd=tmp_path,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env,
+    )
+    deadline = time.time() + 400
+    saw_mid_dump = False
+    for line in proc.stdout:
+        # interrupt between the two dumps so the resume skips past the
+        # first event correctly
+        if "powerspec" in line and "0.5" in line:
+            saw_mid_dump = True
+            time.sleep(2)
+            proc.send_signal(signal.SIGTERM)
+            break
+        if time.time() > deadline:
+            proc.kill()
+            raise AssertionError("run never reached the first dump")
+    assert saw_mid_dump
+    tail = proc.stdout.read()
+    proc.wait(timeout=120)
+    assert "writing autosave" in tail, f"tail={tail!r}"
+    import json
+    auxes = list(tmp_path.rglob("auxiliary.json"))
+    assert auxes and json.loads(auxes[0].read_text()).get("multi"), tail
+
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=tmp_path, capture_output=True,
+        text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert "Resumed from autosave" in r.stdout, r.stdout[-3000:]
+    assert "Simulation complete" in r.stdout
+    assert (out / "powerspec_matter_a=1.txt").exists()
+    assert (out / "powerspec_dust fluid_a=1.txt").exists()
+    # autosave cleared on success
+    assert not list(tmp_path.rglob("auxiliary.json"))
