@@ -60,7 +60,14 @@ def util_info(paths: list[str], cli_args) -> int:
         print(f"  a = {meta.a}, boxsize = {meta.boxsize}, H0 = {meta.H0}")
         print(f"  Ωb = {meta.Omega_b}, Ωcdm = {meta.Omega_cdm}")
         for name, (spec, state) in comps.items():
-            print(f"  component {name!r}: species={spec.species}, N={spec.N}, mass={spec.mass}")
+            if getattr(spec, "representation", "particles") == "fluid":
+                print(f"  component {name!r}: species={spec.species}, "
+                      f"fluid gridsize={spec.gridsize}, w={spec.w}, "
+                      f"boltzmann order={spec.boltzmann_order} "
+                      f"({spec.boltzmann_closure})")
+            else:
+                print(f"  component {name!r}: species={spec.species}, "
+                      f"N={spec.N}, mass={spec.mass}")
         if generate:
             pf = path + ".params.py"
             with open(pf, "w") as f:
