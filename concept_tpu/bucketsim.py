@@ -214,7 +214,7 @@ def bucket_pm_step(
 
     def compact(_):
         sidx = jnp.nonzero(stragglers.reshape(-1), size=max_straggler,
-                           fill_value=M)[0]
+                           fill_value=M)[0].astype(jnp.int32)
         s_ok = sidx < M
         pos_flat = state.pos.reshape(3, M)
         # (3, S) — an (S, 3) array would be lane-padded 42×

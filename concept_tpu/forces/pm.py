@@ -335,7 +335,7 @@ def _pm_updates_pallas(
         max_over = max(256, N // 16)
         over_sorted_idx = jnp.nonzero(
             bk["overflow"], size=max_over, fill_value=N
-        )[0]
+        )[0].astype(jnp.int32)
         valid_over = over_sorted_idx < N
         over_orig_idx = jnp.where(
             valid_over,

@@ -327,7 +327,8 @@ def build_pm_binding(pos3, valid, boxsize: float, mesh: int, k_pm: int,
         jnp.arange(k_pm, dtype=jnp.int32)[:, None] < counts_p[None, :]
     ).astype(pos3.dtype)
     n_over = jnp.sum(ok) - jnp.sum(jnp.minimum(counts, k_pm))
-    s_sorted = jnp.nonzero(ok & (rank >= k_pm), size=S, fill_value=M)[0]
+    s_sorted = jnp.nonzero(ok & (rank >= k_pm), size=S,
+                           fill_value=M)[0].astype(jnp.int32)
     s_ok = s_sorted < M
     s_idx = jnp.where(
         s_ok,
@@ -421,7 +422,8 @@ def pm_gradient_layout(pos3, valid, mass, G, scale, boxsize: float,
     has_over = n_pm_overflow > 0
 
     def compact(_):
-        sidx = jnp.nonzero(ok & (rank >= k_pm), size=S, fill_value=M)[0]
+        sidx = jnp.nonzero(ok & (rank >= k_pm), size=S,
+                           fill_value=M)[0].astype(jnp.int32)
         okk = sidx < M
         safe = jnp.minimum(sidx, M - 1)
         s_pos = jnp.stack([pxs[safe], pys[safe], pzs[safe]], axis=1)

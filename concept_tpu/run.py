@@ -333,6 +333,10 @@ def check_autosave(cfg: RunConfig):
         return None
     with open(aux) as f:
         info = json.load(f)
+    if info.get("multi"):
+        # a multi-component autosave: not resumable by the
+        # single-component path (run_multi handles it)
+        return None
     meta, comps = snap.load_concept(fn)
     (name, (spec, state)), = comps.items()
     return (state, info["a"], [tuple(e) for e in info["events"]],

@@ -179,3 +179,36 @@ def test_enable_float64_param_subprocess():
                          capture_output=True, text=True, timeout=560)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "OK float64" in res.stdout
+
+
+def test_enable_float64_p3m_rungs_subprocess():
+    """The PRODUCTION p3m path (rung stepper) also runs in f64 —
+    regression for the int32-vs-int64 lax.cond branches in the
+    persistent steppers' overflow compaction."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from concept_tpu.param import load_params\n"
+        "from concept_tpu.run import run\n"
+        "cfg = load_params(None, text=(\n"
+        "    \"initial_conditions = {'species': 'matter', 'N': 4**3}\\n\"\n"
+        "    \"boxsize = 32*Mpc\\n\"\n"
+        "    \"potential_options = 8\\n\"\n"
+        "    \"H0 = 67*km/(s*Mpc)\\n\"\n"
+        "    \"Omega_b = 0.049\\n\"\n"
+        "    \"Omega_cdm = 0.27\\n\"\n"
+        "    \"a_begin = 0.1\\n\"\n"
+        "    \"output_times = {'powerspec': [0.12]}\\n\"\n"
+        "    \"output_dirs = '/tmp/out_f64_p3m_test'\\n\"\n"
+        "    \"select_forces = {'all': {'gravity': 'p3m'}}\\n\"\n"
+        "    \"boltzmann_backend = 'eh'\\n\"\n"
+        "    \"enable_float64 = True\\n\"))\n"
+        "sim, st, a = run(cfg)\n"
+        "assert np.asarray(st.pos).dtype == np.float64\n"
+        "print('OK', np.asarray(st.pos).dtype)\n"
+    )
+    res = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=560)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK float64" in res.stdout
