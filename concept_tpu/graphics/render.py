@@ -355,9 +355,12 @@ def render3D(
     return filename
 
 
-def plot_bispec(out: dict, filename: str, treelevel=None, a: float = 1.0):
+def plot_bispec(out: dict, filename: str, treelevel=None, a: float = 1.0,
+                prefer: str = "bispec"):
     """B(k) plot for a 1-parameter triangle family (reference
-    graphics.py:179 plot_bispec)."""
+    graphics.py:179 plot_bispec).  ``prefer``: 'bispec' plots B,
+    'reduced' plots the reduced Q (reference bispec_plot_prefer,
+    param/example_explanatory:530)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -365,11 +368,15 @@ def plot_bispec(out: dict, filename: str, treelevel=None, a: float = 1.0):
 
     k1 = out["triangles"][:, 0]
     fig, ax = plt.subplots(figsize=(7, 5))
-    ax.loglog(k1, np.abs(out["B"]), "o-", label="simulation |B|")
-    if treelevel is not None:
+    if str(prefer).startswith("red") and "Q" in out:
+        ax.semilogx(k1, out["Q"], "o-", label="simulation Q")
+        ax.set_ylabel("reduced Q(k₁,k₂,k₃)")
+    else:
+        ax.loglog(k1, np.abs(out["B"]), "o-", label="simulation |B|")
+        ax.set_ylabel("B(k₁,k₂,k₃)")
+    if treelevel is not None and not str(prefer).startswith("red"):
         ax.loglog(k1, np.abs(treelevel), ":", label="tree level")
     ax.set_xlabel("k₁")
-    ax.set_ylabel("B(k₁,k₂,k₃)")
     ax.set_title(f"a = {a:.4g}")
     ax.legend()
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)

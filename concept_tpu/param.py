@@ -100,6 +100,7 @@ class RunConfig:
     print_load_imbalance: bool = True
     enable_terminal_formatting: bool = True
     bispec_antialiasing: bool = True
+    bispec_plot_prefer: str = "bispec"   # or 'reduced'
     # float64 end-to-end (the reference is f64 throughout; here f32 is
     # the TPU performance default and f64 the validation tier)
     enable_float64: bool = False
@@ -359,6 +360,7 @@ def canonicalize(raw: dict, units: UnitSystem, param_name: str, param_path) -> R
     cfg.print_load_imbalance = bool(raw.get("print_load_imbalance", True))
     cfg.enable_terminal_formatting = bool(raw.get("enable_terminal_formatting", True))
     cfg.bispec_antialiasing = bool(raw.get("bispec_antialiasing", True))
+    cfg.bispec_plot_prefer = str(raw.get("bispec_plot_prefer", "bispec"))
     cfg.enable_float64 = bool(raw.get("enable_float64", False))
     return cfg
 

@@ -1108,7 +1108,8 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
                 from concept_tpu.graphics.render import plot_bispec
 
                 plot_bispec(out, fn.replace(".txt", ".png"),
-                            treelevel=tree, a=a)
+                            treelevel=tree, a=a,
+                            prefer=cfg.bispec_plot_prefer)
 
 
 def _output_flags(spec, selector, keys, primary):
