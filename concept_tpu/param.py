@@ -232,6 +232,12 @@ DESCOPED_PARAMS = {
         " always loaded whole (single-controller I/O)",
     "enable_debugging": "use --pure-python (eager mode) and the test"
         " suite's debug helpers instead",
+    "class_extra_background": "extra CLASS columns need the classy"
+        " pipeline; use `-u class` to dump the processed tables instead",
+    "class_extra_perturbations": "extra CLASS columns need the classy"
+        " pipeline; use `-u class` to dump the processed tables instead",
+    "class_plot_perturbations": "use `-u class` to dump the tables and"
+        " plot them yourself",
 }
 
 
