@@ -255,3 +255,30 @@ def test_cli_2d_mesh_invariance(tmp_path):
         run(cfg, n_devices=n_dev)
         outs[n_dev] = np.loadtxt(out / "powerspec_a=0.025.txt")
     np.testing.assert_allclose(outs["2x4"], outs["1"], rtol=2e-2)
+
+
+def test_cli_2d_mesh_p3m_invariance(tmp_path):
+    """`-n 2x4` with method p3m: the 2D-pencil long-range + the
+    GSPMD-distributed short-range sweep match single-device
+    (measured ≲ 1e-6; asserted at the reference nprocs tolerance)."""
+    from concept_tpu.param import load_params
+    from concept_tpu.run import run
+
+    outs = {}
+    for n_dev in ("1", "2x4"):
+        out = tmp_path / f"out{n_dev}"
+        param = tmp_path / f"p{n_dev}.py"
+        param.write_text(
+            "initial_conditions = {'species': 'matter', 'N': 8**3}\n"
+            "potential_options = 16\n"
+            f"output_dirs = '{out}'\n"
+            "output_times = {'powerspec': 0.025}\n"
+            "a_begin = 0.02\n"
+            "boxsize = 128*Mpc\n"
+            "select_forces = {'all': {'gravity': 'p3m'}}\n"
+            "N_rungs = 1\n"
+        )
+        cfg = load_params(str(param))
+        run(cfg, n_devices=n_dev)
+        outs[n_dev] = np.loadtxt(out / "powerspec_a=0.025.txt")
+    np.testing.assert_allclose(outs["2x4"], outs["1"], rtol=2e-2)
