@@ -229,10 +229,17 @@ def bench_p3m_unified_clustered(n_part=256, a_end=0.12, n_steps=3):
     state = sim.evolve(state, float(bg.t_of_a_np(0.02)),
                        float(bg.t_of_a_np(a_end)))
     # timed segment at the clustered state (rebucketize included at the
-    # stepper's own cadence); warm one step first
+    # stepper's own cadence).  Settle the capacity and warm the step +
+    # rebucket compiles FIRST — a capacity regrow inside the timed
+    # window would bill ~60 s of retrace as step time (the same trap
+    # bench_pm_sustained documents).
     a = a_end
     t = float(bg.t_of_a_np(a))
     dt = sim._timestep(a, 0.0)
+    state = sim.rebucket(state)
+    state, vmax = sim.base_step(state, t, dt, t)
+    t += dt
+    state = sim.rebucket(state)
     state, vmax = sim.base_step(state, t, dt, t)
     _ = float(state.pos[0, 0, 0])
     t += dt
