@@ -367,3 +367,37 @@ def test_descoped_params_warn(capsys):
     out = err.out + err.err
     assert "random_generator" in out and "not supported" in out
     assert "fftw_wisdom_rigor" in out
+
+
+def test_dcdm_gr_recipe_end_to_end(tmp_path):
+    """The documented decaying-CDM GR setup (matter + dcdm + metric +
+    lapse, lapse force selected) runs through the product loop
+    (reference interactions.py:2980-3037 lapse application)."""
+    from concept_tpu.param import load_params
+    from concept_tpu.run import run
+
+    cfg = load_params(None, text=f"""
+initial_conditions = [
+    {{'species': 'matter', 'N': 4**3}},
+    {{'species': 'decaying cold dark matter', 'gridsize': 8}},
+    {{'species': 'metric', 'gridsize': 8, 'boltzmann order': -1}},
+    {{'species': 'lapse',  'gridsize': 8, 'boltzmann order': -1}},
+]
+class_params = {{'Gamma_dcdm': 50}}
+select_forces = {{
+    'all' : {{'gravity': 'pm'}},
+    'decaying cold dark matter': {{'gravity': 'pm', 'lapse': 'pm'}},
+}}
+boxsize = 64*Mpc
+potential_options = 8
+H0 = 67*km/(s*Mpc)
+Ωb = 0.049
+Ωcdm = 0.27
+a_begin = 0.1
+output_times = {{'powerspec': [0.11]}}
+output_dirs = '{tmp_path}'
+""")
+    sim, st, a = run(cfg, max_steps=2000)
+    assert abs(a - 0.11) < 1e-6
+    assert sim.lapse_supplier == "lapse"
+    assert list(tmp_path.glob("powerspec_matter_*.txt"))
