@@ -63,6 +63,10 @@ def make_parser():
     p.add_argument("--local", action="store_true",
                    help="run in this process even when a scheduler is "
                         "present (reference --local)")
+    p.add_argument("-i", "--interactive", action="store_true",
+                   help="after the run (or with no run), drop into an "
+                        "interactive Python session with cfg/units (and "
+                        "sim/state/a after a run) in scope (reference -i)")
     p.add_argument("--float64", action="store_true",
                    help="run in float64 end-to-end (the validation tier;"
                         " equivalent to enable_float64 = True)")
@@ -102,9 +106,10 @@ def main(argv=None):
         from concept_tpu.utilities import delegate
 
         return delegate(args.utility, args)
-    if not args.param and not args.command_line_params and not args.main_script:
-        print("nothing to do (pass -p/--param, -u/--utility or -m SCRIPT)",
-              file=sys.stderr)
+    if (not args.param and not args.command_line_params
+            and not args.main_script and not args.interactive):
+        print("nothing to do (pass -p/--param, -u/--utility, -m SCRIPT "
+              "or -i)", file=sys.stderr)
         return 1
     if args.pure_python:
         import jax
@@ -136,7 +141,29 @@ def main(argv=None):
         return 0
     with job_logging() as jobid:
         print(f"concept_tpu run, job {jobid}")
-        run(cfg, seed=args.seed, n_devices=args.nprocs)
+        result = None
+        # `-i` with only -c snippets: configure-and-inspect, no run
+        # (pass -p to simulate first, then land in the session)
+        if args.param or (args.command_line_params and not args.interactive):
+            result = run(cfg, seed=args.seed, n_devices=args.nprocs)
+        if args.interactive:
+            # reference `-i`: an interactive session with the framework
+            # set up (concept option list, concept:1040-1315)
+            import code
+            from concept_tpu.units import UnitSystem
+
+            ns = {
+                "cfg": cfg,
+                "units": cfg.units or UnitSystem(
+                    cfg.unit_length, cfg.unit_time, cfg.unit_mass),
+            }
+            if result is not None:
+                ns["sim"], ns["state"], ns["a"] = result
+            code.interact(
+                banner="concept_tpu interactive session "
+                       f"(in scope: {', '.join(sorted(ns))})",
+                local=ns,
+            )
     return 0
 
 

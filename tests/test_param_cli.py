@@ -401,3 +401,22 @@ output_dirs = '{tmp_path}'
     assert abs(a - 0.11) < 1e-6
     assert sim.lapse_supplier == "lapse"
     assert list(tmp_path.glob("powerspec_matter_*.txt"))
+
+
+def test_interactive_option(tmp_path):
+    """-i drops into an interactive session with cfg/units in scope
+    (reference `-i`); with only -c snippets no simulation runs."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; from concept_tpu.cli import main;"
+         "sys.exit(main(['-i', '-c', 'boxsize = 55*Mpc']))"],
+        input="print('BOX', cfg.boxsize, units.Mpc)\n",
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "BOX 55.0 1.0" in r.stdout
+    assert "Realizing" not in r.stdout  # no simulation ran
