@@ -189,6 +189,29 @@ def grid_powerspec(delta, boxsize: float, n_particles: int | None = None):
     return out
 
 
+def powerspec_sigma(k, power, tophat_R: float) -> float:
+    """σ(R) (usually σ₈) from a MEASURED binned spectrum — reference
+    compute_powerspec_σ (analysis.py:856): trapezoidal
+    σ² = (1/2π²)∫dk k²W²(kR)P with W = 3(sin x − x cos x)/x³, plus the
+    [0, k_min] triangle correction."""
+    k = np.asarray(k, np.float64)
+    power = np.asarray(power, np.float64)
+    good = np.isfinite(power) & np.isfinite(k)
+    k, power = k[good], power[good]
+    if k.size < 2:
+        return float("nan")
+    kR = k * tophat_R
+    W3 = np.where(
+        kR < 1e-3, 1.0 / 3.0 - kR**2 / 30.0,
+        (np.sin(kR) - kR * np.cos(kR)) / np.maximum(kR, 1e-12) ** 3,
+    )
+    integrand = (k * W3) ** 2 * power
+    s2 = np.trapezoid(integrand, k) if hasattr(np, "trapezoid") else np.trapz(integrand, k)
+    s2 += 0.5 * k[0] * integrand[0]  # [0, k_min] triangle
+    s2 *= 9.0 / (2.0 * math.pi**2)
+    return math.sqrt(max(s2, 0.0))
+
+
 def powerspec(
     pos_list,
     weight_list,

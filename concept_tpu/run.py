@@ -1159,9 +1159,17 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
         if lin is not None:
             lin_col = np.asarray(lin.power_delta(jnp.asarray(pk["k"]), a))
         R = float(opts.get("tophat", 8 / cfg.h * units.Mpc))
-        sigma = lin.sigma_R(R, a) if lin is not None else None
+        # σ(R) from the MEASURED (shot-corrected) spectrum, plus the
+        # linear prediction (reference compute_powerspec_σ per kind,
+        # analysis.py:856)
+        from concept_tpu.analysis.powerspec import powerspec_sigma
+
+        sigma = powerspec_sigma(
+            pk["k"], pk.get("power_corrected", pk["power"]), R)
+        sigma_lin = lin.sigma_R(R, a) if lin is not None else None
         fn = os.path.join(dirname, f"{base}_{tag}.txt")
-        save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length, sigma, R, lin_col)
+        save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length, sigma, R,
+                           lin_col, sigma_linear=sigma_lin)
         masterprint(f"Saved power spectrum: {fn}")
         if opts.get("plot", False):
             from concept_tpu.graphics.render import plot_powerspec

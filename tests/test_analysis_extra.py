@@ -214,3 +214,28 @@ class TestInterlaceLattices:
         d_fcc = nyquist_dev("fcc")
         assert d_bcc < 0.5 * d_none, (d_bcc, d_none)
         assert d_fcc < 0.75 * d_bcc, (d_fcc, d_bcc)
+
+
+def test_powerspec_sigma_matches_linear_integral():
+    """powerspec_sigma (reference compute_powerspec_σ, analysis.py:856)
+    reproduces the linear layer's σ(R) when fed the linear P(k)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from concept_tpu.units import units, constants
+    from concept_tpu.cosmology.background import Background
+    from concept_tpu.cosmology.primordial import PrimordialSpectrum
+    from concept_tpu.cosmology.linear import LinearCosmology
+    from concept_tpu.analysis.powerspec import powerspec_sigma
+
+    H0 = 67 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.319)
+    lin = LinearCosmology(
+        bg, PrimordialSpectrum(A_s=2.1e-9, n_s=0.96), Omega_b=0.049,
+        Omega_cdm=0.27, light_speed=constants.light_speed, Mpc=units.Mpc,
+    )
+    k = np.logspace(-4, 1.5, 2000) / units.Mpc
+    P = np.asarray(lin.power_delta(jnp.asarray(k, jnp.float64), 1.0))
+    R = 8 / 0.67 * units.Mpc
+    got = powerspec_sigma(k, P, R)
+    want = float(lin.sigma_R(R, 1.0))
+    assert abs(got - want) / want < 2e-2, (got, want)
