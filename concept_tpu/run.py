@@ -951,7 +951,12 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
                 k_max=opts.get("k_max"),
             )
             fn = os.path.join(dirname, f"{base}_{name}_{tag}.txt")
-            save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length)
+            _R = float((cfg.powerspec_options or {}).get(
+                "tophat", 8 / cfg.h * cfg.units.Mpc if cfg.units else 8.0))
+            from concept_tpu.analysis.powerspec import powerspec_sigma as _ps
+            save_powerspec_txt(
+                fn, pk, a, cfg.boxsize, cfg.unit_length,
+                _ps(pk["k"], pk.get("power_corrected", pk["power"]), _R), _R)
             masterprint(f"Saved power spectrum ({name}): {fn}")
 
         # component-COMBINATION spectra (reference powerspec_select set
@@ -999,7 +1004,12 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
             delta = tot / jnp.mean(tot) - 1.0
             pk = grid_powerspec(delta, cfg.boxsize)
             fn = os.path.join(dirname, f"{base}_{na}+{nb}_{tag}.txt")
-            save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length)
+            _R = float((cfg.powerspec_options or {}).get(
+                "tophat", 8 / cfg.h * cfg.units.Mpc if cfg.units else 8.0))
+            from concept_tpu.analysis.powerspec import powerspec_sigma as _ps
+            save_powerspec_txt(
+                fn, pk, a, cfg.boxsize, cfg.unit_length,
+                _ps(pk["k"], pk.get("power_corrected", pk["power"]), _R), _R)
             masterprint(f"Saved combined power spectrum ({na}+{nb}): {fn}")
         for name, f in state.fluids.items():
             spec = sim.fspecs[name]
@@ -1010,7 +1020,12 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
             delta = f.varrho / jnp.mean(f.varrho) - 1.0
             pk = grid_powerspec(delta, cfg.boxsize)
             fn = os.path.join(dirname, f"{base}_{name}_{tag}.txt")
-            save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length)
+            _R = float((cfg.powerspec_options or {}).get(
+                "tophat", 8 / cfg.h * cfg.units.Mpc if cfg.units else 8.0))
+            from concept_tpu.analysis.powerspec import powerspec_sigma as _ps
+            save_powerspec_txt(
+                fn, pk, a, cfg.boxsize, cfg.unit_length,
+                _ps(pk["k"], pk.get("power_corrected", pk["power"]), _R), _R)
             masterprint(f"Saved fluid power spectrum ({name}): {fn}")
     elif kind == "snapshot":
         from concept_tpu.io import snapshot as snap
