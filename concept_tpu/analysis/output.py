@@ -12,7 +12,8 @@ def save_powerspec_txt(filename: str, pk: dict, a: float, boxsize: float,
                        unit_length: str = "Mpc", sigma: float | None = None,
                        tophat_R: float | None = None,
                        linear: np.ndarray | None = None,
-                       sigma_linear: float | None = None):
+                       sigma_linear: float | None = None,
+                       significant_figures: int = 18):
     """Write a power spectrum text file: columns k, modes, P
     (+ corrected, linear when available).  ``sigma`` is the measured
     σ(R); ``sigma_linear`` the linear prediction (reference prints σ per
@@ -34,5 +35,6 @@ def save_powerspec_txt(filename: str, pk: dict, a: float, boxsize: float,
         header_lines.append(line)
     header_lines.append("  ".join(f"{n:<24}" for n in names))
     data = np.column_stack(cols)
-    np.savetxt(filename, data, header="\n".join(header_lines))
+    fmt = f"%.{max(1, int(significant_figures)) - 1}e"
+    np.savetxt(filename, data, header="\n".join(header_lines), fmt=fmt)
     return filename

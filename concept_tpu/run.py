@@ -1184,7 +1184,9 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
         sigma_lin = lin.sigma_R(R, a) if lin is not None else None
         fn = os.path.join(dirname, f"{base}_{tag}.txt")
         save_powerspec_txt(fn, pk, a, cfg.boxsize, cfg.unit_length, sigma, R,
-                           lin_col, sigma_linear=sigma_lin)
+                           lin_col, sigma_linear=sigma_lin,
+                           significant_figures=int(
+                               opts.get("significant figures", 18)))
         masterprint(f"Saved power spectrum: {fn}")
         if opts.get("plot", False):
             from concept_tpu.graphics.render import plot_powerspec
