@@ -191,6 +191,29 @@ def bench_p3m_unified(n_part=256, n_steps=4):
     return (time.perf_counter() - t_start) / n_steps
 
 
+_BENCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_cache")
+
+
+def _cached_clustered_state(key, make):
+    """Evolving 2LPT ICs to the clustered bench state costs minutes; cache
+    the final (pos, mom) arrays on disk so reruns (and the driver's
+    round-end run after a local run) skip straight to the timed segment."""
+    import numpy as np
+
+    path = os.path.join(_BENCH_CACHE, key + ".npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return z["pos"], z["mom"]
+    pos, mom = make()
+    try:
+        os.makedirs(_BENCH_CACHE, exist_ok=True)
+        np.savez(path, pos=pos, mom=mom)
+    except OSError:
+        pass
+    return pos, mom
+
+
 def bench_p3m_unified_clustered(n_part=256, a_end=0.12, n_steps=3):
     """Production P³M (rung stepper) on an EVOLVED clustered state: 2LPT
     ICs evolved to z ≈ 7 with the stepper itself, then the mean of the
@@ -216,18 +239,31 @@ def bench_p3m_unified_clustered(n_part=256, a_end=0.12, n_steps=3):
     box = n_part * units.Mpc  # 1 Mpc mean separation: nonlinear by z=4
     N = n_part**3
     mass = particle_mass(0.319, bg.rho_crit_of(G), box, N)
-    spec = ComponentSpec(name="m", species="matter", N=N, mass=mass)
-    st0 = realize_particles(lin, spec, box, 0.02, seed=0, lpt_order=2)
-    pos = np.asarray(st0.pos)
-    mom = np.asarray(st0.mom)
     sim = P3MRungSimulation(n_part, box, mass, G, mesh=2 * n_part, bg=bg,
                             N_rungs=8)
+
+    def make():
+        from concept_tpu.p3mrungs import extract_flat
+
+        spec = ComponentSpec(name="m", species="matter", N=N, mass=mass)
+        st0 = realize_particles(lin, spec, box, 0.02, seed=0, lpt_order=2)
+        p0 = np.asarray(st0.pos)
+        m0 = np.asarray(st0.mom)
+        st = sim.init_state(
+            tuple(jnp.asarray(np.ascontiguousarray(p0[:, d])) for d in range(3)),
+            tuple(jnp.asarray(np.ascontiguousarray(m0[:, d])) for d in range(3)),
+        )
+        st = sim.evolve(st, float(bg.t_of_a_np(0.02)),
+                        float(bg.t_of_a_np(a_end)))
+        pf, mf, _ = extract_flat(st, N)
+        return np.asarray(pf).T, np.asarray(mf).T  # (3, N)
+
+    pos, mom = _cached_clustered_state(
+        f"p3m_clustered_{n_part}_{a_end}", make)
     state = sim.init_state(
-        tuple(jnp.asarray(np.ascontiguousarray(pos[:, d])) for d in range(3)),
-        tuple(jnp.asarray(np.ascontiguousarray(mom[:, d])) for d in range(3)),
+        tuple(jnp.asarray(np.ascontiguousarray(pos[d])) for d in range(3)),
+        tuple(jnp.asarray(np.ascontiguousarray(mom[d])) for d in range(3)),
     )
-    state = sim.evolve(state, float(bg.t_of_a_np(0.02)),
-                       float(bg.t_of_a_np(a_end)))
     # timed segment at the clustered state (rebucketize included at the
     # stepper's own cadence).  Settle the capacity and warm the step +
     # rebucket compiles FIRST — a capacity regrow inside the timed
@@ -279,16 +315,29 @@ def bench_pm_sustained(n_grid=256, a_end=0.12):
     box = n_grid * units.Mpc  # 1 Mpc mean separation: nonlinear by z=4
     N = n_grid**3
     mass = particle_mass(0.319, bg.rho_crit_of(G), box, N)
-    spec = ComponentSpec(name="m", species="matter", N=N, mass=mass)
-    st = realize_particles(lin, spec, box, 0.02, seed=0, lpt_order=2)
-    pos = np.asarray(st.pos)
-    mom = np.asarray(st.mom)
     sim = BucketSimulation(n_grid, box, mass, G, bg=bg, capacity=16)
+
+    def make():
+        from concept_tpu.bucketsim import flatten_state
+
+        spec = ComponentSpec(name="m", species="matter", N=N, mass=mass)
+        st0 = realize_particles(lin, spec, box, 0.02, seed=0, lpt_order=2)
+        p0 = np.asarray(st0.pos)
+        m0 = np.asarray(st0.mom)
+        st = sim.init_state(
+            tuple(jnp.asarray(np.ascontiguousarray(p0[:, d])) for d in range(3)),
+            tuple(jnp.asarray(np.ascontiguousarray(m0[:, d])) for d in range(3)),
+        )
+        st = sim.evolve(st, float(bg.t_of_a_np(0.02)),
+                        float(bg.t_of_a_np(a_end)))
+        pf, mf = flatten_state(st)
+        return pf.T, mf.T  # (3, N)
+
+    pos, mom = _cached_clustered_state(f"pm_clustered_{n_grid}_{a_end}", make)
     state = sim.init_state(
-        tuple(jnp.asarray(np.ascontiguousarray(pos[:, d])) for d in range(3)),
-        tuple(jnp.asarray(np.ascontiguousarray(mom[:, d])) for d in range(3)),
+        tuple(jnp.asarray(np.ascontiguousarray(pos[d])) for d in range(3)),
+        tuple(jnp.asarray(np.ascontiguousarray(mom[d])) for d in range(3)),
     )
-    state = sim.evolve(state, float(bg.t_of_a_np(0.02)), float(bg.t_of_a_np(a_end)))
     # timed segment: 10 more leapfrog steps at the clustered state
     t_now = float(bg.t_of_a_np(a_end))
     int1 = bg.integrals_np(t_now, t_now * 1.01, keys=("a**(-1)",))["a**(-1)"]
@@ -334,10 +383,40 @@ def _alarm_off():
     signal.alarm(0)
 
 
+_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_extras.json")
+
+
+def _emit(payload):
+    """Print the bench JSON line and flush HARD (the round-3 bench was
+    killed by the driver's outer timeout before its single end-of-run
+    print — the measured headline evaporated; never buffer results)."""
+    print(json.dumps(payload), flush=True)
+    try:
+        sys.stdout.flush()
+        os.fsync(sys.stdout.fileno())
+    except OSError:
+        pass
+
+
+def _write_sidecar(extra):
+    """Stream extras to a sidecar file as each completes, so a mid-extras
+    kill still leaves every finished measurement on disk."""
+    try:
+        with open(_SIDECAR, "w") as f:
+            json.dump(extra, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+    except OSError as e:
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
+
+
 def main():
     target = 1e8  # particle-updates/s/chip (BASELINE.json north star)
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2100))
+    # self-budget: stay comfortably inside the driver's outer timeout
+    # (round 3 was killed at rc=124 with its own clock showing time left)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
     extra = {}
 
     # headline FIRST (it is the recorded metric; extras must never
@@ -357,22 +436,37 @@ def main():
             _alarm_off()
             print(f"# gridsize {n_grid} failed: {type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
 
+    def payload():
+        if headline is not None:
+            n_grid, ups = headline
+            return {
+                "metric": f"pm_step_particle_updates_per_s_{n_grid}cubed",
+                "value": ups,
+                "unit": "updates/s/chip",
+                "vs_baseline": ups / target,
+                "extra": dict(extra),
+            }
+        return {"metric": "pm_step", "value": 0, "unit": "updates/s/chip",
+                "vs_baseline": 0, "extra": dict(extra)}
+
+    # the headline is on the record the moment it exists — a later kill
+    # can no longer lose it
+    _emit(payload())
+
     def budget_left():
         return budget_s - (time.perf_counter() - t_start)
 
     extras = [
         ("p3m_production_unified_256_updates_per_s",
-         lambda: 256**3 / bench_p3m_unified(256), 900),
+         lambda: 256**3 / bench_p3m_unified(256), 600),
         ("p3m_production_clustered_256_updates_per_s",
-         lambda: 256**3 / bench_p3m_unified_clustered(256), 1200),
+         lambda: 256**3 / bench_p3m_unified_clustered(256), 700),
         ("pm_sustained_clustered_256_updates_per_s",
-         lambda: 256**3 / bench_pm_sustained(256), 900),
+         lambda: 256**3 / bench_pm_sustained(256), 500),
         ("p3m_production_unified_512_updates_per_s",
-         lambda: 512**3 / bench_p3m_unified(512, n_steps=2), 1200),
+         lambda: 512**3 / bench_p3m_unified(512, n_steps=2), 600),
         ("p3m_step_persistent_256_updates_per_s",
-         lambda: 256**3 / bench_p3m_persistent(256), 420),
-        ("p3m_kick_256_updates_per_s",
-         lambda: 256**3 / bench_p3m(256), 300),
+         lambda: 256**3 / bench_p3m_persistent(256), 300),
     ]
     for name, fn, est in extras:
         if budget_left() < est:
@@ -380,9 +474,10 @@ def main():
                   f"< {est}s estimate", file=sys.stderr)
             continue
         try:
-            _alarm(min(est * 2, budget_left()))
+            _alarm(int(min(est * 1.5, max(1, budget_left()))))
             extra[name] = fn()
             _alarm_off()
+            _write_sidecar(extra)
         except _SectionTimeout:
             print(f"# extra {name} timed out", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
@@ -390,21 +485,10 @@ def main():
             print(f"# extra {name} failed: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
 
-    if headline is not None:
-        n_grid, ups = headline
-        print(
-            json.dumps(
-                {
-                    "metric": f"pm_step_particle_updates_per_s_{n_grid}cubed",
-                    "value": ups,
-                    "unit": "updates/s/chip",
-                    "vs_baseline": ups / target,
-                    "extra": extra,
-                }
-            )
-        )
-        return
-    print(json.dumps({"metric": "pm_step", "value": 0, "unit": "updates/s/chip", "vs_baseline": 0, "extra": extra}))
+    # final line is a superset of the first (same headline + all extras):
+    # correct under both first-JSON-line and last-JSON-line parsing
+    if extra:
+        _emit(payload())
 
 
 if __name__ == "__main__":
