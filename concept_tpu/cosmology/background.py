@@ -60,6 +60,13 @@ class Background:
         cache_dir: str | None = None,
         Omega_nu: float = 0.0,
         nu_background=None,
+        Omega_k: float = 0.0,
+        Omega_fld: float = 0.0,
+        w0_fld: float = -1.0,
+        wa_fld: float = 0.0,
+        Omega_dcdm: float = 0.0,
+        Gamma_dcdm: float = 0.0,
+        Omega_ini_dcdm: float | None = None,
     ):
         self.H0 = float(H0)
         self.Omega_m = float(Omega_m)
@@ -73,14 +80,168 @@ class Background:
         self.nu_background = nu_background
         if self.Omega_nu and nu_background is None:
             raise ValueError("Omega_nu != 0 requires nu_background")
-        if Omega_lambda is None:
-            Omega_lambda = 1.0 - self.Omega_m - self.Omega_r - self.Omega_nu
-        self.Omega_lambda = float(Omega_lambda)
+        # Exotic sectors (reference reaches these through class_params,
+        # linear.py:3517-3595 + the CLASS background):
+        #   * spatial curvature Ω_k (∝ a⁻² in the Friedmann equation)
+        #   * CPL dark-energy fluid w(a) = w0 + wa(1−a) with the analytic
+        #     density ρ_fld ∝ a^{−3(1+w0+wa)} e^{−3wa(1−a)}
+        #   * decaying cold dark matter → dark radiation with decay rate Γ
+        #     (proper-time rate; reference integration.py:712-863 threads
+        #     the a^(−3w_eff)·Γ/H integral family for it)
+        self.Omega_k = float(Omega_k)
+        self.Omega_fld = float(Omega_fld)
+        self.w0_fld = float(w0_fld)
+        self.wa_fld = float(wa_fld)
+        self.Omega_dcdm = float(Omega_dcdm)
+        self.Gamma_dcdm = float(Gamma_dcdm)
+        self.Omega_ini_dcdm = (
+            None if Omega_ini_dcdm is None else float(Omega_ini_dcdm)
+        )
+        self._has_dcdm = bool(self.Omega_dcdm or self.Omega_ini_dcdm)
+        self.Omega_dr = 0.0  # decay radiation today; filled by _solve_dcdm
+        self._u_dcdm = None  # spline of u(a) = (ρ_dcdm/ρ_cr0)·a³ over ln a
+        self._v_dr = None    # spline of v(a) = (ρ_dr/ρ_cr0)·a⁴ over ln a
+        self._Omega_lambda_given = Omega_lambda
+        if self._has_dcdm:
+            self._solve_dcdm()  # also fixes Omega_lambda via flatness
+        elif Omega_lambda is None:
+            Omega_lambda = (
+                1.0 - self.Omega_m - self.Omega_r - self.Omega_nu
+                - self.Omega_k - self.Omega_fld
+            )
+            self.Omega_lambda = float(Omega_lambda)
+        else:
+            self.Omega_lambda = float(Omega_lambda)
         self.enable_Hubble = bool(enable_Hubble)
         self.a_today = float(a_today)
         self.cache_dir = cache_dir
         if self.enable_Hubble:
             self._solve()
+
+    # ------------------------------------------------------------------ #
+    # Exotic sectors
+    # ------------------------------------------------------------------ #
+    def fld_rho_ratio_np(self, a):
+        """ρ_fld(a)/ρ_fld(a=1) for the CPL fluid w(a) = w0 + wa(1−a):
+        the closed form a^{−3(1+w0+wa)} e^{−3wa(1−a)} (the exact solution
+        of ρ' = −3(1+w)ρ/a; reference gets it from the CLASS fld
+        background, linear.py:3561-3570)."""
+        a = np.asarray(a, dtype=np.float64)
+        return a ** (-3 * (1 + self.w0_fld + self.wa_fld)) * np.exp(
+            -3 * self.wa_fld * (1 - a)
+        )
+
+    def w_fld(self, a):
+        """CPL equation of state w(a) = w0 + wa·(1−a) (NumPy/JAX agnostic)."""
+        return self.w0_fld + self.wa_fld * (1 - a)
+
+    def _solve_dcdm(self):
+        """Self-consistent dcdm → dr background: in x = ln a,
+
+            du/dx = −(Γ/H)·u          u ≡ (ρ_dcdm/ρ_cr0)·a³
+            dv/dx = +(Γ/H)·u·a        v ≡ (ρ_dr  /ρ_cr0)·a⁴
+
+        with H built from ALL sectors including u, v themselves.  The
+        total ρ_dcdm a³ + (energy flowed to dr) is conserved by
+        construction; equivalently u(a) = u_ini·e^{−Γ·(t(a)−t_ini)}
+        exactly, which tests/test_background_exotic.py asserts.
+        Closure: Ω_Λ from flatness including Ω_dr(today); if Ω_dcdm
+        (today) is given, the initial amplitude is shot so u(1) hits it
+        (reference/CLASS shoots Omega_ini_dcdm the same way); both are
+        resolved by a short fixed-point iteration.
+        """
+        import scipy.integrate
+
+        H0 = self.H0
+        gamma = self.Gamma_dcdm
+        a_ini = 1e-14
+        x_ini = math.log(a_ini)
+        target = self.Omega_dcdm if self.Omega_ini_dcdm is None else None
+        u0 = (
+            self.Omega_ini_dcdm
+            if self.Omega_ini_dcdm is not None
+            else max(self.Omega_dcdm, 1e-30)
+        )
+        base_flat = (
+            1.0 - self.Omega_m - self.Omega_r - self.Omega_nu
+            - self.Omega_k - self.Omega_fld
+        )
+        Ol = (
+            self._Omega_lambda_given
+            if self._Omega_lambda_given is not None
+            else base_flat - u0
+        )
+        xs = np.linspace(x_ini, 0.0, 2048)
+        sol_y = None
+        for _ in range(12):
+            def rhs(x, y, Ol=Ol):
+                u, v = y
+                a = math.exp(x)
+                E2 = (
+                    self.Omega_r / a**4 + self.Omega_m / a**3
+                    + self.Omega_k / a**2
+                    + self.Omega_fld * float(self.fld_rho_ratio_np(a))
+                    + Ol + u / a**3 + v / a**4
+                )
+                if self.Omega_nu:
+                    E2 += self.Omega_nu * float(
+                        self.nu_background.rho_ratio_np(a)
+                    )
+                H = H0 * math.sqrt(max(E2, 1e-300))
+                rate = gamma / H if gamma else 0.0
+                return [-rate * u, rate * u * a]
+
+            sol = scipy.integrate.solve_ivp(
+                rhs, (x_ini, 0.0), [u0, 0.0], t_eval=xs,
+                method="DOP853", rtol=1e-11, atol=u0 * 1e-16,
+            )
+            u1, v1 = float(sol.y[0, -1]), float(sol.y[1, -1])
+            err = 0.0
+            if target is not None and u1 > 0:
+                fac = target / u1
+                err = max(err, abs(fac - 1))
+                u0 *= fac
+            if self._Omega_lambda_given is None:
+                Ol_new = base_flat - u1 - v1
+                err = max(err, abs(Ol_new - Ol))
+                Ol = Ol_new
+            sol_y = sol.y
+            if err < 1e-13:
+                break
+        self.Omega_lambda = float(Ol)
+        self.Omega_dcdm = float(sol_y[0, -1])
+        self.Omega_dr = float(sol_y[1, -1])
+        self.Omega_ini_dcdm = float(u0)
+        a_tab = np.exp(xs)
+        self._u_dcdm = Spline(a_tab, np.maximum(sol_y[0], 1e-300),
+                              logx=True, logy=True)
+        # v starts at exactly 0: spline v linearly (not log) over ln a
+        self._v_dr = Spline(a_tab, sol_y[1], logx=True, logy=False)
+
+    def rho_ratio_dcdm_np(self, a):
+        """ρ_dcdm(a)/ρ_cr0 (NumPy)."""
+        if self._u_dcdm is None:
+            return np.zeros_like(np.asarray(a, dtype=np.float64))
+        a = np.asarray(a, dtype=np.float64)
+        return self._u_dcdm.eval_np(a) / a**3
+
+    def rho_ratio_dr_np(self, a):
+        """ρ_dr(a)/ρ_cr0 (NumPy)."""
+        if self._v_dr is None:
+            return np.zeros_like(np.asarray(a, dtype=np.float64))
+        a = np.asarray(a, dtype=np.float64)
+        return np.maximum(self._v_dr.eval_np(a), 0.0) / a**4
+
+    def w_eff_dcdm_np(self, a):
+        """Effective EoS of dcdm: ρ(a) = ρ₀·a^{−3(1+w_eff)} ⇒
+        w_eff(a) = −ln(u(a)/u(1)) / (3 ln a) (reference species w_eff
+        machinery feeding the ᔑdt a^(−3w_eff) keys)."""
+        a = np.asarray(a, dtype=np.float64)
+        u = self._u_dcdm.eval_np(a)
+        u1 = self._u_dcdm.eval_np(1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = -np.log(u / u1) / (3 * np.log(a))
+        return np.where(np.abs(np.log(a)) < 1e-12, 0.0, w)
 
     # ------------------------------------------------------------------ #
     # Friedmann
@@ -90,6 +251,12 @@ class Background:
         E2 = self.Omega_r / a**4 + self.Omega_m / a**3 + self.Omega_lambda
         if self.Omega_nu:
             E2 = E2 + self.Omega_nu * self.nu_background.rho_ratio_np(a)
+        if self.Omega_k:
+            E2 = E2 + self.Omega_k / a**2
+        if self.Omega_fld:
+            E2 = E2 + self.Omega_fld * self.fld_rho_ratio_np(a)
+        if self._has_dcdm:
+            E2 = E2 + self.rho_ratio_dcdm_np(a) + self.rho_ratio_dr_np(a)
         return E2
 
     def hubble_np(self, a):
@@ -113,6 +280,13 @@ class Background:
         if not self.enable_Hubble:
             return np.zeros_like(np.asarray(a, dtype=np.float64))
         a = np.asarray(a, dtype=np.float64)
+        if self._exotic:
+            # general sectors: difference the full E²(a) numerically
+            eps = 1e-5
+            dE2_da = (self._E2_np(a * (1 + eps)) - self._E2_np(a * (1 - eps))) / (
+                2 * eps * a
+            )
+            return a * self.H0**2 * (self._E2_np(a) + 0.5 * a * dE2_da)
         base = (
             self.Omega_lambda - 0.5 * self.Omega_m / a**3 - self.Omega_r / a**4
         )
@@ -133,7 +307,22 @@ class Background:
         E2 = self.Omega_r / a**4 + self.Omega_m / a**3 + self.Omega_lambda
         if self.Omega_nu:
             E2 = E2 + self.Omega_nu * self.nu_background.rho_ratio(a)
+        if self.Omega_k:
+            E2 = E2 + self.Omega_k / a**2
+        if self.Omega_fld:
+            E2 = E2 + self.Omega_fld * (
+                a ** (-3 * (1 + self.w0_fld + self.wa_fld))
+                * jnp.exp(-3 * self.wa_fld * (1 - a))
+            )
+        if self._has_dcdm:
+            E2 = E2 + self._u_dcdm(a) / a**3 + jnp.maximum(
+                self._v_dr(a), 0.0
+            ) / a**4
         return self.H0 * jnp.sqrt(E2)
+
+    @property
+    def _exotic(self) -> bool:
+        return bool(self.Omega_k or self.Omega_fld or self._has_dcdm)
 
     # ------------------------------------------------------------------ #
     # Tabulation
@@ -155,9 +344,15 @@ class Background:
             if self.Omega_nu
             else 0.0
         )
+        exotic_tag = (
+            (self.Omega_k, self.Omega_fld, self.w0_fld, self.wa_fld,
+             self.Omega_dcdm, self.Gamma_dcdm)
+            if self._exotic
+            else 0.0
+        )
         filename = cache_filename(
             "background", self.H0, self.Omega_m, self.Omega_r,
-            self.Omega_lambda, self.a_today, nu_tag,
+            self.Omega_lambda, self.a_today, nu_tag, exotic_tag,
         )
         if os.path.exists(filename):
             data = np.load(filename)
@@ -217,14 +412,38 @@ class Background:
         a_values[0], a_values[-1] = a_begin, self.a_today
 
         # Growth factors (ODE system identical to reference
-        # integration.py:1215-1263).
+        # integration.py:1215-1263).  For exotic backgrounds (Ωk, fld,
+        # dcdm) the friction term uses the full numerically-differenced
+        # E²(a) and the source uses the CLUSTERING matter Ωm + ρ_dcdm a³
+        # (dcdm falls like CDM); the matter+Λ closed form is kept when no
+        # exotic sector is present (bit-identical to previous rounds).
         Om, H0 = self.Omega_m, self.H0
+        exotic = self._exotic
 
         def hub(a):
             return H0 * math.sqrt(Om / a**3 + self.Omega_lambda)
 
         def dgrowth_da(a, y):
             D, dD, D2, dD2, D3a, dD3a, D3b, dD3b, D3c, dD3c = y
+            if exotic:
+                eps = 1e-5
+                E2 = float(self._E2_np(a))
+                dE2_da = float(
+                    self._E2_np(a * (1 + eps)) - self._E2_np(a * (1 - eps))
+                ) / (2 * eps * a)
+                dH_da_over_H = dE2_da / (2 * E2)
+                Om_cl = Om + (
+                    float(self._u_dcdm.eval_np(a)) if self._has_dcdm else 0.0
+                )
+                g = -(3 / a + dH_da_over_H)
+                s = 1.5 * Om_cl / (E2 * a**5)
+                return [
+                    dD, g * dD + s * D,
+                    dD2, g * dD2 + s * (D2 + D**2),
+                    dD3a, g * dD3a + s * (D3a + 2 * D**3),
+                    dD3b, g * dD3b + s * (D3b + 2 * D * D2 + 2 * D**3),
+                    dD3c, g * dD3c + s * D**3,
+                ]
             dH_da_over_H = -1.5 * Om * (H0 / hub(a)) ** 2 / a**4
             g = -(3 / a + dH_da_over_H)
             s = -dH_da_over_H / a

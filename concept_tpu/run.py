@@ -45,9 +45,35 @@ def build_cosmology(cfg: RunConfig):
         Omega_nu = nubg.omega_nu_h2() / h**2
     # exact Fermi-Dirac ρ_ν(a) in the Friedmann equation — NOT lumped
     # into Ω_m (ν is relativistic at IC times; ADVICE r2)
+    # Exotic sectors via class_params, CLASS key conventions (reference
+    # passes these straight to CLASS, linear.py:3517-3595): Omega_k,
+    # Omega_fld/w0_fld/wa_fld (with Omega_Lambda: 0 to trade Λ for the
+    # fluid), Omega_dcdm or Omega_ini_dcdm + Gamma_dcdm [km/s/Mpc].
+    km_s_Mpc = (c.light_speed / 299792.458) / units.Mpc
+    exotic = dict(
+        Omega_k=float(cp.get("Omega_k", 0.0)),
+        Omega_fld=float(cp.get("Omega_fld", 0.0)),
+        w0_fld=float(cp.get("w0_fld", -1.0)),
+        wa_fld=float(cp.get("wa_fld", 0.0)),
+        Omega_dcdm=float(cp.get("Omega_dcdm", 0.0)),
+        Gamma_dcdm=float(cp.get("Gamma_dcdm", 0.0)) * km_s_Mpc,
+        Omega_ini_dcdm=(
+            float(cp["Omega_ini_dcdm"]) if "Omega_ini_dcdm" in cp else None
+        ),
+    )
+    if "Omega_Lambda" in cp:
+        OL = float(cp["Omega_Lambda"])
+        if OL == 0.0 and not exotic["Omega_fld"]:
+            # CLASS convention: Omega_Lambda: 0 with fld unspecified ⇒
+            # the fld closes the budget
+            exotic["Omega_fld"] = (
+                1.0 - cfg.Omega_m - Omega_nu - exotic["Omega_k"]
+                - exotic["Omega_dcdm"]
+            )
+        exotic["Omega_lambda"] = OL
     bg = Background(H0=cfg.H0, Omega_m=cfg.Omega_m,
                     Omega_nu=Omega_nu, nu_background=nubg,
-                    enable_Hubble=cfg.enable_Hubble)
+                    enable_Hubble=cfg.enable_Hubble, **exotic)
     prim = PrimordialSpectrum(
         A_s=cfg.primordial["A_s"], n_s=cfg.primordial["n_s"],
         alpha_s=cfg.primordial.get("alpha_s", 0.0),

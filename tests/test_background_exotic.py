@@ -1,0 +1,191 @@
+"""Exotic background sectors: curvature, CPL dark energy (w0/wa fluid),
+and decaying cold dark matter → dark radiation with a self-consistent
+Friedmann background.
+
+Reference reaches these through class_params → the CLASS background
+(reference: src/linear.py:3517-3595 species registry; the dcdm
+a^(-3·w_eff)·Γ/H integral family src/integration.py:712-863).  Here they
+are internal `Background` sectors (concept_tpu/cosmology/background.py).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from concept_tpu.units import UnitSystem
+from concept_tpu.cosmology.background import Background
+
+units = UnitSystem("Mpc", "Gyr", "1e10 m_sun")
+H0 = 67 * units.km / (units.s * units.Mpc)
+
+
+def test_wcdm_hubble_analytic():
+    """CPL fluid H(a) against the closed-form wCDM expression."""
+    Om, Ofld, w0, wa = 0.3, 0.7, -0.9, 0.1
+    bg = Background(H0=H0, Omega_m=Om, Omega_lambda=0.0,
+                    Omega_fld=Ofld, w0_fld=w0, wa_fld=wa)
+    a = np.geomspace(1e-3, 1.0, 40)
+    E2_expected = Om / a**3 + Ofld * a ** (-3 * (1 + w0 + wa)) * np.exp(
+        -3 * wa * (1 - a)
+    )
+    np.testing.assert_allclose(
+        bg.hubble_np(a), H0 * np.sqrt(E2_expected), rtol=1e-12
+    )
+    # jit path agrees with host path
+    np.testing.assert_allclose(
+        np.asarray(bg.hubble(a)), bg.hubble_np(a), rtol=1e-5
+    )
+
+
+def test_wcdm_growth_direction():
+    """Less negative w ⇒ dark energy was denser in the past ⇒ growth
+    between a=0.5 and today is MORE suppressed ⇒ D(0.5)/D(1) is larger
+    (D closer to its final value already at a=0.5)."""
+    def D_ratio(w0):
+        bg = Background(H0=H0, Omega_m=0.3, Omega_lambda=0.0,
+                        Omega_fld=0.7, w0_fld=w0, wa_fld=0.0)
+        return float(bg.growth_np("D1", 0.5))
+
+    assert D_ratio(-0.5) > D_ratio(-1.5)
+
+
+def test_wcdm_reduces_to_lcdm():
+    """w0=-1, wa=0 fluid is exactly Λ."""
+    bg_fld = Background(H0=H0, Omega_m=0.3, Omega_lambda=0.0,
+                        Omega_fld=0.7, w0_fld=-1.0, wa_fld=0.0)
+    bg_lam = Background(H0=H0, Omega_m=0.3)
+    a = np.geomspace(1e-3, 1.0, 20)
+    np.testing.assert_allclose(
+        bg_fld.hubble_np(a), bg_lam.hubble_np(a), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        bg_fld.growth_np("D1", a), bg_lam.growth_np("D1", a), rtol=2e-4
+    )
+
+
+def test_curvature_open_universe():
+    """Ω_k in the Friedmann equation; flatness closure leaves Λ short."""
+    Ok = 0.05
+    bg = Background(H0=H0, Omega_m=0.3, Omega_k=Ok)
+    assert bg.Omega_lambda == pytest.approx(1 - 0.3 - Ok)
+    a = np.geomspace(1e-2, 1.0, 20)
+    E2 = 0.3 / a**3 + Ok / a**2 + bg.Omega_lambda
+    np.testing.assert_allclose(bg.hubble_np(a), H0 * np.sqrt(E2), rtol=1e-12)
+    assert float(bg.hubble_np(1.0)) == pytest.approx(H0)
+    # open universe decelerates growth vs flat at matched Ωm
+    bg_flat = Background(H0=H0, Omega_m=0.3)
+    assert float(bg.growth_np("D1", 0.5)) != pytest.approx(
+        float(bg_flat.growth_np("D1", 0.5)), rel=1e-4
+    )
+
+
+def test_dcdm_exact_decay_invariant():
+    """The comoving dcdm density obeys ρ·a³ = C·e^(−Γ·t) EXACTLY (proper-
+    time decay); verify the solved background satisfies it at Γ ~ H0, and
+    that the Friedmann closure sums to 1 today."""
+    Gamma = 1.0 * H0  # strong decay: Γ ~ H
+    bg = Background(H0=H0, Omega_m=0.25, Omega_dcdm=0.05, Gamma_dcdm=Gamma)
+    assert bg.Omega_dr > 1e-3  # substantial decay radiation today
+    # flat closure with dr included
+    total = (bg.Omega_m + bg.Omega_dcdm + bg.Omega_dr + bg.Omega_lambda)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    assert float(bg._E2_np(1.0)) == pytest.approx(1.0, rel=1e-9)
+    # invariant: u(a)/u(a') = e^{−Γ(t−t')}
+    a1, a2 = 0.01, 1.0
+    u1 = float(bg.rho_ratio_dcdm_np(a1)) * a1**3
+    u2 = float(bg.rho_ratio_dcdm_np(a2)) * a2**3
+    t1, t2 = float(bg.t_of_a_np(a1)), float(bg.t_of_a_np(a2))
+    assert u2 / u1 == pytest.approx(math.exp(-Gamma * (t2 - t1)), rel=5e-4)
+
+
+def test_dcdm_energy_conservation():
+    """Total decay-sector energy is conserved: the comoving energy lost by
+    dcdm between a1 and a2 equals the energy gained by dr (integrated with
+    its redshifting): d(v)/dlna = (Γ/H)·u·a with u,v the a³- and a⁴-scaled
+    densities — cross-check v(1) by independent quadrature of the solved
+    u(a)."""
+    Gamma = 0.5 * H0
+    bg = Background(H0=H0, Omega_m=0.25, Omega_dcdm=0.05, Gamma_dcdm=Gamma)
+    lna = np.linspace(math.log(1e-6), 0.0, 4001)
+    a = np.exp(lna)
+    u = bg.rho_ratio_dcdm_np(a) * a**3
+    H = bg.hubble_np(a)
+    integrand = (Gamma / H) * u * a
+    v1 = np.trapezoid(integrand, lna)
+    assert bg.Omega_dr == pytest.approx(v1, rel=1e-3)
+
+
+def test_dcdm_small_gamma_limit():
+    """Γ → 0 reduces to ΛCDM with Ωm + Ωdcdm."""
+    bg = Background(H0=H0, Omega_m=0.25, Omega_dcdm=0.05, Gamma_dcdm=1e-8 * H0)
+    bg_ref = Background(H0=H0, Omega_m=0.30)
+    a = np.geomspace(1e-3, 1.0, 20)
+    np.testing.assert_allclose(bg.hubble_np(a), bg_ref.hubble_np(a), rtol=1e-6)
+    assert bg.Omega_dr < 1e-7
+
+
+def test_dcdm_w_eff():
+    """w_eff(a) of dcdm is ≥ 0 (decay makes ρ fall FASTER than a⁻³ looking
+    back from today ⇒ the a^{-3(1+w_eff)} exponent wants w_eff > 0 for
+    a < 1... sign convention: ρ(a)=ρ0·a^{-3(1+w_eff)}; with decay, early ρ
+    is HIGHER than a⁻³ extrapolation ⇒ w_eff(a<1) > 0)."""
+    Gamma = 1.0 * H0
+    bg = Background(H0=H0, Omega_m=0.25, Omega_dcdm=0.05, Gamma_dcdm=Gamma)
+    w = bg.w_eff_dcdm_np(np.array([0.01, 0.1, 0.5]))
+    assert np.all(w > 0)
+    # local slope saturates at (Γ/H)/3 → w_eff < ~1/3 for Γ = H0
+    assert np.all(w < 0.5)
+
+
+def test_integrals_with_exotic_background():
+    """The jittable ᔑdt machinery works on an exotic background (the a(t)
+    spline is built from the full E(a))."""
+    bg = Background(H0=H0, Omega_m=0.3, Omega_k=0.02,
+                    Omega_fld=0.1, w0_fld=-0.8, wa_fld=0.0,
+                    Omega_lambda=None)
+    t1 = float(bg.t_of_a_np(0.5))
+    t2 = float(bg.t_of_a_np(0.6))
+    res = bg.integrals_np(t1, t2)
+    # ∫1 dt = t2-t1
+    assert res["1"] == pytest.approx(t2 - t1, rel=1e-12)
+    # a ∈ [0.5, 0.6] ⇒ ∫a⁻¹dt within [ (t2-t1)/0.6, (t2-t1)/0.5 ]
+    assert (t2 - t1) / 0.6 < res["a**(-1)"] < (t2 - t1) / 0.5
+
+
+def test_build_cosmology_class_params_plumbing():
+    """class_params Omega_k / w0_fld / Gamma_dcdm reach the Background
+    (reference passes these keys to CLASS verbatim)."""
+    from concept_tpu.param import RunConfig
+    from concept_tpu.run import build_cosmology
+
+    cfg = RunConfig()
+    cfg.units = units
+    cfg.H0 = H0
+    cfg.Omega_b = 0.05
+    cfg.Omega_cdm = 0.25
+    cfg.class_params = {
+        "Omega_k": 0.02,
+        "Omega_Lambda": 0.0,
+        "w0_fld": -0.9,
+        "wa_fld": 0.05,
+    }
+    _, _, bg, _ = build_cosmology(cfg)
+    assert bg.Omega_k == 0.02
+    assert bg.Omega_lambda == 0.0
+    assert bg.w0_fld == -0.9
+    # fld closes the budget: Ωm + Ωk + Ωfld = 1
+    assert bg.Omega_fld == pytest.approx(1 - 0.30 - 0.02)
+    assert float(bg._E2_np(1.0)) == pytest.approx(1.0, rel=1e-9)
+
+    cfg2 = RunConfig()
+    cfg2.units = units
+    cfg2.H0 = H0
+    cfg2.Omega_b = 0.05
+    cfg2.Omega_cdm = 0.22
+    cfg2.class_params = {"Omega_dcdm": 0.03, "Gamma_dcdm": 100.0}  # km/s/Mpc
+    _, c2, bg2, _ = build_cosmology(cfg2)
+    km_s_Mpc = (c2.light_speed / 299792.458) / units.Mpc
+    assert bg2.Gamma_dcdm == pytest.approx(100.0 * km_s_Mpc)
+    assert bg2.Omega_dcdm == pytest.approx(0.03, rel=1e-6)
+    assert bg2.Omega_dr > 0
