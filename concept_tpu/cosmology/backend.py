@@ -122,12 +122,17 @@ def _k_range(cfg, units_):
     return k_min, k_max
 
 
-def _gauge_callables(lin, nubg):
+def _gauge_callables(lin, nubg, cp=None):
     """Per-species w(a) callables for the gauge transform (w = 0 matter
     default is handled inside to_gauge)."""
-    w_of_a = {"photon": lambda a: 1.0 / 3.0, "ur": lambda a: 1.0 / 3.0}
+    w_of_a = {"photon": lambda a: 1.0 / 3.0, "ur": lambda a: 1.0 / 3.0,
+              "dr": lambda a: 1.0 / 3.0}
     if nubg is not None:
         w_of_a["nu"] = lambda a: float(nubg.w(a))
+    if cp and cp.get("Omega_fld"):
+        w0 = float(cp.get("w0_fld", -1.0))
+        wa = float(cp.get("wa_fld", 0.0))
+        w_of_a["fld"] = lambda a: w0 + wa * (1.0 - a)
     return w_of_a
 
 
@@ -163,14 +168,23 @@ def build_tables(cfg, units_, consts, bg, lin, nubg=None, verbose=True):
             "N_ur", 3.046 if n_species == 0
             else max(3.046 - 1.0132 * n_species, 0.0)
         ))
+        # exotic sectors (CLASS key conventions; Gamma_dcdm given in
+        # km/s/Mpc → 1/Mpc via /c)
         p = EBParams(
             h=h, Omega_b=cfg.Omega_b, Omega_cdm=cfg.Omega_cdm,
             T_cmb=float(cp.get("T_cmb", 2.7255)),
             N_ur=N_ur, m_ncdm=m_ncdm, N_ncdm=n_species,
+            Omega_k=float(cp.get("Omega_k", 0.0)),
+            Omega_fld=float(cp.get("Omega_fld", 0.0)),
+            w0_fld=float(cp.get("w0_fld", -1.0)),
+            wa_fld=float(cp.get("wa_fld", 0.0)),
+            Omega_dcdm=float(cp.get("Omega_dcdm", 0.0)),
+            Gamma_dcdm=float(cp.get("Gamma_dcdm", 0.0)) / 299792.458,
             l_max_g=int(opts.get("l_max_g", 12)),
             l_max_pol=int(opts.get("l_max_pol", 10)),
             l_max_ur=int(opts.get("l_max_ur", 14)),
             l_max_ncdm=int(opts.get("l_max_ncdm", 8)),
+            l_max_dr=int(opts.get("l_max_dr", 14)),
             n_q=int(opts.get("n_q", 8)),
         )
         mpd = int(opts.get("modes_per_decade", 10))
@@ -206,6 +220,7 @@ def build_tables(cfg, units_, consts, bg, lin, nubg=None, verbose=True):
                               consts.light_speed, rho_mean)
 
     tables = tables.to_gauge(gauge, bg, consts.light_speed,
-                             w_of_a=_gauge_callables(lin, nubg))
+                             w_of_a=_gauge_callables(lin, nubg,
+                                                     cfg.class_params))
     lin.tables = tables
     return backend

@@ -173,7 +173,7 @@ class Background:
         )
         xs = np.linspace(x_ini, 0.0, 2048)
         sol_y = None
-        for _ in range(12):
+        for _ in range(80):
             def rhs(x, y, Ol=Ol):
                 u, v = y
                 a = math.exp(x)
@@ -197,16 +197,18 @@ class Background:
             )
             u1, v1 = float(sol.y[0, -1]), float(sol.y[1, -1])
             err = 0.0
+            # DAMPED updates: at Γ ≫ H0 the plain fixed point oscillates
+            # (Ω_dr feedback on H has near-unit gain); half-steps converge
             if target is not None and u1 > 0:
                 fac = target / u1
                 err = max(err, abs(fac - 1))
-                u0 *= fac
+                u0 *= math.sqrt(fac)
             if self._Omega_lambda_given is None:
                 Ol_new = base_flat - u1 - v1
                 err = max(err, abs(Ol_new - Ol))
-                Ol = Ol_new
+                Ol = 0.5 * (Ol + Ol_new)
             sol_y = sol.y
-            if err < 1e-13:
+            if err < 1e-12:
                 break
         self.Omega_lambda = float(Ol)
         self.Omega_dcdm = float(sol_y[0, -1])

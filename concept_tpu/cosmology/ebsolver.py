@@ -96,11 +96,24 @@ class EBParams:
     m_ncdm: float = 0.0          # eV, per massive species (degenerate)
     N_ncdm: int = 0              # number of massive species
     Y_p: float = 0.245
+    # exotic sectors (reference gets these via class_params →  CLASS,
+    # linear.py:3517-3595): curvature enters H(a) only (perturbations
+    # stay flat — O(K/k²) corrections neglected, valid for |Ωk| ≲ 0.05
+    # at sub-horizon k); CPL fluid w(a) = w0 + wa(1−a) with rest-frame
+    # c_s² = 1; decaying cold dark matter → dark radiation with Γ in
+    # 1/Mpc (c = 1)
+    Omega_k: float = 0.0
+    Omega_fld: float = 0.0
+    w0_fld: float = -1.0
+    wa_fld: float = 0.0
+    Omega_dcdm: float = 0.0
+    Gamma_dcdm: float = 0.0
     # hierarchy truncations
     l_max_g: int = 12
     l_max_pol: int = 10
     l_max_ur: int = 14
     l_max_ncdm: int = 8
+    l_max_dr: int = 14
     n_q: int = 8
 
     def key(self) -> str:
@@ -111,6 +124,8 @@ class EBParams:
                 self.N_ur, self.m_ncdm, self.N_ncdm, self.Y_p,
                 self.l_max_g, self.l_max_pol, self.l_max_ur,
                 self.l_max_ncdm, self.n_q,
+                self.Omega_k, self.Omega_fld, self.w0_fld, self.wa_fld,
+                self.Omega_dcdm, self.Gamma_dcdm, self.l_max_dr,
             )
         )
         return hashlib.sha256(s.encode()).hexdigest()[:16]
@@ -144,12 +159,111 @@ class EBBackground:
             self.C_ncdm = 0.0
             self.Omega_ncdm = 0.0
         self.Omega_m = p.Omega_b + p.Omega_cdm
-        self.Omega_L = 1.0 - (
-            self.Omega_m + self.Omega_g + self.Omega_ur + self.Omega_ncdm
+        self.has_fld = bool(p.Omega_fld)
+        # w = −1 exactly is Λ: no fld perturbations (PPF crossing of
+        # w = −1 not supported — CLASS has the same fld restriction)
+        self.has_fld_pert = self.has_fld and not (
+            p.w0_fld == -1.0 and p.wa_fld == 0.0
         )
+        self.has_dcdm = bool(p.Omega_dcdm)
+        self.Omega_dr = 0.0
+        self._lna_dcdm = None
+        if self.has_dcdm:
+            self._solve_dcdm()  # fills Omega_dr, Omega_dcdm-consistent u,v
+            self.Omega_L = 1.0 - (
+                self.Omega_m + self.Omega_g + self.Omega_ur
+                + self.Omega_ncdm + p.Omega_k + p.Omega_fld
+                + p.Omega_dcdm + self.Omega_dr
+            )
+        else:
+            self.Omega_L = 1.0 - (
+                self.Omega_m + self.Omega_g + self.Omega_ur
+                + self.Omega_ncdm + p.Omega_k + p.Omega_fld
+            )
         self.rec = Recombination(
             h, p.Omega_b, lambda a: self.H(a), T_cmb=p.T_cmb, Y_p=p.Y_p
         )
+
+    # ------------------------------------------------------------ #
+    def rho_fld(self, a):
+        """ρ̄_fld(a)/ρ_crit,0 for the CPL fluid (closed form)."""
+        p = self.p
+        return p.Omega_fld * a ** (-3 * (1 + p.w0_fld + p.wa_fld)) * math.exp(
+            -3 * p.wa_fld * (1 - a)
+        )
+
+    def w_fld(self, a):
+        return self.p.w0_fld + self.p.wa_fld * (1 - a)
+
+    def _solve_dcdm(self):
+        """dcdm → dr background in Mpc units: u ≡ (ρ_dcdm/ρ_cr0)a³,
+        v ≡ (ρ_dr/ρ_cr0)a⁴; du/dlna = −(Γ/H)u, dv/dlna = +(Γ/H)ua, with
+        H built self-consistently and the initial amplitude shot so
+        u(1) = Ω_dcdm (same scheme as cosmology/background.py)."""
+        from scipy.integrate import solve_ivp as _ivp
+
+        p = self.p
+        gamma = p.Gamma_dcdm
+        x_ini = math.log(1e-12)
+        u0 = max(p.Omega_dcdm, 1e-30)
+        base = (
+            self.Omega_m + self.Omega_g + self.Omega_ur + self.Omega_ncdm
+            + p.Omega_k + p.Omega_fld
+        )
+        Ol = 1.0 - base - u0
+        xs = np.linspace(x_ini, 0.0, 2048)
+        sol_y = None
+        for _ in range(80):
+            def rhs(x, y, Ol=Ol):
+                u, v = y
+                a = math.exp(x)
+                E2 = (
+                    (self.Omega_g + self.Omega_ur) / a**4
+                    + self.Omega_m / a**3
+                    + p.Omega_k / a**2
+                    + self.rho_ncdm(a)
+                    + (self.rho_fld(a) if self.has_fld else 0.0)
+                    + Ol + u / a**3 + v / a**4
+                )
+                H = self.H0 * math.sqrt(max(E2, 1e-300))
+                rate = gamma / H if gamma else 0.0
+                return [-rate * u, rate * u * a]
+
+            sol = _ivp(rhs, (x_ini, 0.0), [u0, 0.0], t_eval=xs,
+                       method="DOP853", rtol=1e-11, atol=u0 * 1e-16)
+            u1, v1 = float(sol.y[0, -1]), float(sol.y[1, -1])
+            err = 0.0
+            # DAMPED updates: at Γ ≫ H0 the plain fixed point oscillates
+            # (Ω_dr feedback on H has near-unit gain); half-steps converge
+            if u1 > 0:
+                fac = p.Omega_dcdm / u1
+                err = max(err, abs(fac - 1))
+                u0 *= math.sqrt(fac)
+            Ol_new = 1.0 - base - u1 - v1
+            err = max(err, abs(Ol_new - Ol))
+            Ol = 0.5 * (Ol + Ol_new)
+            sol_y = sol.y
+            if err < 1e-12:
+                break
+        self.Omega_dr = float(sol_y[1, -1])
+        self._lna_dcdm = xs
+        self._u_tab = np.maximum(sol_y[0], 0.0)
+        self._v_tab = np.maximum(sol_y[1], 0.0)
+
+    def u_dcdm(self, a):
+        """(ρ_dcdm/ρ_cr0)·a³ at a (scalar, fast path for the per-step
+        RHS: linear interp on the solved ln-a grid)."""
+        if self._lna_dcdm is None:
+            return 0.0
+        return float(np.interp(math.log(max(a, 1e-12)),
+                               self._lna_dcdm, self._u_tab))
+
+    def v_dr(self, a):
+        """(ρ_dr/ρ_cr0)·a⁴ at a."""
+        if self._lna_dcdm is None:
+            return 0.0
+        return float(np.interp(math.log(max(a, 1e-12)),
+                               self._lna_dcdm, self._v_tab))
 
     # FD integrals with this quadrature
     def _eps(self, y):
@@ -180,6 +294,12 @@ class EBBackground:
             + self.rho_ncdm(a)
             + self.Omega_L
         )
+        if self.p.Omega_k:
+            E2 += self.p.Omega_k / a**2
+        if self.has_fld:
+            E2 += self.rho_fld(a)
+        if self.has_dcdm:
+            E2 += self.u_dcdm(a) / a**3 + self.v_dr(a) / a**4
         return self.H0 * math.sqrt(E2)
 
     def tau_of_a(self, a_grid):
@@ -206,6 +326,9 @@ class EBSolver:
         self.bg = EBBackground(params)
         p = params
         self.has_ncdm = p.N_ncdm > 0 and p.m_ncdm > 0
+        self.has_fld = self.bg.has_fld_pert
+        # dr needs its hierarchy only when there is actual decay
+        self.has_dr = self.bg.has_dcdm and p.Gamma_dcdm > 0
         # state layout offsets
         self.i_eta = 0
         self.i_tau = 1
@@ -216,9 +339,18 @@ class EBSolver:
         self.i_pol = self.i_g + (p.l_max_g + 1)
         self.i_ur = self.i_pol + (p.l_max_pol + 1)
         self.i_nc = self.i_ur + (p.l_max_ur + 1)
-        self.n_eq = self.i_nc + (
-            p.n_q * (p.l_max_ncdm + 1) if self.has_ncdm else 0
-        )
+        n_nc = p.n_q * (p.l_max_ncdm + 1) if self.has_ncdm else 0
+        # CPL dark-energy fluid: (δ_fld, θ_fld); dcdm itself needs NO new
+        # state (synchronous gauge: δ_dcdm' = −h'/2 = δ_cdm', θ_dcdm ≡ 0,
+        # the Γ·ψ term vanishes with ψ — CLASS perturbations agree), only
+        # its background weight ρ_dcdm(a) in the metric sources differs.
+        # Decay radiation: density-WEIGHTED multipoles G_l ≡ v·F_l with
+        # v = (ρ_dr/ρ_cr0)a⁴, which absorb the 1/ρ_dr decay sources into
+        # the regular injection term Γ·u·a²·δ_dcdm (only l = 0; the
+        # injection is isotropic in the dcdm frame and θ_dcdm = 0).
+        self.i_fld = self.i_nc + n_nc
+        self.i_dr = self.i_fld + (2 if self.has_fld else 0)
+        self.n_eq = self.i_dr + (p.l_max_dr + 1 if self.has_dr else 0)
 
     # ------------------------------------------------------------ #
     def _rhs(self, lna, y, k):
@@ -249,7 +381,7 @@ class EBSolver:
 
         # ncdm integrals
         if self.has_ncdm:
-            Psi = y[self.i_nc:].reshape(p.n_q, p.l_max_ncdm + 1)
+            Psi = y[self.i_nc:self.i_fld].reshape(p.n_q, p.l_max_ncdm + 1)
             yv = bg.y0 * a
             eps = np.sqrt(bg.q**2 + yv**2)
             A = bg.C_ncdm / a**4
@@ -263,11 +395,32 @@ class EBSolver:
         else:
             drho_nc = rho_nc = P_nc = rpt_nc = dP_nc = 0.0
 
+        # exotic sectors entering the metric sources
+        rho_dcdm = bg.u_dcdm(a) / a**3 if bg.has_dcdm else 0.0
+        if self.has_fld:
+            d_f = y[self.i_fld]
+            t_f = y[self.i_fld + 1]
+            rho_f = bg.rho_fld(a)
+            w_f = bg.w_fld(a)
+        else:
+            d_f = t_f = rho_f = 0.0
+            w_f = -1.0
+        if self.has_dr:
+            Gdr = y[self.i_dr:self.i_dr + p.l_max_dr + 1]
+            v_dr = bg.v_dr(a)
+            drho_dr = Gdr[0] / a**4        # = ρ_dr·δ_dr, regular at v→0
+            rpt_dr = k * Gdr[1] / a**4     # = (4/3)ρ_dr·θ_dr
+        else:
+            Gdr = None
+            v_dr = drho_dr = rpt_dr = 0.0
+
         # Einstein constraint: h' (conformal) — MB95 eq 21a
         # 4πG a² ρ_crit = (3/2) H0² a²
         fourpiGa2 = 1.5 * bg.H0**2 * a**2
         drho = (
             rho_g * d_g + rho_ur * d_ur + rho_b * d_b + rho_c * d_c + drho_nc
+            + rho_dcdm * d_c  # δ_dcdm ≡ δ_cdm in synchronous gauge
+            + rho_f * d_f + drho_dr
         )
         h_p = 2.0 * (k2 * eta + fourpiGa2 * drho) / aH  # d h/dτ
 
@@ -277,6 +430,7 @@ class EBSolver:
             + (4.0 / 3.0) * rho_ur * t_ur
             + rho_b * t_b
             + rpt_nc
+            + (1.0 + w_f) * rho_f * t_f + rpt_dr
         )
         eta_p = fourpiGa2 * rpt / k2
 
@@ -361,7 +515,45 @@ class EBSolver:
             dPsi[:, lnc] = qk_eps * Psi[:, lnc - 1] - (
                 (lnc + 1) / tau
             ) * Psi[:, lnc]
-            dy[self.i_nc:] = dPsi.reshape(-1)
+            dy[self.i_nc:self.i_fld] = dPsi.reshape(-1)
+
+        # CPL dark-energy fluid (c_s² = 1 rest frame; CLASS fld eqs):
+        #   δ' = −(1+w)(θ + h'/2) − 3ℋ(c_s²−w)δ − 9ℋ²(1+w)(c_s²−c_a²)θ/k²
+        #   θ' = −(1−3c_s²)ℋθ + c_s²k²δ/(1+w)
+        # with c_a² = w − w'/(3(1+w)ℋ) = w + wa·a/(3(1+w)) for CPL.
+        if self.has_fld:
+            cs2_f = 1.0
+            opw = w_f + 1.0
+            opw_safe = math.copysign(max(abs(opw), 1e-5), opw if opw else 1.0)
+            ca2 = w_f + p.wa_fld * a / (3.0 * opw_safe)
+            dy[self.i_fld] = (
+                -opw * (t_f + 0.5 * h_p)
+                - 3.0 * aH * (cs2_f - w_f) * d_f
+                - 9.0 * aH**2 * opw * (cs2_f - ca2) * t_f / k2
+            )
+            dy[self.i_fld + 1] = (
+                -(1.0 - 3.0 * cs2_f) * aH * t_f + cs2_f * k2 * d_f / opw_safe
+            )
+
+        # decay radiation: density-weighted multipoles G_l = v·F_l — the
+        # Γ-damping in F_l' cancels against v' = Γ·u·a² (injection
+        # isotropic in the dcdm frame, θ_dcdm = 0), leaving only the l=0
+        # source Γ·u·a²·δ_dcdm (arXiv:1407.2418 eq 2.12-2.14 recast)
+        if self.has_dr:
+            ldr = p.l_max_dr
+            inj = p.Gamma_dcdm * bg.u_dcdm(a) * a**2
+            dG = np.empty(ldr + 1)
+            dG[0] = -k * Gdr[1] - (2.0 / 3.0) * h_p * v_dr + inj * d_c
+            dG[1] = (k / 3.0) * (Gdr[0] - 2.0 * Gdr[2])
+            dG[2] = (k / 5.0) * (2.0 * Gdr[1] - 3.0 * Gdr[3]) + (
+                (4.0 / 15.0) * h_p + (8.0 / 5.0) * eta_p
+            ) * v_dr
+            for l in range(3, ldr):
+                dG[l] = (k / (2 * l + 1)) * (
+                    l * Gdr[l - 1] - (l + 1) * Gdr[l + 1]
+                )
+            dG[ldr] = k * Gdr[ldr - 1] - ((ldr + 1) / tau) * Gdr[ldr]
+            dy[self.i_dr:self.i_dr + ldr + 1] = dG
 
         # all derivatives are d/dτ; convert to d/dln a
         dy /= aH
@@ -387,6 +579,12 @@ class EBSolver:
                 base = self.i_nc + iq * (p.l_max_ncdm + 1)
                 hcols.append(base)
                 etacols.append(base + 1)
+        if self.has_fld:
+            hcols.append(self.i_fld)
+            etacols.append(self.i_fld + 1)
+        if self.has_dr:
+            hcols.append(self.i_dr)
+            etacols.append(self.i_dr + 1)
 
         def add(row, cols):
             for c in cols:
@@ -427,6 +625,18 @@ class EBSolver:
                 for l in range(3, lnc):
                     add(b + l, [b + l - 1, b + l + 1])
                 add(b + lnc, [b + lnc - 1, b + lnc, self.i_tau])
+        if self.has_fld:
+            add(self.i_fld, [self.i_fld, self.i_fld + 1] + hcols)
+            add(self.i_fld + 1, [self.i_fld, self.i_fld + 1])
+        if self.has_dr:
+            b = self.i_dr
+            ldr = p.l_max_dr
+            add(b + 0, [b + 1, self.i_dc] + hcols)
+            add(b + 1, [b, b + 2])
+            add(b + 2, [b + 1, b + 3] + hcols + etacols)
+            for l in range(3, ldr):
+                add(b + l, [b + l - 1, b + l + 1])
+            add(b + ldr, [b + ldr - 1, b + ldr, self.i_tau])
         return S.tocsr()
 
     # ------------------------------------------------------------ #
@@ -465,7 +675,14 @@ class EBSolver:
             Psi[:, 0] = -0.25 * d_g * bg.dlnf0
             Psi[:, 1] = -(eps / (3.0 * bg.q * k)) * t_nu * bg.dlnf0
             Psi[:, 2] = -0.5 * s_nu * bg.dlnf0
-            y[self.i_nc:] = Psi.reshape(-1)
+            y[self.i_nc:self.i_fld] = Psi.reshape(-1)
+        if self.has_fld:
+            # adiabatic: δ_i/(1+w_i) equal across species ⇒
+            # δ_fld = (1+w)·(3/4)·δ_γ; θ_fld starts with the photons
+            w_i = bg.w_fld(a_init)
+            y[self.i_fld] = (1.0 + w_i) * 0.75 * d_g
+            y[self.i_fld + 1] = t_g
+        # decay radiation starts empty: G_l(a_init) = 0 (ρ_dr → 0)
         return y
 
     # ------------------------------------------------------------ #
@@ -485,10 +702,13 @@ class EBSolver:
         d_c = y[2]
         d_b = y[3]
         t_b = y[4]
+        n_nc = p.n_q * (p.l_max_ncdm + 1) if self.has_ncdm else 0
+        j_fld = 5 + n_nc
+        j_dr = j_fld + (2 if self.has_fld else 0)
         rho_b = p.Omega_b / a**3
         rho_c = p.Omega_cdm / a**3
         if self.has_ncdm:
-            Psi = y[5:].reshape(p.n_q, p.l_max_ncdm + 1)
+            Psi = y[5:j_fld].reshape(p.n_q, p.l_max_ncdm + 1)
             yv = bg.y0 * a
             eps = np.sqrt(bg.q**2 + yv**2)
             A = bg.C_ncdm / a**4
@@ -496,15 +716,34 @@ class EBSolver:
             rpt_nc = A * k * np.sum(bg.wq * bg.q * Psi[:, 1])
         else:
             drho_nc = rpt_nc = 0.0
+        rho_dcdm = bg.u_dcdm(a) / a**3 if bg.has_dcdm else 0.0
+        if self.has_fld:
+            d_f = y[j_fld]
+            t_f = y[j_fld + 1]
+            rho_f = bg.rho_fld(a)
+            w_f = bg.w_fld(a)
+        else:
+            d_f = t_f = rho_f = 0.0
+            w_f = -1.0
+        if self.has_dr:
+            Gdr = y[j_dr:j_dr + p.l_max_dr + 1]
+            v_dr = bg.v_dr(a)
+            drho_dr = Gdr[0] / a**4
+            rpt_dr = k * Gdr[1] / a**4
+        else:
+            Gdr = None
+            v_dr = drho_dr = rpt_dr = 0.0
         fourpiGa2 = 1.5 * bg.H0**2 * a**2
-        drho = rho_b * d_b + rho_c * d_c + drho_nc
+        drho = (rho_b * d_b + rho_c * d_c + drho_nc
+                + rho_dcdm * d_c + rho_f * d_f + drho_dr)
         h_p = 2.0 * (k2 * eta + fourpiGa2 * drho) / aH
         # quasi-static free-streaming closure: the slow part of the
         # radiation velocity is θ_rad = −h'/2 (from 0 ≈ −4θ/3 − 2h'/3);
         # it still drives η' at the switch epoch and cannot be dropped
         rho_r = (bg.Omega_g + bg.Omega_ur) / a**4
         th_rad = -0.5 * h_p
-        rpt = rho_b * t_b + rpt_nc + (4.0 / 3.0) * rho_r * th_rad
+        rpt = (rho_b * t_b + rpt_nc + (4.0 / 3.0) * rho_r * th_rad
+               + (1.0 + w_f) * rho_f * t_f + rpt_dr)
         eta_p = fourpiGa2 * rpt / k2
         cs2 = bg.rec.cs2_baryon(a)
         kap = bg.rec.kappa_dot(a)
@@ -533,7 +772,35 @@ class EBSolver:
             dPsi[:, lnc] = qk_eps * Psi[:, lnc - 1] - (
                 (lnc + 1) / tau
             ) * Psi[:, lnc]
-            dy[5:] = dPsi.reshape(-1)
+            dy[5:j_fld] = dPsi.reshape(-1)
+        if self.has_fld:
+            cs2_f = 1.0
+            opw = w_f + 1.0
+            opw_safe = math.copysign(max(abs(opw), 1e-5), opw if opw else 1.0)
+            ca2 = w_f + p.wa_fld * a / (3.0 * opw_safe)
+            dy[j_fld] = (
+                -opw * (t_f + 0.5 * h_p)
+                - 3.0 * aH * (cs2_f - w_f) * d_f
+                - 9.0 * aH**2 * opw * (cs2_f - ca2) * t_f / k2
+            )
+            dy[j_fld + 1] = (
+                -(1.0 - 3.0 * cs2_f) * aH * t_f + cs2_f * k2 * d_f / opw_safe
+            )
+        if self.has_dr:
+            ldr = p.l_max_dr
+            inj = p.Gamma_dcdm * bg.u_dcdm(a) * a**2
+            dG = np.empty(ldr + 1)
+            dG[0] = -k * Gdr[1] - (2.0 / 3.0) * h_p * v_dr + inj * d_c
+            dG[1] = (k / 3.0) * (Gdr[0] - 2.0 * Gdr[2])
+            dG[2] = (k / 5.0) * (2.0 * Gdr[1] - 3.0 * Gdr[3]) + (
+                (4.0 / 15.0) * h_p + (8.0 / 5.0) * eta_p
+            ) * v_dr
+            for l in range(3, ldr):
+                dG[l] = (k / (2 * l + 1)) * (
+                    l * Gdr[l - 1] - (l + 1) * Gdr[l + 1]
+                )
+            dG[ldr] = k * Gdr[ldr - 1] - ((ldr + 1) / tau) * Gdr[ldr]
+            dy[j_dr:j_dr + ldr + 1] = dG
         dy /= aH
         dy[1] = 1.0 / aH
         return dy
@@ -586,7 +853,12 @@ class EBSolver:
             return out
         # phase 2: RSA — seed from the exact end state of phase 1
         y_end = sol.y[:, -1]
-        n2 = 5 + (p.n_q * (p.l_max_ncdm + 1) if self.has_ncdm else 0)
+        n_nc = p.n_q * (p.l_max_ncdm + 1) if self.has_ncdm else 0
+        n_fld = 2 if self.has_fld else 0
+        n_dr = p.l_max_dr + 1 if self.has_dr else 0
+        j_fld = 5 + n_nc
+        j_dr = j_fld + n_fld
+        n2 = 5 + n_nc + n_fld + n_dr
         y2 = np.empty(n2)
         y2[0] = y_end[self.i_eta]
         y2[1] = y_end[self.i_tau]
@@ -594,7 +866,11 @@ class EBSolver:
         y2[3] = y_end[self.i_db]
         y2[4] = y_end[self.i_tb]
         if self.has_ncdm:
-            y2[5:] = y_end[self.i_nc:]
+            y2[5:j_fld] = y_end[self.i_nc:self.i_fld]
+        if self.has_fld:
+            y2[j_fld:j_dr] = y_end[self.i_fld:self.i_fld + 2]
+        if self.has_dr:
+            y2[j_dr:] = y_end[self.i_dr:self.i_dr + n_dr]
         te2 = np.log(a_out[a_out > a_sw])
         sol2 = solve_ivp(
             self._rhs_rsa, (lna_end1, 0.0), y2, args=(k,),
@@ -614,7 +890,11 @@ class EBSolver:
         Y[self.i_db, n_lo:] = sol2.y[3]
         Y[self.i_tb, n_lo:] = sol2.y[4]
         if self.has_ncdm:
-            Y[self.i_nc:, n_lo:] = sol2.y[5:]
+            Y[self.i_nc:self.i_fld, n_lo:] = sol2.y[5:j_fld]
+        if self.has_fld:
+            Y[self.i_fld:self.i_fld + 2, n_lo:] = sol2.y[j_fld:j_dr]
+        if self.has_dr:
+            Y[self.i_dr:self.i_dr + n_dr, n_lo:] = sol2.y[j_dr:]
         out = self._extract(k, a_out, Y)
         out["R_init"] = np.full_like(a_out, R_init)
         out["a_rsa"] = np.full_like(a_out, a_sw)
@@ -634,7 +914,7 @@ class EBSolver:
         t_ur = 0.75 * k * y[self.i_ur + 1]
         t_b = y[self.i_tb]
         if self.has_ncdm:
-            Psi = y[self.i_nc:].reshape(p.n_q, p.l_max_ncdm + 1)
+            Psi = y[self.i_nc:self.i_fld].reshape(p.n_q, p.l_max_ncdm + 1)
             yv = bg.y0 * a
             eps = np.sqrt(bg.q**2 + yv**2)
             A = bg.C_ncdm / a**4
@@ -643,12 +923,26 @@ class EBSolver:
             rpt_nc = A * k * np.sum(bg.wq * bg.q * Psi[:, 1])
         else:
             rho_nc = P_nc = rpt_nc = 0.0
+        rho_dcdm = bg.u_dcdm(a) / a**3 if bg.has_dcdm else 0.0
+        if self.has_fld:
+            rho_f = bg.rho_fld(a)
+            w_f = bg.w_fld(a)
+            rpt_f = (1.0 + w_f) * rho_f * y[self.i_fld + 1]
+            rhoP_f = (1.0 + w_f) * rho_f
+        else:
+            rpt_f = rhoP_f = 0.0
+        if self.has_dr:
+            rpt_dr = k * y[self.i_dr + 1] / a**4
+            rhoP_dr = (4.0 / 3.0) * bg.v_dr(a) / a**4
+        else:
+            rpt_dr = rhoP_dr = 0.0
         rpt = (
             (4.0 / 3.0) * rho_g * t_g + (4.0 / 3.0) * rho_ur * t_ur
-            + rho_b * t_b + rpt_nc
+            + rho_b * t_b + rpt_nc + rpt_f + rpt_dr
         )
         rho_plus_P = (
             (4.0 / 3.0) * (rho_g + rho_ur) + rho_b + rho_c + rho_nc + P_nc
+            + rho_dcdm + rhoP_f + rhoP_dr
         )
         return y[self.i_eta] + aH * rpt / (rho_plus_P * k * k)
 
@@ -679,7 +973,7 @@ class EBSolver:
 
         if self.has_ncdm:
             nq, lnc = p.n_q, p.l_max_ncdm
-            Psi = Y[self.i_nc:].reshape(nq, lnc + 1, -1)
+            Psi = Y[self.i_nc:self.i_fld].reshape(nq, lnc + 1, -1)
             yv = bg.y0 * a
             eps = np.sqrt(bg.q[:, None] ** 2 + yv[None, :] ** 2)  # (nq, Na)
             A = bg.C_ncdm / a**4
@@ -706,20 +1000,50 @@ class EBSolver:
             rho_nc = P_nc = np.zeros_like(a)
             d_nc = t_nc = s_nc = dP_nc = np.zeros_like(a)
 
+        # exotic sectors
+        rho_dcdm = (
+            np.asarray([bg.u_dcdm(ai) for ai in a]) / a**3
+            if bg.has_dcdm else np.zeros_like(a)
+        )
+        if self.has_fld:
+            d_f = Y[self.i_fld]
+            t_f = Y[self.i_fld + 1]
+            rho_f = np.asarray([bg.rho_fld(ai) for ai in a])
+            w_f = np.asarray([bg.w_fld(ai) for ai in a])
+        else:
+            d_f = t_f = rho_f = np.zeros_like(a)
+            w_f = np.full_like(a, -1.0)
+        if self.has_dr:
+            Gdr = Y[self.i_dr:self.i_dr + p.l_max_dr + 1]
+            v_dr = np.asarray([bg.v_dr(ai) for ai in a])
+            rho_dr = v_dr / a**4
+            tiny = np.maximum(v_dr, 1e-300)
+            d_dr = Gdr[0] / tiny
+            t_dr = 0.75 * k * Gdr[1] / tiny
+            s_dr = 0.5 * Gdr[2] / tiny
+            drho_dr = Gdr[0] / a**4
+            rpt_dr = k * Gdr[1] / a**4
+        else:
+            rho_dr = d_dr = t_dr = s_dr = np.zeros_like(a)
+            drho_dr = rpt_dr = np.zeros_like(a)
+
         # totals
         rpt = (
             (4.0 / 3.0) * rho_g * t_g
             + (4.0 / 3.0) * rho_ur * t_ur
             + rho_b * t_b
             + (rho_nc + P_nc) * t_nc
+            + (1.0 + w_f) * rho_f * t_f + rpt_dr
         )
         rho_plus_P = (
             (4.0 / 3.0) * (rho_g + rho_ur) + rho_b + rho_c + rho_nc + P_nc
+            + rho_dcdm + (1.0 + w_f) * rho_f + (4.0 / 3.0) * rho_dr
         )
         theta_tot = rpt / rho_plus_P
         drho = (
             rho_g * d_g + rho_ur * d_ur + rho_b * d_b + rho_c * d_c
             + (drho_nc if self.has_ncdm else 0.0)
+            + rho_dcdm * d_c + rho_f * d_f + drho_dr
         )
         fourpiGa2 = 1.5 * bg.H0**2 * a**2
         h_p = 2.0 * (k2 * eta + fourpiGa2 * drho) / aH
@@ -730,9 +1054,20 @@ class EBSolver:
         alpha = (h_p + 6.0 * eta_p) / (2.0 * k2)
         phi = eta - aH * alpha
         # ψ via MB95: h'' from eq 21c: h″ + 2ℋh′ − 2k²η = −24πGa²δP_tot
+        # δP_fld = c_s²δρ + 3ℋ(c_s²−c_a²)(1+w)ρθ/k² (rest-frame c_s²=1)
+        if self.has_fld:
+            opw = np.where(np.abs(1.0 + w_f) < 1e-5,
+                           np.copysign(1e-5, 1.0 + w_f + 1e-30), 1.0 + w_f)
+            ca2 = w_f + p.wa_fld * a / (3.0 * opw)
+            dP_fld = rho_f * d_f + 3.0 * aH * (1.0 - ca2) * (
+                (1.0 + w_f) * rho_f * t_f
+            ) / k2
+        else:
+            dP_fld = 0.0
         dP_tot = (
-            (1.0 / 3.0) * (rho_g * d_g + rho_ur * d_ur)
+            (1.0 / 3.0) * (rho_g * d_g + rho_ur * d_ur + drho_dr)
             + (dP_nc if self.has_ncdm else 0.0)
+            + dP_fld
         )
         h_pp = -2.0 * aH * h_p + 2.0 * k2 * eta - 3.0 * fourpiGa2 * 2.0 * dP_tot
         # η'' by finite differences of η' on the (dense) a grid
@@ -757,6 +1092,14 @@ class EBSolver:
             / (rho_m + rho_nc),
             t_m=(rho_b * t_b + (rho_nc + P_nc) * t_nc) / (rho_m + rho_nc),
         )
+        if bg.has_dcdm:
+            # δ_dcdm ≡ δ_cdm in synchronous gauge (see layout comment)
+            out.update(d_dcdm=d_c.copy(), t_dcdm=np.zeros_like(d_c),
+                       rho_dcdm=rho_dcdm)
+        if self.has_dr:
+            out.update(d_dr=d_dr, t_dr=t_dr, s_dr=s_dr, rho_dr=rho_dr)
+        if self.has_fld:
+            out.update(d_fld=d_f, t_fld=t_f, rho_fld=rho_f)
         return out
 
 
@@ -881,6 +1224,21 @@ def tabulate_eb(params: EBParams, k_internal, Mpc: float, light_speed: float,
         tables[("nu", "theta")] = rows["t_nc"] * inv_t
         tables[("nu", "sigma")] = rows["s_nc"]
         tables[("nu", "deltaP")] = rows["dP_nc"] / rows["rho_nc"]
+    if params.Omega_dcdm:
+        # δ_dcdm ≡ δ_cdm in synchronous gauge; its own table entry so the
+        # realizer can select species='dcdm' (reference linear.py species
+        # registry exposes dcdm transfer functions from CLASS the same way)
+        tables[("dcdm", "delta")] = rows["d_dcdm"]
+        tables[("dcdm", "theta")] = rows["t_dcdm"] * inv_t
+    if params.Omega_dcdm and params.Gamma_dcdm > 0:
+        tables[("dr", "delta")] = rows["d_dr"]
+        tables[("dr", "theta")] = rows["t_dr"] * inv_t
+        tables[("dr", "sigma")] = rows["s_dr"]
+    if params.Omega_fld and not (
+        params.w0_fld == -1.0 and params.wa_fld == 0.0
+    ):
+        tables[("fld", "delta")] = rows["d_fld"]
+        tables[("fld", "theta")] = rows["t_fld"] * inv_t
     # combined 'radiation' = photon + massless ν (reference species
     # registry linear.py:3517-3595: ρ-weighted δ, (ρ+P)-weighted θ;
     # both have w = 1/3, so the weights coincide)
