@@ -189,3 +189,75 @@ def test_vacuum_redistribute_conserves_mass():
     rho2, J2 = vacuum_redistribute(rho, J, rho_vacuum=0.01)
     assert np.isclose(float(jnp.sum(rho2)), total0, rtol=1e-5)
     assert float(rho2[3, 4, 5]) > float(rho[3, 4, 5])  # filled toward ok
+
+def test_sigma_rerealized_order1_frozen_order2(cosmo):
+    """ς cadence parity with the reference (species.py:880-928 table):
+
+    boltzmann_order = 1, closure 'class':  linear ς realised CONTINUOUSLY
+      — after stepping to a later epoch the stored ς equals a fresh
+      realization there (it tracks the linear σ(k, a) tables);
+    boltzmann_order = 2: ς "non-linear" but FROZEN — the reference has no
+      ς evolution equation (species.py:917-928: "frozen in time ...
+      realised only at the beginning"), so neither do we.
+    """
+    bg, lin = cosmo
+    n = 8
+    box = 100 * units.Mpc
+    G = constants.G_Newton
+    rho_crit = bg.rho_crit_of(G)
+    # synthetic σ(k, a) transfer with a strong a-dependence so the
+    # re-realized path measurably moves between epochs
+    def transfer_sigma(k, a, species="nu"):
+        return 1e-5 * float(a) ** 2 * jnp.exp(-jnp.asarray(k) * box / 50.0)
+
+    lin.transfer_sigma = transfer_sigma
+    try:
+        def build(border):
+            spec = ComponentSpec(
+                name="nu", species="neutrino", representation="fluid",
+                gridsize=n, w=1 / 3, boltzmann_order=border,
+                boltzmann_closure="class" if border == 1 else "truncate")
+            cfg = SimConfig(boxsize=box, potential_gridsize=n, G=G)
+            return spec, MultiSimulation(
+                None, [spec], cfg, bg, lin,
+                light_speed=constants.light_speed,
+                fluid_Omegas={"nu": 0.01}, rho_crit=rho_crit)
+
+        from concept_tpu.ic import realize_sigma_grids
+
+        rho_mean = 0.01 * rho_crit
+        a1, a2 = 0.25, 1.0
+        fresh1 = realize_sigma_grids(lin, n, box, a1, rho_mean * (1 + 1 / 3))
+        fresh2 = realize_sigma_grids(lin, n, box, a2, rho_mean * (1 + 1 / 3))
+        assert fresh1 is not None
+        # frozen ς would be wrong at a2 by the a² factor — they differ
+        assert not np.allclose(np.asarray(fresh1), np.asarray(fresh2),
+                               rtol=1e-3, atol=0.0)
+
+        # order 1 + class: _apply_realize_if_linear refreshes ς to the
+        # current epoch
+        spec, sim = build(1)
+        f0 = FluidState(
+            varrho=jnp.full((n, n, n), rho_mean, jnp.float32),
+            J=jnp.zeros((3, n, n, n), jnp.float32),
+            P=jnp.full((n, n, n), rho_mean / 3, jnp.float32),
+            sigma=fresh1,
+        )
+        state = MultiState(particles={}, fluids={"nu": f0})
+        _, _, weff, w = sim.fluid_step_scalars(
+            float(bg.t_of_a_np(a2)), float(bg.t_of_a_np(a2)) * (1 + 1e-9),
+            a2, 1e-9)
+        out = sim._apply_realize_if_linear(state, jnp.float32(a2), weff, w)
+        np.testing.assert_allclose(
+            np.asarray(out.fluids["nu"].sigma), np.asarray(fresh2),
+            rtol=1e-4, atol=float(np.abs(np.asarray(fresh2)).max()) * 1e-4)
+
+        # order 2: ς untouched (reference freeze)
+        spec2, sim2 = build(2)
+        out2 = sim2._apply_realize_if_linear(
+            MultiState(particles={}, fluids={"nu": f0}),
+            jnp.float32(a2), weff, w)
+        np.testing.assert_array_equal(
+            np.asarray(out2.fluids["nu"].sigma), np.asarray(fresh1))
+    finally:
+        del lin.transfer_sigma
