@@ -523,15 +523,15 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         da_max_late=cfg.Delta_a_max_late,
         **shortrange_overrides(cfg, cfg.boxsize, int(gridsize)),
     )
-    if (method == "p3m" and cfg.N_rungs > 1
-            and (dist is None or hasattr(dist, "axis"))
-            and round(spec.N ** (1 / 3)) ** 3 == spec.N):
+    if method == "p3m" and cfg.N_rungs > 1:
         # production P³M is rungs-by-default (reference N_rungs = 8,
         # param/example_explanatory:385; cadence main.py:1347-1443):
         # the persistent-layout rung stepper behind the Simulation
         # facade.  N_rungs = 1 selects the global-stepping fused path.
-        # With a device mesh (-n N) the (K, C) layout shards along the
-        # cell axis (GSPMD halo collectives; test_distributed_rungs).
+        # With a device mesh (-n N or -n AxB) the (K, C) layout shards
+        # along the cell axis — over both mesh axes for 2D pencils —
+        # and non-cubic N runs via the exact n_total layout (reference
+        # has no stepping downgrade on any nprocs layout, main.py:1347).
         from concept_tpu.p3mrungs import RungSimulationAdapter
 
         sim = RungSimulationAdapter(

@@ -136,3 +136,86 @@ def test_rung_adapter_multichip_invariance():
     mean_disp = np.mean(np.sqrt((dx**2).sum(1))) / box
     assert mean_disp <= TOL, mean_disp
     assert mean_disp < 1e-5, mean_disp
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_rung_adapter_2d_pencil_invariance():
+    """-n AxB (GridDistribution2D): the production rung stepper shards
+    its flat cell axis over BOTH mesh axes (PartitionSpec tuple) — no
+    stepping downgrade on 2D pencil layouts (reference main.py:1347 runs
+    the same time loop on every nprocs)."""
+    from concept_tpu.sim import SimConfig
+    from concept_tpu.components import ComponentSpec, ParticleState
+    from concept_tpu.p3mrungs import RungSimulationAdapter
+    from concept_tpu.run import make_distribution
+
+    h = 0.70
+    H0 = 70 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.30)
+    box = 8 * units.Mpc / h
+    G = constants.G_Newton
+    N = 8**3
+    mass = particle_mass(0.30, bg.rho_crit_of(G), box, N)
+    rng = np.random.default_rng(13)
+    lin = (np.arange(8, dtype=np.float32) + 0.5) * (box / 8)
+    pos = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
+    pos = np.mod(
+        pos + 0.2 * (box / 8) * rng.standard_normal(pos.shape).astype(np.float32),
+        box,
+    ).astype(np.float32)
+    spec = ComponentSpec(name="m", species="matter", N=N, mass=mass,
+                         forces=(("gravity", "p3m"),))
+    cfg = SimConfig(boxsize=box, potential_gridsize=32, method="p3m",
+                    G=G, softening=0.03 * box / 8,
+                    softening_kernel="spline")
+
+    results = {}
+    for key in (1, "2x4"):
+        dist = make_distribution(key)
+        sim = RungSimulationAdapter(spec, cfg, bg, None, N_rungs=4,
+                                    dist=dist)
+        st = ParticleState(pos=jnp.asarray(pos),
+                           mom=jnp.zeros((N, 3), jnp.float32),
+                           ids=jnp.arange(N, dtype=jnp.int32))
+        st, a = sim.evolve(st, 0.02, 0.05)
+        o = np.argsort(np.asarray(st.ids))
+        results[key] = np.asarray(st.pos)[o]
+
+    dx = results["2x4"] - results[1]
+    dx -= box * np.round(dx / box)
+    mean_disp = np.mean(np.sqrt((dx**2).sum(1))) / box
+    assert mean_disp <= TOL, mean_disp
+    assert mean_disp < 1e-5, mean_disp
+
+
+def test_rung_adapter_noncubic_N():
+    """Non-cubic particle counts run the production rung stepper via the
+    exact n_total layout (previously raised / silently downgraded)."""
+    from concept_tpu.sim import SimConfig
+    from concept_tpu.components import ComponentSpec, ParticleState
+    from concept_tpu.p3mrungs import RungSimulationAdapter
+
+    h = 0.70
+    H0 = 70 * units.km / (units.s * units.Mpc)
+    bg = Background(H0=H0, Omega_m=0.30)
+    box = 8 * units.Mpc / h
+    G = constants.G_Newton
+    N = 400  # not a perfect cube
+    rho_crit = bg.rho_crit_of(G)
+    mass = particle_mass(0.30, rho_crit, box, N)
+    rng = np.random.default_rng(17)
+    pos = (rng.uniform(0, box, (N, 3))).astype(np.float32)
+    spec = ComponentSpec(name="m", species="matter", N=N, mass=mass,
+                         forces=(("gravity", "p3m"),))
+    cfg = SimConfig(boxsize=box, potential_gridsize=32, method="p3m",
+                    G=G, softening=0.03 * box / 8,
+                    softening_kernel="spline")
+    sim = RungSimulationAdapter(spec, cfg, bg, None, N_rungs=4)
+    assert sim.inner.N == N
+    st = ParticleState(pos=jnp.asarray(pos),
+                       mom=jnp.zeros((N, 3), jnp.float32),
+                       ids=jnp.arange(N, dtype=jnp.int32))
+    st, a = sim.evolve(st, 0.02, 0.05)
+    assert st.pos.shape == (N, 3)
+    assert np.all(np.isfinite(np.asarray(st.pos)))
+    # every particle still accounted for exactly once
+    assert sorted(np.asarray(st.ids).tolist()) == list(range(N))
