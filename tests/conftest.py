@@ -10,7 +10,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in _flags:
+    # 8 virtual devices timeshare one physical core here: a device thread
+    # can take > the default 40 s to reach a cross-device collective at
+    # ≥64³ shapes under load, and XLA CPU hard-aborts the process
+    # (rendezvous.cc "Exiting to ensure a consistent program state").
+    # These are correctness-neutral watchdog knobs.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=3000")
+os.environ["XLA_FLAGS"] = _flags
 
 import sys
 

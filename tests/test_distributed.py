@@ -282,3 +282,34 @@ def test_cli_2d_mesh_p3m_invariance(tmp_path):
         run(cfg, n_devices=n_dev)
         outs[n_dev] = np.loadtxt(out / "powerspec_a=0.025.txt")
     np.testing.assert_allclose(outs["2x4"], outs["1"], rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_distributed_evolution_matches_single_64cubed():
+    """Scale version of the nprocs-invariance check: 64³ particles /
+    64-mesh on the 8-device mesh vs single device.  GSPMD partitioning
+    decisions (halo widths, collective layouts) differ qualitatively
+    from the 16³ toy shapes — this exercises them at a real (if small)
+    production shape (VERDICT r3 item 10).  Marked slow; CI runs it in
+    the weekly lane."""
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("x",))
+    dist = GridDistribution(mesh=mesh, axis="x")
+    n_grid = 64
+    sim_d, state = ge._build(n_grid=n_grid, dist=dist)
+    sim_s, _ = ge._build(n_grid=n_grid, dist=None)
+    state_s = jax.tree.map(jnp.copy, state)
+
+    pshard = NamedSharding(mesh, P("x", None))
+    state_d = state._replace(
+        pos=jax.device_put(state.pos, pshard),
+        mom=jax.device_put(state.mom, pshard),
+    )
+    a0, a1 = 0.1, 0.12
+    out_s, _ = sim_s.evolve(state_s, a0, a1)
+    out_d, _ = sim_d.evolve(state_d, a0, a1)
+    box = sim_s.config.boxsize
+    d = np.abs(np.asarray(out_d.pos) - np.asarray(out_s.pos))
+    d = np.minimum(d, box - d)
+    cell = box / n_grid
+    assert np.max(d) < 1e-3 * cell, f"max pos diff {np.max(d)/cell} cells"
