@@ -170,20 +170,34 @@ def bench_p3m_unified(n_part=256, n_steps=4):
     N = n_part**3
     G = constants.G_Newton
     mass = particle_mass(0.319, bg.rho_crit_of(G), box, N)
+    # production softening (reference select_softening_length default
+    # 0.025·boxsize/∛N): unsoftened jittered-lattice near-pairs produce
+    # unbounded accelerations that push every particle to the deepest
+    # rung (2^7 substeps/base step — not what production measures)
+    soft = 0.025 * box / n_part
     sim = P3MRungSimulation(n_part, box, mass, G, mesh=2 * n_part, bg=bg,
-                            N_rungs=8)
+                            N_rungs=8, softening=soft,
+                            softening_kernel="spline")
     comps = _jittered_lattice_components(n_part, box)
     mom = tuple(jnp.zeros((N,), jnp.float32) for _ in range(3))
     state = sim.init_state(comps, mom)
     t0h = float(bg.t_of_a_np(0.1))
     dt = sim._timestep(0.1, 0.0)
     state = sim.assign_initial_rungs(state, dt)
-    # warm the base-step compiles
+    # warm the base-step compiles (2 steps: the second touches the
+    # staleness-triggered rebucket path)
     state, vmax = sim.base_step(state, t0h, dt, t0h)
-    _ = float(state.pos[0, 0, 0])
+    if sim.needs_rebucket:
+        state = sim.rebucket(state)
     t = t0h + dt
+    dtn = min(sim._timestep(0.1, vmax / sim.mass), dt)
+    state, vmax = sim.base_step(state, t, dtn, t)
+    _ = float(state.pos[0, 0, 0])
+    t += dtn
     t_start = time.perf_counter()
     for _ in range(n_steps):
+        if sim.needs_rebucket:
+            state = sim.rebucket(state)
         dtn = min(sim._timestep(0.1, vmax / sim.mass), dt)
         state, vmax = sim.base_step(state, t, dtn, t)
         t += dtn
@@ -240,7 +254,8 @@ def bench_p3m_unified_clustered(n_part=256, a_end=0.12, n_steps=3):
     N = n_part**3
     mass = particle_mass(0.319, bg.rho_crit_of(G), box, N)
     sim = P3MRungSimulation(n_part, box, mass, G, mesh=2 * n_part, bg=bg,
-                            N_rungs=8)
+                            N_rungs=8, softening=0.025 * box / n_part,
+                            softening_kernel="spline")
 
     def make():
         from concept_tpu.p3mrungs import extract_flat

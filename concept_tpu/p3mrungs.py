@@ -244,7 +244,16 @@ def occupancy_and_activity(state: RungState, boxsize: float, nc: int,
     cell = jnp.where(validf, cell, C)
     counts = jnp.zeros((C + 1,), jnp.int32).at[cell].add(1, mode="drop")
     max_occ = jnp.max(counts[:C])
-    K_act = _k_act_layout(state.rungs, state.valid, NR)
+    # post-sort activity: rebucketize orders high rungs first per cell
+    # of the CURRENT positions, so the re-sorted layout's K_act[k] is
+    # max over (new) cells of the count of valid slots with rung ≥ k —
+    # one (cell, rung)-keyed scatter + per-cell suffix sum
+    rungM = jnp.where(validf, state.rungs.reshape(M).astype(jnp.int32), 0)
+    key2 = jnp.where(validf & (cell < C), cell * NR + rungM, C * NR)
+    cnt = jnp.zeros((C * NR + 1,), jnp.int32).at[key2].add(1, mode="drop")
+    cnt = cnt[:C * NR].reshape(C, NR)
+    suffix = jnp.cumsum(cnt[:, ::-1], axis=1)[:, ::-1]
+    K_act = jnp.max(suffix, axis=0)
     return max_occ, K_act
 
 
@@ -259,6 +268,18 @@ def _k_act_layout(rungs, valid, NR: int):
     act = (rungs[None] >= ks) & valid[None]
     rows = (jnp.arange(K, dtype=jnp.int32) + 1)[None, :, None]
     return jnp.max(jnp.max(act * rows, axis=1), axis=1)
+
+
+def _rung_tight(rungs, valid, NR: int):
+    """tight[k] = max over cells of the NUMBER of valid slots with
+    rung ≥ k — the K_act a rung-major re-sort would produce.  The gap
+    between the layout row-bound and this is pure staleness waste: every
+    substep sweeps K_act[kmin] receiver rows, so a stale order can
+    inflate substep work toward 2^max_rung full sweeps (measured:
+    ~100 s/step at 256³ before base_step started forcing a re-sort)."""
+    ks = jnp.arange(NR, dtype=jnp.int8)[:, None, None]
+    act = ((rungs[None] >= ks) & valid[None]).astype(jnp.int32)
+    return jnp.max(jnp.sum(act, axis=1), axis=1)
 
 
 def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
@@ -406,13 +427,15 @@ def rung_substep(
         new_rungs = jnp.clip(new_rungs, 0, NR - 1).astype(jnp.int8)
         new_rungs = jnp.where(state.valid, new_rungs, 0)
         K_act = _k_act_layout(new_rungs, state.valid, NR)
+        tight = _rung_tight(new_rungs, state.valid, NR)
         state = RungState(pos=pos, mom=mom, valid=state.valid,
                           rungs=new_rungs, ids=state.ids)
-        out = (state, (K_act, vmax2))
+        out = (state, (K_act, tight, vmax2))
     else:
         state = RungState(pos=pos, mom=mom, valid=state.valid,
                           rungs=state.rungs, ids=state.ids)
-        out = (state, (jnp.zeros((NR,), jnp.int32), vmax2))
+        out = (state, (jnp.zeros((NR,), jnp.int32),
+                       jnp.zeros((NR,), jnp.int32), vmax2))
     if return_acc:
         return out + (acc,)
     return out
@@ -616,7 +639,7 @@ class P3MRungSimulation:
 
     def assign_initial_rungs(self, state: RungState, dt_base: float):
         """Probe sweep (no drift, no kick) → initial rungs + K_act."""
-        state, (K_act, _) = rung_substep(
+        state, (K_act, _tight, _) = rung_substep(
             state, self.mass, self.G,
             jnp.asarray(0.0, state.pos.dtype),
             jnp.zeros((self.NR,), state.pos.dtype),
@@ -705,14 +728,15 @@ class P3MRungSimulation:
                 unified=self.ucb == 4,
             )
             if last:
-                state, (K_act_new, v2), acc = out
+                state, (K_act_new, tight_new, v2), acc = out
                 # reuse at the next base step's boundary 0 (positions
                 # unchanged until then; invalidated by rebucket)
                 self._acc_cache = acc
                 self._K_act = np.asarray(K_act_new)
+                self._flag_rung_staleness(np.asarray(tight_new))
                 vmax2 = float(v2)
             else:
-                state, (K_act_new, v2) = out
+                state, (K_act_new, tight_new, v2) = out
         vmax = math.sqrt(vmax2)
         # margin budget over the whole base step
         int_a2 = bg.integrals_np(t, t + dt, keys=("a**(-2)",))["a**(-2)"]
@@ -747,9 +771,30 @@ class P3MRungSimulation:
         elif n_pm_over > self.pm_max_overflow // 2:
             self.pm_max_overflow = 2 * n_pm_over + 1024
 
+    def _flag_rung_staleness(self, tight: np.ndarray):
+        """Compare next base step's substep sweep work under the current
+        (stale) layout row-bounds vs what a rung-major re-sort would give;
+        flag a rebucket when staleness costs > 30%.  Work model: rung k
+        is the min fired rung at 2^(max_rung−k−1) interior boundaries,
+        each sweeping K_r(K_act[kmin]) receiver rows."""
+        K_act = self._K_act
+        K = int(K_act.max()) if K_act is not None else 0
+        nz = np.nonzero(tight)[0]
+        m = int(nz.max()) if nz.size else 0
+        if m == 0 or K == 0:
+            self._rung_stale = False
+            return
+        w_bound = w_tight = 0.0
+        for k in range(1, m + 1):
+            n_fired = 1 << (m - k - 1) if k < m else 1
+            w_bound += n_fired * _quantize_K(int(K_act[k]), K)
+            w_tight += n_fired * _quantize_K(int(tight[k]), K)
+        self._rung_stale = w_bound > 1.3 * w_tight + 8
+
     @property
     def needs_rebucket(self) -> bool:
-        return self._drift_used > 0.45 * self.margin
+        return (self._drift_used > 0.45 * self.margin
+                or getattr(self, "_rung_stale", False))
 
     def rebucket(self, state: RungState) -> RungState:
         max_count, K_act = (
@@ -770,6 +815,7 @@ class P3MRungSimulation:
         self._K_act = K_act
         self._acc_cache = None  # layout permuted
         self._drift_used = 0.0
+        self._rung_stale = False
         return new_state
 
     # -------------------------------------------------------------- #
