@@ -269,12 +269,123 @@ def _make_pair_kernel(n: int, K_r: int, K_s: int, dtype,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n_cells", "interpret", "kernel"))
+def _pack_factor(n: int) -> int:
+    """Lane-packing factor F: process F adjacent cj-pencils per kernel
+    program with the z-cell lane dimension widened to F·n.  TPU vector
+    lanes are 128 wide — at n = 64 (the unified cb=8 layout of a 256³ /
+    512-mesh run) an unpacked kernel idles HALF the VPU on every op
+    (measured: the whole sweep ran at ~8% of peak).  F must divide n
+    (grid tiling) and F·n ≤ 128."""
+    best = 1
+    for f in range(2, 128 // n + 1 if n <= 64 else 1):
+        if n % f == 0 and f * n <= 128:
+            best = f
+    return best
+
+
+def _make_pair_kernel_packed(n: int, F: int, K_r: int, K_s: int, dtype,
+                             softening_kernel: str = "plummer"):
+    """Lane-packed one-sided kernel: each program owns F adjacent
+    cj-pencils, all vector work on (·, K_s, F·n) tiles (full 128 lanes).
+    refs: 3 receiver windows (1, F, K_r, n); then per component 6
+    supplier windows (1, F, K_s, n) at (di ∈ {−1,0,1}) × (cj-block
+    offset ∈ {0,1}) of the halo-padded array — together they cover the
+    cj range [F·j−1, F·j+F] every dj ∈ {−1,0,1} variant needs; then 3
+    outputs (1, 1, K_r, F·n)."""
+
+    def kernel(scal_ref, *refs):
+        own, ins, outs = refs[:3], refs[3:3 + 18], refs[3 + 18:]
+        inv_scale = scal_ref[0]
+        cutoff2 = scal_ref[1]
+        soft2 = scal_ref[2]
+        boxsize = scal_ref[3]
+        _force_factor = _force_law(inv_scale, soft2, dtype, softening_kernel)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        wrap_hi = (col == n - 1).astype(dtype) * boxsize
+        wrap_lo = (col == 0).astype(dtype) * (-boxsize)
+
+        def shifted(arr, dk, is_z):
+            if dk == 0:
+                return arr
+            out = jnp.roll(arr, -dk, axis=1)
+            if is_z:
+                out = out + (wrap_hi if dk == 1 else wrap_lo)
+            return out
+
+        # receivers stay as refs; each chunk lane-concats its F halves
+        # (Mosaic cannot dynamic_slice hoisted VALUES, only refs)
+
+        # suppliers: hoist the 27 (di, dj, dk) lane-packed variants.
+        # For receiver half h, variant dj needs supplier cj = F·j+h+dj =
+        # padded index h+dj+1 → window djb = (h+dj+1) // F, half
+        # (h+dj+1) % F.
+        def win(comp, di, djb):
+            return ins[comp * 6 + (di + 1) * 2 + djb]
+
+        nbs = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                pieces = [[], [], []]
+                for h in range(F):
+                    p = h + dj + 1
+                    djb, hh = p // F, p % F
+                    for c in range(3):
+                        pieces[c].append(win(c, di, djb)[0, hh])
+                for dk in (-1, 0, 1):
+                    nbs.append(tuple(
+                        jnp.concatenate(
+                            [shifted(piece, dk, c == 2)
+                             for piece in pieces[c]], axis=1,
+                        )[None, :, :]
+                        for c in range(3)
+                    ))
+
+        CH = 8 if K_r % 8 == 0 else 1
+        nchunk = K_r // CH
+        nF = F * n
+
+        def chunk_own(c, s):
+            return jnp.concatenate(
+                [own[c][0, h, pl.ds(s, CH), :] for h in range(F)], axis=1
+            )[:, None, :]
+
+        def body(c, _):
+            s = pl.multiple_of(c * CH, CH)
+            ox = chunk_own(0, s)  # (CH, 1, F·n)
+            oy = chunk_own(1, s)
+            oz = chunk_own(2, s)
+            ax = jnp.zeros((CH, nF), dtype)
+            ay = jnp.zeros((CH, nF), dtype)
+            az = jnp.zeros((CH, nF), dtype)
+            for nbx, nby, nbz in nbs:
+                dx = ox - nbx  # (CH, K_s, F·n)
+                dy = oy - nby
+                dz = oz - nbz
+                r2 = dx * dx + dy * dy + dz * dz
+                m = (r2 < cutoff2) & (r2 > 0)
+                f = jnp.where(m, -_force_factor(r2), 0.0)
+                ax = ax + jnp.sum(f * dx, axis=1)
+                ay = ay + jnp.sum(f * dy, axis=1)
+                az = az + jnp.sum(f * dz, axis=1)
+            outs[0][0, 0, pl.ds(s, CH), :] = ax
+            outs[1][0, 0, pl.ds(s, CH), :] = ay
+            outs[2][0, 0, pl.ds(s, CH), :] = az
+            return 0
+
+        jax.lax.fori_loop(0, nchunk, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_cells", "interpret", "kernel", "pack"))
 def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
                       boxsize, scale, cutoff, softening,
-                      interpret: bool = False, kernel: str = "plummer"):
+                      interpret: bool = False, kernel: str = "plummer",
+                      pack: int | None = None):
     """One-sided pencil sweep: acc (3, K_r, C) ON the receiver buckets
-    FROM the supplier buckets (same contract as shortrange._sweep_pair)."""
+    FROM the supplier buckets (same contract as shortrange._sweep_pair).
+    pack: lane-packing factor override (None = auto: 1 in interpret
+    mode, else the largest divisor of n with F·n ≤ 128)."""
     n = n_cells
     assert n >= 3
     K_r, C = bvalid.shape
@@ -304,6 +415,53 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
         jnp.asarray(softening, dtype) ** 2,
         jnp.asarray(boxsize, dtype),
     ])
+
+    F = pack if pack is not None else (1 if interpret else _pack_factor(n))
+    if F > 1:
+        assert n % F == 0 and F * n <= 128
+        own_spec = pl.BlockSpec((1, F, K_r, n), lambda i, j: (i, j, 0, 0))
+        sup = lambda di, djb: pl.BlockSpec(
+            (1, F, K_s, n),
+            lambda i, j, di=di, djb=djb: (i + 1 + di, j + djb, 0, 0),
+        )
+        in_specs = [pl.BlockSpec((4,), lambda i, j: (0,))]
+        in_specs += [own_spec] * 3
+        for _comp in range(3):
+            in_specs += [sup(di, djb) for di in (-1, 0, 1)
+                         for djb in (0, 1)]
+        out_spec = pl.BlockSpec((1, 1, K_r, F * n), lambda i, j: (i, j, 0, 0))
+        kfn = _make_pair_kernel_packed(n, F, K_r, K_s, dtype,
+                                       softening_kernel=kernel)
+        # supplier windows index the cj-halo-padded array in F-blocks:
+        # pad cj to a multiple of F plus the two halo columns so block
+        # djb=1 at the last j stays in bounds (n+2 = F·(n//F)+2 ≤
+        # F·(n//F + 1) always holds for F ≥ 2)
+        pad_to = F * (n // F + 1)
+        extra = pad_to - (n + 2)
+        # far-sentinel fill: the trailing cj'-pad halves are never
+        # concatenated into a variant, but keep them outside the cutoff
+        # regardless
+        px2 = jnp.pad(px, ((0, 0), (0, extra), (0, 0), (0, 0)),
+                      constant_values=big)
+        py2 = jnp.pad(py, ((0, 0), (0, extra), (0, 0), (0, 0)),
+                      constant_values=big)
+        pz2 = jnp.pad(pz, ((0, 0), (0, extra), (0, 0), (0, 0)),
+                      constant_values=big)
+        outs = pl.pallas_call(
+            kfn,
+            grid=(n, n // F),
+            out_shape=[jax.ShapeDtypeStruct((n, n // F, K_r, F * n), dtype)] * 3,
+            in_specs=in_specs,
+            out_specs=[out_spec] * 3,
+            interpret=interpret,
+        )(scal, own_x, own_y, own_z,
+          *([px2] * 6 + [py2] * 6 + [pz2] * 6))
+        return jnp.stack([
+            o.reshape(n, n // F, K_r, F, n).transpose(2, 0, 1, 3, 4)
+            .reshape(K_r, C)
+            for o in outs
+        ])
+
     own_spec = pl.BlockSpec((1, 1, K_r, n), lambda i, j: (i, j, 0, 0))
     pencil = lambda di, dj: pl.BlockSpec(
         (1, 1, K_s, n), lambda i, j, di=di, dj=dj: (i + 1 + di, j + 1 + dj, 0, 0)

@@ -441,6 +441,38 @@ def rung_substep(
     return out
 
 
+@partial(jax.jit, static_argnames=("NR",), donate_argnums=(0, 1))
+def resort_rungs_within_columns(state: RungState, acc, NR: int = 8):
+    """Re-establish rung-major row order WITHIN each cell column (one
+    multi-operand lax.sort along the row axis; cell membership is
+    untouched, so no re-bucketize).  Runs after the assign boundary when
+    freshly-assigned rungs left the row bounds stale: a handful of
+    rung-1 slots scattered across rows otherwise inflates K_act[1]
+    toward K, costing a full-K sweep at every odd substep boundary (or
+    a ~6× costlier full rebucketize per base step under the old
+    staleness response).  The boundary-0 acc cache rides along in the
+    same sort so it stays row-aligned."""
+    K, C = state.valid.shape
+    key = jnp.where(
+        state.valid, (NR - 1 - state.rungs).astype(jnp.int32), NR
+    )
+    ops = jax.lax.sort(
+        [key,
+         state.pos[0], state.pos[1], state.pos[2],
+         state.mom[0], state.mom[1], state.mom[2],
+         state.ids, acc[0], acc[1], acc[2]],
+        dimension=0, num_keys=1, is_stable=False,
+    )
+    key_s = ops[0]
+    valid = key_s < NR
+    rungs = jnp.where(valid, (NR - 1 - key_s).astype(jnp.int8), 0)
+    new_state = RungState(
+        pos=jnp.stack(ops[1:4]), mom=jnp.stack(ops[4:7]),
+        valid=valid, rungs=rungs, ids=jnp.where(valid, ops[7], -1),
+    )
+    return new_state, jnp.stack(ops[8:11])
+
+
 @partial(
     jax.jit,
     static_argnames=("boxsize", "mesh", "k_pm", "pm_max_overflow",
@@ -729,11 +761,20 @@ class P3MRungSimulation:
             )
             if last:
                 state, (K_act_new, tight_new, v2), acc = out
+                K_act_np = np.asarray(K_act_new)
+                tight_np = np.asarray(tight_new)
+                if self._rung_waste(K_act_np, tight_np) > 0.25 * K:
+                    # fresh rungs left the row bounds stale: restore
+                    # rung-major order within columns (cheap sort; the
+                    # acc cache rides along to stay row-aligned)
+                    state, acc = resort_rungs_within_columns(
+                        state, acc, NR=self.NR)
+                    self._K_act = tight_np
+                else:
+                    self._K_act = K_act_np
                 # reuse at the next base step's boundary 0 (positions
                 # unchanged until then; invalidated by rebucket)
                 self._acc_cache = acc
-                self._K_act = np.asarray(K_act_new)
-                self._flag_rung_staleness(np.asarray(tight_new))
                 vmax2 = float(v2)
             else:
                 state, (K_act_new, tight_new, v2) = out
@@ -771,30 +812,29 @@ class P3MRungSimulation:
         elif n_pm_over > self.pm_max_overflow // 2:
             self.pm_max_overflow = 2 * n_pm_over + 1024
 
-    def _flag_rung_staleness(self, tight: np.ndarray):
-        """Compare next base step's substep sweep work under the current
-        (stale) layout row-bounds vs what a rung-major re-sort would give;
-        flag a rebucket when staleness costs > 30%.  Work model: rung k
-        is the min fired rung at 2^(max_rung−k−1) interior boundaries,
-        each sweeping K_r(K_act[kmin]) receiver rows."""
-        K_act = self._K_act
+    @staticmethod
+    def _rung_waste(K_act: np.ndarray, tight: np.ndarray) -> float:
+        """Next base step's EXTRA substep receiver-rows under the stale
+        layout row-bounds vs tight (post-sort) bounds.  Work model:
+        interior boundary i has kmin = lowest k with i ≡ 0 (mod 2^(m−k)),
+        so rung k is the min fired rung at 2^(k−1) interior boundaries
+        (the ruler sequence — DEEP rungs fire most often), each sweeping
+        K_r(K_act[kmin]) receiver rows."""
         K = int(K_act.max()) if K_act is not None else 0
         nz = np.nonzero(tight)[0]
         m = int(nz.max()) if nz.size else 0
         if m == 0 or K == 0:
-            self._rung_stale = False
-            return
+            return 0.0
         w_bound = w_tight = 0.0
         for k in range(1, m + 1):
-            n_fired = 1 << (m - k - 1) if k < m else 1
+            n_fired = 1 << (k - 1)
             w_bound += n_fired * _quantize_K(int(K_act[k]), K)
             w_tight += n_fired * _quantize_K(int(tight[k]), K)
-        self._rung_stale = w_bound > 1.3 * w_tight + 8
+        return w_bound - w_tight
 
     @property
     def needs_rebucket(self) -> bool:
-        return (self._drift_used > 0.45 * self.margin
-                or getattr(self, "_rung_stale", False))
+        return self._drift_used > 0.45 * self.margin
 
     def rebucket(self, state: RungState) -> RungState:
         max_count, K_act = (
@@ -815,7 +855,6 @@ class P3MRungSimulation:
         self._K_act = K_act
         self._acc_cache = None  # layout permuted
         self._drift_used = 0.0
-        self._rung_stale = False
         return new_state
 
     # -------------------------------------------------------------- #

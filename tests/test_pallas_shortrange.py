@@ -108,3 +108,28 @@ def test_sweep_pair_one_sided_subset():
         ))
         err = np.abs(got - ref).max() / np.abs(ref).max()
         assert err < 2e-5, (engine, err)
+
+
+def test_lane_packed_sweep_matches_unpacked():
+    """Lane-packed kernel (pack=2: two cj-pencils per program, full-width
+    lanes) is bit-identical to the unpacked path — same arithmetic, only
+    the vector layout differs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from concept_tpu.forces.pallas_shortrange import sweep_pallas_pair
+
+    rng = np.random.default_rng(5)
+    n, K = 4, 8
+    C = n**3
+    box = 16.0
+    pos = rng.uniform(0, box, (3, K, C)).astype(np.float32)
+    valid = rng.uniform(size=(K, C)) < 0.7
+    args = [jnp.asarray(pos[d].reshape(K, C)) for d in range(3)]
+    v = jnp.asarray(valid)
+    common = dict(n_cells=n, boxsize=jnp.float32(box),
+                  scale=jnp.float32(1.0), cutoff=jnp.float32(4.4),
+                  softening=jnp.float32(0.05), interpret=True,
+                  kernel="spline")
+    a1 = sweep_pallas_pair(*args, v, *args, v, pack=1, **common)
+    a2 = sweep_pallas_pair(*args, v, *args, v, pack=2, **common)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
