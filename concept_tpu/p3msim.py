@@ -585,7 +585,8 @@ def _pm_gradient_layout_mapped(pos3, valid, mass, G, scale, boxsize: float,
 
 
 def pm_gradient_cells(pos3, valid, mass, G, scale, boxsize: float,
-                      mesh: int, cb: int = 4, interpret: bool = False):
+                      mesh: int, cb: int = 4, interpret: bool = False,
+                      seq_grads: bool | None = None):
     """Unified-layout PM potential gradient: the short-range (K, C) slot
     layout IS the deposit layout (cells are exactly 4 mesh cells wide,
     C = (mesh/4)³, cell ids x-major z-fastest — shortrange.bucketize
@@ -635,6 +636,24 @@ def pm_gradient_cells(pos3, valid, mass, G, scale, boxsize: float,
     phi = gravity_potential_slab(
         slab, n, boxsize, G, deconv_order=4, longrange_scale=scale
     )
+    if seq_grads is None:
+        seq_grads = n >= 768
+    if seq_grads:
+        # 512³-class memory plan: a batched 3-component gradient keeps
+        # 3 n³ real grids + the n³ slab live at once (≈ 17 GB at
+        # n = 1024) — compute/gather ONE component at a time instead
+        # (peak: state + slab + 1 grid; the per-corner one-hot masks
+        # dominate the gather, so 3 single-grid passes cost ~2× one
+        # 3-grid pass — the price of fitting in 16 GB)
+        fds = []
+        for d in range(3):
+            grad = irfft3(fourier.fourier_diff(phi, n, boxsize, d), n)
+            fds.append(gather_pallas_cells(
+                px, py, pz, wv, (grad,), n, boxsize, cb=cb,
+                nchunks=nchunks, interpret=interpret,
+            )[0])
+        fd3 = jnp.stack([fd[:, :C] for fd in fds])
+        return fd3, jnp.zeros((), jnp.int32), mass_sum
     # one batched inverse FFT for all three gradient components (the
     # TPU FFT handles the batch dim in one pass — measured faster than
     # three sequential irfft3 calls)

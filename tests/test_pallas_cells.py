@@ -121,3 +121,32 @@ def test_adjointness():
     lhs = float(jnp.vdot(jnp.asarray(G), D))
     rhs = float(jnp.vdot(g, jnp.asarray(q)))
     assert abs(lhs - rhs) < 1e-2 * max(1.0, abs(lhs))
+
+
+def test_pm_gradient_cells_seq_matches_batched():
+    """The 512³-class memory plan (one gradient component at a time —
+    p3msim.pm_gradient_cells seq_grads) is bit-compatible with the
+    batched 3-component path up to FFT batching differences."""
+    from concept_tpu.p3msim import pm_gradient_cells
+
+    rng = np.random.default_rng(3)
+    n_mesh, cb = 16, CB
+    nc = n_mesh // cb
+    K = 16
+    box = 32.0
+    N = 200
+    pos = rng.uniform(0, box, (N, 3)).astype(np.float32)
+    px, py, pz, w = _layout(pos, n_mesh, box, nc, K)
+    C = nc**3  # _layout pads columns to a LANES multiple; trim back
+    pos3 = jnp.stack([jnp.asarray(px[:, :C]), jnp.asarray(py[:, :C]),
+                      jnp.asarray(pz[:, :C])])
+    valid = jnp.asarray(w[:, :C] > 0)
+    args = (pos3, valid, 2.0, 1.0, jnp.float32(1.25 * box / n_mesh),
+            box, n_mesh)
+    fd_b, _, ms_b = pm_gradient_cells(*args, cb=cb, interpret=True,
+                                      seq_grads=False)
+    fd_s, _, ms_s = pm_gradient_cells(*args, cb=cb, interpret=True,
+                                      seq_grads=True)
+    assert float(ms_b) == float(ms_s)
+    np.testing.assert_allclose(np.asarray(fd_s), np.asarray(fd_b),
+                               rtol=1e-5, atol=1e-7)
