@@ -283,6 +283,43 @@ def _pack_factor(n: int) -> int:
     return best
 
 
+# Measured Mosaic compile ceilings for the pair kernels on v5e (2026-08,
+# remote tpu_compile_helper): the supplier row count K_s above which the
+# kernel CRASHES the compiler (subprocess exit 1, not a clean error).
+# The ceiling depends on BOTH the pencil length n and the pack factor F
+# with no single closed form — verified OK / first-failing points:
+#   n=16: F=8 K 32 OK / 64 fail · F=4,2 K 96 fail · F=1 K 192 OK / 256 fail
+#   n=32: F=4 K 64 OK / 96 fail · F=2 K 96 OK
+#   n=64: F=2 K 104 OK / 128 fail
+# Treat as an empirical table of verified-safe caps; sweep_pallas_pair
+# degrades F below the preferred lane packing and, past the F=1 ceiling,
+# splits the supplier axis into ≤-cap chunks summed outside the kernel —
+# slower, never broken.
+_PACK_K_CAP_F1 = 192
+
+
+def _pack_k_cap(n: int, f: int) -> int:
+    """Verified-safe supplier-row ceiling for pack factor f at pencil n."""
+    if f == 1:
+        return _PACK_K_CAP_F1
+    if n >= 64:
+        return 104 if f == 2 else 0
+    if n == 32:
+        return {2: 96, 4: 64}.get(f, 0)
+    # n = 16 (and any other small n): only the F=8 @ K≤32 point is
+    # verified among packed variants
+    return 32 if f == 8 else 0
+
+
+def _auto_pack(n: int, K_s: int) -> int:
+    """Largest admissible pack factor for supplier row count K_s."""
+    best = 1
+    for f in range(2, 128 // n + 1 if n <= 64 else 1):
+        if n % f == 0 and f * n <= 128 and K_s <= _pack_k_cap(n, f):
+            best = f
+    return best
+
+
 def _make_pair_kernel_packed(n: int, F: int, K_r: int, K_s: int, dtype,
                              softening_kernel: str = "plummer"):
     """Lane-packed one-sided kernel: each program owns F adjacent
@@ -385,11 +422,30 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
     """One-sided pencil sweep: acc (3, K_r, C) ON the receiver buckets
     FROM the supplier buckets (same contract as shortrange._sweep_pair).
     pack: lane-packing factor override (None = auto: 1 in interpret
-    mode, else the largest divisor of n with F·n ≤ 128)."""
+    mode, else the largest divisor of n with F·n ≤ 128 whose measured
+    compile ceiling admits K_s — see _PACK_K_CAP)."""
     n = n_cells
     assert n >= 3
     K_r, C = bvalid.shape
     K_s = valid.shape[0]
+    if not interpret and pack is None:
+        cap1 = _PACK_K_CAP_F1
+        if K_s > cap1:
+            # supplier rows beyond even the unpacked kernel's compile
+            # ceiling: split the supplier axis into ≤-cap chunks and sum
+            # the accelerations (one-sided sweep ⇒ exactly linear)
+            nchunk = -(-K_s // cap1)
+            acc = None
+            for c in range(nchunk):
+                lo, hi = c * cap1, min((c + 1) * cap1, K_s)
+                a = sweep_pallas_pair(
+                    bx, by, bz, bvalid,
+                    hx[lo:hi], hy[lo:hi], hz[lo:hi], valid[lo:hi],
+                    n_cells, boxsize, scale, cutoff, softening,
+                    interpret=interpret, kernel=kernel,
+                )
+                acc = a if acc is None else acc + a
+            return acc
     dtype = hx.dtype
     big = jnp.asarray(1e4, dtype) * boxsize
     bxs = jnp.where(bvalid, bx, -big)  # receiver sentinel ≠ supplier sentinel
@@ -416,7 +472,7 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
         jnp.asarray(boxsize, dtype),
     ])
 
-    F = pack if pack is not None else (1 if interpret else _pack_factor(n))
+    F = pack if pack is not None else (1 if interpret else _auto_pack(n, K_s))
     if F > 1:
         assert n % F == 0 and F * n <= 128
         own_spec = pl.BlockSpec((1, F, K_r, n), lambda i, j: (i, j, 0, 0))

@@ -491,6 +491,16 @@ def pm_kick_rungs(state: RungState, mass, G, int_pm, boxsize: float,
     identical deposit→FFT→gather math, no per-program interpret-mode
     kernel overhead in CI.
     Returns (state, n_pm_overflow, mass_sum)."""
+    if cells_cb > 0 and not interpret and mesh >= 768:
+        # 512³-class memory plan: per-component stencil gradients with
+        # in-place momentum updates (see pm_kick_cells_lean)
+        from concept_tpu.p3msim import pm_kick_cells_lean
+
+        mom, mass_sum = pm_kick_cells_lean(
+            state.pos, state.mom, state.valid, mass, G, int_pm, scale,
+            boxsize, mesh, cb=cells_cb, interpret=interpret,
+        )
+        return state._replace(mom=mom), jnp.zeros((), jnp.int32), mass_sum
     if cells_cb > 0 and not interpret:
         fd3, n_over, mass_sum = pm_gradient_cells(
             state.pos, state.valid, mass, G, scale, boxsize, mesh,
@@ -698,19 +708,6 @@ class P3MRungSimulation:
         bg = self.bg
         dtype = state.pos.dtype
         K = state.valid.shape[0]
-        t_mid = t + 0.5 * dt
-        int_pm = bg.integrals_np(t_mom, t_mid, keys=("a**(-1)",))["a**(-1)"]
-        state, n_pm_over, mass_sum = pm_kick_rungs(
-            state, self.mass, self.G, jnp.asarray(int_pm, dtype),
-            self.boxsize, self.mesh, jnp.asarray(self.scale, dtype),
-            k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
-            interpret=self.interpret, cells_cb=self.ucb,
-        )
-        if self.unified and not self.interpret:
-            self._check_pm_mass(float(mass_sum))
-        else:
-            self._check_pm_overflow(int(n_pm_over))
-
         K_act = self._K_act
         max_rung = int(np.max(np.nonzero(K_act)[0])) if np.any(K_act) else 0
         self.stats["max_rung"] = max(self.stats["max_rung"], max_rung)
@@ -722,7 +719,28 @@ class P3MRungSimulation:
         # where i mod s_k == 0 with the STRADDLING integral
         # [edge_i − s_k·δ/2, edge_i + s_k·δ/2] clamped to the base step —
         # half-span kicks at both ends synchronize momenta at base
-        # boundaries (reference interlaced driftkick, main.py:1347-1443)
+        # boundaries (reference interlaced driftkick, main.py:1347-1443).
+        # The boundary-0 substep runs BEFORE the PM kick (kicks commute:
+        # both only add to momenta at the same positions), so the
+        # acc cache is consumed and freed ahead of the PM FFT transient —
+        # at 512³/mesh-1024 the cache (2.2 GB) plus the two live FFT
+        # grids would otherwise exceed the 16 GB chip.
+        def run_pm(state):
+            t_mid = t + 0.5 * dt
+            int_pm = bg.integrals_np(
+                t_mom, t_mid, keys=("a**(-1)",))["a**(-1)"]
+            state, n_pm_over, mass_sum = pm_kick_rungs(
+                state, self.mass, self.G, jnp.asarray(int_pm, dtype),
+                self.boxsize, self.mesh, jnp.asarray(self.scale, dtype),
+                k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
+                interpret=self.interpret, cells_cb=self.ucb,
+            )
+            if self.unified and not self.interpret:
+                self._check_pm_mass(float(mass_sum))
+            else:
+                self._check_pm_overflow(int(n_pm_over))
+            return state
+
         for i in range(n_sub + 1):
             fired = [k for k in range(max_rung + 1)
                      if i % (1 << (max_rung - k)) == 0]
@@ -778,6 +796,10 @@ class P3MRungSimulation:
                 vmax2 = float(v2)
             else:
                 state, (K_act_new, tight_new, v2) = out
+            if i == 0:
+                # cache consumed (or absent): free it, then the PM kick
+                self._acc_cache = None
+                state = run_pm(state)
         vmax = math.sqrt(vmax2)
         # margin budget over the whole base step
         int_a2 = bg.integrals_np(t, t + dt, keys=("a**(-2)",))["a**(-2)"]
@@ -831,6 +853,37 @@ class P3MRungSimulation:
             w_bound += n_fired * _quantize_K(int(K_act[k]), K)
             w_tight += n_fired * _quantize_K(int(tight[k]), K)
         return w_bound - w_tight
+
+    def warm_compiles(self, state: RungState) -> RungState:
+        """Pre-compile every quantized-ladder K_r sweep variant plus the
+        rebucket path, via zero-integral substeps (zero drift, zero
+        kicks, no rung reassignment — no physical effect).  Without
+        this, the first base step that activates a new rung population
+        pays the Pallas sweep compile (~60 s through the remote helper)
+        mid-run — in benches that bills compilation as step time, and
+        in production it shows up as one slow step per new ladder rung
+        (the on-disk jax cache amortizes it across runs either way)."""
+        dtype = state.pos.dtype
+        K = state.valid.shape[0]
+        ladder, q = [], 8
+        while q < K:
+            ladder.append(q)
+            q *= 2
+        ladder.append(K)
+        zero = jnp.asarray(0.0, dtype)
+        zkick = jnp.zeros((self.NR,), dtype)
+        for K_r in ladder:
+            state, _ = rung_substep(
+                state, self.mass, self.G, zero, zkick,
+                self.boxsize, self.nc,
+                jnp.asarray(self.scale, dtype),
+                jnp.asarray(self.cutoff, dtype),
+                jnp.asarray(self.softening, dtype),
+                K_r=K_r, interpret=self.interpret,
+                softening_kernel=self.softening_kernel, NR=self.NR,
+                unified=self.ucb == 4,
+            )
+        return self.rebucket(state)
 
     @property
     def needs_rebucket(self) -> bool:

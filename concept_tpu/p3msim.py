@@ -670,6 +670,75 @@ def pm_gradient_cells(pos3, valid, mass, G, scale, boxsize: float,
     return fd3, jnp.zeros((), jnp.int32), mass_sum
 
 
+def pm_kick_cells_lean(pos3, mom3, valid, mass, G, int_pm, scale,
+                       boxsize: float, mesh: int, cb: int = 8,
+                       diff_order: int = 4, interpret: bool = False):
+    """512³-class memory plan for the unified-layout PM kick: deposit →
+    φ(k) → φ real grid → per-component real-space stencil gradient →
+    gather → momentum update, one component at a time, never holding the
+    (3, K, C) force layout or more than one mesh-sized gradient grid.
+
+    Real-space order-4 differentiation is the reference's own P³M
+    default (`potential_options['differentiation']` p3m: 4,
+    param/example_explanatory:163-208; mesh.py:4874) — the Fourier-diff
+    path used at smaller sizes is the MORE accurate variant, so this is
+    a reference-fidelity choice, not a shortcut.  Peak live set ≈ state
+    + φ + one gradient (vs state + 3 gradients + 2 slabs batched).
+
+    Returns (new mom3 (3, K, C), mass_sum)."""
+    from concept_tpu.grid.pallas_cells import (
+        LANES, deposit_pallas_cells, gather_pallas_cells,
+    )
+    from concept_tpu.grid.stencil import diff_grid
+
+    K, C = valid.shape
+    n = mesh
+    assert n % cb == 0
+    nc = n // cb
+    assert C == nc**3, (C, nc)
+    dtype = pos3.dtype
+    h = boxsize / n
+    cell_volume = h**3
+    Cp = ((C + LANES - 1) // LANES) * LANES
+    if nc % 8 == 0 and n >= 512:
+        nchunks = 8
+    elif nc % 4 == 0 and n >= 256:
+        nchunks = 4
+    else:
+        nchunks = 1
+    if Cp != C:
+        nchunks = 1
+    wv = valid.astype(dtype)
+    px, py, pz = pos3[0], pos3[1], pos3[2]
+    if Cp != C:
+        pad = ((0, 0), (0, Cp - C))
+        px, py, pz, wv = (jnp.pad(a, pad) for a in (px, py, pz, wv))
+    grid = deposit_pallas_cells(
+        px, py, pz, wv * mass, n, boxsize, cb=cb, nchunks=nchunks,
+        interpret=interpret,
+    )
+    mass_sum = jnp.sum(grid)
+    slab = rfft3(grid / cell_volume)
+    del grid
+    phi_k = gravity_potential_slab(
+        slab, n, boxsize, G, deconv_order=4, longrange_scale=scale
+    )
+    del slab
+    phi = irfft3(phi_k, n)
+    del phi_k
+    fac = -mass * int_pm
+    moms = [mom3[0], mom3[1], mom3[2]]
+    for d in range(3):
+        grad = diff_grid(phi, boxsize, d, order=diff_order)
+        fd = gather_pallas_cells(
+            px, py, pz, wv, (grad,), n, boxsize, cb=cb,
+            nchunks=nchunks, interpret=interpret,
+        )[0][:, :C]
+        del grad
+        moms[d] = jnp.where(valid, moms[d] + fac * fd, 0.0)
+    return jnp.stack(moms), mass_sum
+
+
 class P3MSimulation:
     """Production P³M stepper over the persistent short-range layout."""
 

@@ -193,3 +193,66 @@ class TestAutotune:
         assert sim.margin_frac in results
         assert results[sim.margin_frac] == min(results.values())
         assert int(jnp.sum(state.valid)) == pos.shape[0]
+
+
+class TestPmKickCellsLean:
+    """512³-class memory plan: pm_kick_cells_lean (per-component stencil
+    gradients, in-place momentum update) must match the batched
+    Fourier-diff pm_gradient_cells path up to the order-4 stencil
+    truncation (the reference's own P³M differentiation default,
+    param/example_explanatory:163-208)."""
+
+    def test_lean_matches_batched_up_to_stencil_order(self):
+        from concept_tpu.p3msim import pm_gradient_cells, pm_kick_cells_lean
+
+        rng = np.random.default_rng(3)
+        mesh, cb, box = 32, 8, 64.0
+        nc = mesh // cb
+        C = nc**3
+        K = 32
+        N = K * C // 3
+        # jittered-lattice positions, bucketized by cell so every slot
+        # sits in its own column (deposit-halo precondition)
+        cell = rng.integers(0, C, N)
+        counts = np.bincount(cell, minlength=C)
+        assert counts.max() <= K
+        cw = box / nc
+        pos = np.zeros((3, K, C), np.float32)
+        valid = np.zeros((K, C), bool)
+        slot = np.zeros(C, np.int64)
+        for i in range(N):
+            c = cell[i]
+            cx, cy, cz = c // nc**2, (c // nc) % nc, c % nc
+            s = slot[c]
+            pos[:, s, c] = (
+                (np.array([cx, cy, cz]) + rng.uniform(0.1, 0.9, 3)) * cw
+            )
+            valid[s, c] = True
+            slot[c] += 1
+        pos3 = jnp.asarray(pos)
+        vld = jnp.asarray(valid)
+        mom0 = jnp.asarray(rng.standard_normal((3, K, C)).astype(np.float32))
+        mom0 = jnp.where(vld[None], mom0, 0.0)
+        mass, G, int_pm, scale = 2.0, 1.0, 1e-3, 1.25 * box / mesh
+
+        mom1, msum = pm_kick_cells_lean(
+            pos3, mom0, vld, mass, G, int_pm, scale, box, mesh, cb=cb,
+            interpret=True,
+        )
+        assert np.isclose(float(msum), N * mass, rtol=1e-5)
+        fd3, _, _ = pm_gradient_cells(
+            pos3, vld, mass, G, scale, box, mesh, cb=cb, interpret=True,
+        )
+        mom_ref = jnp.where(vld[None], mom0 + (-mass * int_pm) * fd3, 0.0)
+        d_lean = np.asarray(mom1 - mom0)[:, valid]
+        d_ref = np.asarray(mom_ref - mom0)[:, valid]
+        # wiring identical, differentiation differs (order-4 stencil vs
+        # spectral): demand high correlation + small rms residual
+        num = float((d_lean * d_ref).sum())
+        den = float(np.sqrt((d_lean**2).sum() * (d_ref**2).sum()))
+        assert num / den > 0.99, num / den
+        rms = float(np.sqrt(((d_lean - d_ref) ** 2).mean()))
+        ref = float(np.sqrt((d_ref**2).mean()))
+        assert rms < 0.2 * ref, (rms, ref)
+        # invalid slots untouched (zero)
+        assert float(jnp.abs(jnp.where(vld[None], 0.0, mom1)).max()) == 0.0
