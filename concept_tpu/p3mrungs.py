@@ -262,12 +262,18 @@ def _k_act_layout(rungs, valid, NR: int):
     rung ≥ k — computed from the LAYOUT, so slicing rows [0:K_act[k]]
     always covers every active receiver even when the rung-major column
     order has gone stale since the last re-sort (staleness then costs
-    only wasted rows, never correctness)."""
+    only wasted rows, never correctness).
+
+    One (K, C) pass: the per-row max rung collapses the cell axis first
+    (a broadcast (NR, K, C) formulation materialized 185 MB of masks —
+    ~0.4 s of pure HBM traffic per assign boundary at 256³)."""
     K = valid.shape[0]
-    ks = jnp.arange(NR, dtype=jnp.int8)[:, None, None]
-    act = (rungs[None] >= ks) & valid[None]
-    rows = (jnp.arange(K, dtype=jnp.int32) + 1)[None, :, None]
-    return jnp.max(jnp.max(act * rows, axis=1), axis=1)
+    row_max = jnp.max(
+        jnp.where(valid, rungs, jnp.asarray(-1, rungs.dtype)), axis=1
+    )  # (K,) highest rung present per row, -1 for all-empty rows
+    rows1 = jnp.arange(1, K + 1, dtype=jnp.int32)
+    ks = jnp.arange(NR, dtype=rungs.dtype)[:, None]
+    return jnp.max((row_max[None, :] >= ks) * rows1[None, :], axis=1)
 
 
 def _rung_tight(rungs, valid, NR: int):
@@ -276,10 +282,14 @@ def _rung_tight(rungs, valid, NR: int):
     between the layout row-bound and this is pure staleness waste: every
     substep sweeps K_act[kmin] receiver rows, so a stale order can
     inflate substep work toward 2^max_rung full sweeps (measured:
-    ~100 s/step at 256³ before base_step started forcing a re-sort)."""
-    ks = jnp.arange(NR, dtype=jnp.int8)[:, None, None]
-    act = ((rungs[None] >= ks) & valid[None]).astype(jnp.int32)
-    return jnp.max(jnp.sum(act, axis=1), axis=1)
+    ~100 s/step at 256³ before base_step started forcing a re-sort).
+
+    Per-k (K, C) reductions (no (NR, K, C) intermediate)."""
+    outs = []
+    for k in range(NR):
+        act = ((rungs >= k) & valid).astype(jnp.int32)
+        outs.append(jnp.max(jnp.sum(act, axis=0)))
+    return jnp.stack(outs)
 
 
 def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
@@ -407,8 +417,15 @@ def rung_substep(
             scale, cutoff, softening, engine, softening_kernel, dtype,
             unified=unified,
         )
-    rungs_r = state.rungs[:K_r].astype(jnp.int32)
-    per_slot_int = kick_ints[rungs_r]
+    rungs_r = state.rungs[:K_r]
+    # per-slot kick integral by own rung: one-hot accumulation over the
+    # NR=8 table entries — a kick_ints[rungs_r] gather costs ~0.2 s at
+    # 256³ (23M random indices at ~1.1e8/s); 8 masked adds are free
+    per_slot_int = jnp.zeros(rungs_r.shape, kick_ints.dtype)
+    for k in range(NR):
+        per_slot_int = per_slot_int + jnp.where(
+            rungs_r == k, kick_ints[k], 0.0
+        )
     active = state.valid[:K_r] & (per_slot_int > 0)
     coef = G * mass * mass
     dmom = (coef * per_slot_int)[None] * acc * active[None]

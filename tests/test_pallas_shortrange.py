@@ -112,8 +112,11 @@ def test_sweep_pair_one_sided_subset():
 
 def test_lane_packed_sweep_matches_unpacked():
     """Lane-packed kernel (pack=2: two cj-pencils per program, full-width
-    lanes) is bit-identical to the unpacked path — same arithmetic, only
-    the vector layout differs."""
+    lanes) matches the unpacked path to reduction-reassociation level
+    (same arithmetic; the compiler may retree the supplier-axis sums at
+    different vector widths — observed ≤ 1 ulp on CPU interpret mode).
+    Determinism is unaffected: _auto_pack picks the factor statically
+    per shape."""
     import numpy as np
     import jax.numpy as jnp
     from concept_tpu.forces.pallas_shortrange import sweep_pallas_pair
@@ -132,4 +135,5 @@ def test_lane_packed_sweep_matches_unpacked():
                   kernel="spline")
     a1 = sweep_pallas_pair(*args, v, *args, v, pack=1, **common)
     a2 = sweep_pallas_pair(*args, v, *args, v, pack=2, **common)
-    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               rtol=2e-6, atol=1e-12)
