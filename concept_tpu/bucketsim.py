@@ -213,8 +213,13 @@ def bucket_pm_step(
     n_straggler = jnp.sum(stragglers)
 
     def compact(_):
-        sidx = jnp.nonzero(stragglers.reshape(-1), size=max_straggler,
-                           fill_value=M)[0].astype(jnp.int32)
+        # sort-based compaction: key the straggler slots by their flat
+        # index (everything else keyed M) and take the leading entries —
+        # one single-operand i32 sort at 97 ms vs jnp.nonzero's 318 ms
+        # at M = 34M on v5e (nonzero lowers to cumsum + full-M scatter)
+        key = jnp.where(stragglers.reshape(-1),
+                        jnp.arange(M, dtype=jnp.int32), M)
+        sidx = jax.lax.sort([key], num_keys=1)[0][:max_straggler]
         s_ok = sidx < M
         pos_flat = state.pos.reshape(3, M)
         # (3, S) — an (S, 3) array would be lane-padded 42×
@@ -296,7 +301,7 @@ class BucketSimulation:
 
     def __init__(self, gridsize: int, boxsize: float, mass: float, G: float,
                  bg=None, capacity: int | None = None,
-                 rebucket_every: int = 8, capacity_max: int = 64):
+                 rebucket_every: int = 8, capacity_max: int = 16):
         self.n = gridsize
         self.boxsize = boxsize
         self.mass = mass
@@ -307,7 +312,10 @@ class BucketSimulation:
         # capacity cap: beyond this, deep-halo overflow SPILLS into free
         # slots of other columns and rides the exact straggler path (a
         # K-padded state at the true max occupancy is ~15x the particle
-        # memory under clustering)
+        # memory under clustering).  16 = 2× the mean occupancy:
+        # measured optimum at 256³/z≈7 (amortized 1.19 s/step vs 1.26 s
+        # at cap 24 and 2.17 s at cap 64 — kernel cost ∝ K beats the
+        # straggler cost of the extra spill; scripts/prof_pm_capacity.py)
         self.capacity_max = capacity_max
         self._n_spilled = 0
         self.interpret = jax.default_backend() != "tpu"
@@ -353,15 +361,16 @@ class BucketSimulation:
     def _straggler_budget(self) -> int:
         """Fixed-size straggler buffer: baseline drift crossers plus the
         spilled overflow population (power-of-two quantized to bound the
-        number of retraces as clustering grows)."""
-        base = max(1024, self._N // (256 if self._N >= 64 * 1024**2 else 64))
-        if self._n_spilled:
-            need = 2 * self._n_spilled + base
-            p = 1024
-            while p < need:
-                p *= 2
-            return p
-        return base
+        number of retraces as clustering grows).  The plain straggler
+        deposit/gathers cost ∝ the PADDED size, so the budget tracks the
+        actual population with ~25% headroom (the old 2×spill + N/64
+        sizing measured ~300 ms/step of pure padding waste at 256³)."""
+        base = max(1024, self._N // 256)
+        need = base + self._n_spilled + self._n_spilled // 4
+        p = 1024
+        while p < need:
+            p *= 2
+        return p
 
     def evolve(self, state: BucketState, t0: float, t1: float,
                max_steps: int = 100000):
@@ -509,17 +518,39 @@ def _rebucketize_bucketstate(state: BucketState, boxsize, gridsize: int,
     starts = jnp.cumsum(counts) - counts
     rank = iota - starts[key_s]
     in_b = rank < K
-    slot = jnp.where(in_b, rank * Cp + key_s, K * Cp)
+    counts_k = jnp.minimum(counts, K)
+    n_spill = N - jnp.sum(counts_k)
+    slot_home = jnp.where(in_b, rank * Cp + key_s, K * Cp)
     # SPILLOVER: block-capacity overflow (rank ≥ K — deep halos at a
     # capped K) is placed into FREE slots of other columns rather than
     # dropped: the per-step in-halo straggler path derives everything
     # from positions, so spilled particles are handled exactly, at
-    # straggler cost.  Their per-particle spill index is their rank
-    # among all overflow particles; the free-slot table is built from
-    # the post-scatter validity.
+    # straggler cost.  The j-th overflow particle goes to the j-th free
+    # slot in layout order; free slots are enumerated ANALYTICALLY from
+    # the per-column kept counts (rows ≥ count are free) so the spill
+    # rides the SAME scatter pass as everyone else — the previous
+    # free-slot nonzero + 7 rewrite scatters cost ~1 s at 256³.
     over = ~in_b
-    n_over = jnp.cumsum(over.astype(jnp.int32))
-    spill_rank = jnp.where(over, n_over - 1, N)  # 0-based among overflow
+    spill_rank = jnp.cumsum(over.astype(jnp.int32)) - 1  # j among overflow
+
+    def slots_with_spill(home):
+        counts_p = jnp.pad(counts_k, (0, Cp - C))  # padding columns free
+        free_mark = (
+            jnp.arange(K, dtype=jnp.int32)[:, None] >= counts_p[None, :]
+        ).reshape(-1)
+        free_id = jnp.cumsum(free_mark.astype(jnp.int32)) - 1
+        free_slot_of = (
+            jnp.full((N,), K * Cp, jnp.int32)
+            .at[jnp.where(free_mark, free_id, N)]
+            .set(jnp.arange(K * Cp, dtype=jnp.int32), mode="drop")
+        )
+        return jnp.where(
+            in_b, home, free_slot_of[jnp.minimum(spill_rank, N - 1)]
+        )
+
+    slot = jax.lax.cond(
+        n_spill > 0, slots_with_spill, lambda h: h, slot_home
+    )
 
     def scat(vals):
         return (
@@ -530,36 +561,10 @@ def _rebucketize_bucketstate(state: BucketState, boxsize, gridsize: int,
 
     pos = jnp.stack([scat(px), scat(py), scat(pz)])
     mom = jnp.stack([scat(mx), scat(my), scat(mz)])
-    counts_p = jnp.pad(jnp.minimum(counts, K), (0, Cp - C))
-    valid = jnp.arange(K, dtype=jnp.int32)[:, None] < counts_p[None, :]
-    n_spill = N - jnp.sum(jnp.minimum(counts, K))
-
-    def do_spill(args):
-        pos, mom, valid = args
-        # free-slot table: enough free slots always exist (K·Cp ≥ N);
-        # take the first n_spill of them in layout order
-        free = jnp.nonzero(~valid.reshape(-1), size=N, fill_value=K * Cp)[0]
-        tgt = jnp.where(over, free[jnp.minimum(spill_rank, N - 1)], K * Cp)
-
-        def spill(arr, vals):
-            return arr.reshape(-1).at[tgt].set(
-                vals, mode="drop", unique_indices=True
-            ).reshape(K, Cp)
-
-        pos = jnp.stack([
-            spill(pos[0], px), spill(pos[1], py), spill(pos[2], pz)
-        ])
-        mom = jnp.stack([
-            spill(mom[0], mx), spill(mom[1], my), spill(mom[2], mz)
-        ])
-        valid = spill(valid, jnp.ones((N,), bool))
-        return pos, mom, valid
-
-    # the spill machinery (free-slot nonzero + 7 layout-sized rewrite
-    # scatters) costs real time — skip it entirely on the common
-    # no-overflow rebucketize
-    pos, mom, valid = jax.lax.cond(
-        n_spill > 0, do_spill, lambda a: a, (pos, mom, valid)
+    valid = (
+        jnp.zeros((K * Cp,), bool)
+        .at[slot].set(True, mode="drop", unique_indices=True)
+        .reshape(K, Cp)
     )
     n_kept = jnp.sum(valid)
     return BucketState(pos=pos, mom=mom, valid=valid), n_kept, n_spill

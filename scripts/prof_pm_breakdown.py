@@ -61,10 +61,23 @@ grid = timeit("deposit", lambda: deposit_pallas_pos(
     lambda g: float(g[0, 0, 0]))
 
 slab = timeit("rfft3", lambda: rfft3(grid), lambda s: float(jnp.real(s[0, 0, 0])))
-phi = gravity_potential_slab(slab, n, box, sim.G, deconv_order=4)
-grads = timeit("3x(diff+irfft3)", lambda: tuple(
-    irfft3(fourier.fourier_diff(phi, n, box, d), n) for d in range(3)),
-    lambda g: float(g[0][0, 0, 0]))
+
+
+@jax.jit
+def _phi(slab):
+    return gravity_potential_slab(slab, n, box, sim.G, deconv_order=4)
+
+
+@jax.jit
+def _grads(phi):
+    return tuple(
+        irfft3(fourier.fourier_diff(phi, n, box, d), n) for d in range(3)
+    )
+
+
+phi = _phi(slab)
+grads = timeit("3x(diff+irfft3)", lambda: _grads(phi),
+               lambda g: float(g[0][0, 0, 0]))
 
 fd = timeit("gather3", lambda: gather_pallas_pos(
     state.pos[0], state.pos[1], state.pos[2], w, grads, n, box, nchunks=1),
