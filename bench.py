@@ -368,7 +368,9 @@ def bench_pm_sustained(n_grid=256, a_end=0.12):
     state = sim.maybe_rebucket(state)
     state, ns = sim.step(state, int1, int2)
     _ = float(state.pos[0, 0, 0])
-    n_iter = 10
+    # one full rebucket cadence so the amortization is honest (exactly
+    # rebucket_every steps + one rebucket in the timed window)
+    n_iter = sim.rebucket_every
     t0 = time.perf_counter()
     for i in range(n_iter):
         state, ns = sim.step(state, int1, int2)

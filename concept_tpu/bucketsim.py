@@ -301,7 +301,7 @@ class BucketSimulation:
 
     def __init__(self, gridsize: int, boxsize: float, mass: float, G: float,
                  bg=None, capacity: int | None = None,
-                 rebucket_every: int = 8, capacity_max: int = 16):
+                 rebucket_every: int = 16, capacity_max: int = 16):
         self.n = gridsize
         self.boxsize = boxsize
         self.mass = mass
@@ -424,22 +424,27 @@ class BucketSimulation:
         an OOM at 256³+ once clustering had grown the capacity.
 
         The needed capacity is probed FIRST (cheap occupancy max), so the
-        single donating rebuild is guaranteed lossless."""
-        max_count = int(_occupancy_probe(
-            state, jnp.asarray(self.boxsize, state.pos.dtype), self.n
-        ))
-        need = max(8, ((max_count + 7) // 8) * 8)
+        single donating rebuild is guaranteed lossless.  Once the
+        capacity sits AT the cap the probe is skipped — the capacity
+        cannot change and the rebuild itself reports the spill (the
+        probe costs a ~0.3 s full-slot scatter-add at 256³)."""
         cap = max(8, self.capacity_max)
-        if need <= cap:
-            # fits under the cap: size with 30% clustering headroom
-            # (shrinking an over-grown capacity is fine — the layout is
-            # rebuilt from scratch anyway)
-            self.capacity = min(max(8, int(math.ceil(1.3 * need / 8)) * 8),
-                                cap)
-        else:
-            # cap reached: overflow beyond it SPILLS into free slots
-            # elsewhere and is handled exactly by the straggler path
-            self.capacity = cap
+        if self.capacity != cap:
+            max_count = int(_occupancy_probe(
+                state, jnp.asarray(self.boxsize, state.pos.dtype), self.n
+            ))
+            need = max(8, ((max_count + 7) // 8) * 8)
+            if need <= cap:
+                # fits under the cap: size with 30% clustering headroom
+                # (shrinking an over-grown capacity is fine — the layout
+                # is rebuilt from scratch anyway)
+                self.capacity = min(
+                    max(8, int(math.ceil(1.3 * need / 8)) * 8), cap
+                )
+            else:
+                # cap reached: overflow beyond it SPILLS into free slots
+                # elsewhere and is handled exactly by the straggler path
+                self.capacity = cap
         new_state, kept, n_spill = _rebucketize_bucketstate(
             state, jnp.asarray(self.boxsize, state.pos.dtype), self.n,
             self.capacity, self._N,

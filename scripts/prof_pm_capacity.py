@@ -61,8 +61,8 @@ for cap in caps:
     state = sim.maybe_rebucket(state)
     _ = float(state.pos[0, 0, 0])
     drb2 = time.perf_counter() - t0
-    amort = dt + drb2 / 8
+    amort = dt + drb2 / 16
     print(f"cap {cap}: step {dt:.3f}s stragglers={nst} rebucket {drb:.2f}s "
-          f"(warm {drb2:.2f}s) amortized(8) {amort:.3f}s "
+          f"(warm {drb2:.2f}s) amortized(16) {amort:.3f}s "
           f"ups={N/amort:.3g}", flush=True)
     del state, sim
