@@ -5,23 +5,30 @@ but its inner scan re-reads every neighbor-slot array per own-slot
 iteration — ~4 TB of HBM traffic at 256³ (measured 5.1 s on v5e).  This
 kernel keeps the cell columns VMEM-resident:
 
-  * layout: slot-major (K, n, n, n) position components (z-major cell
-    ids, matching shortrange.bucketize), halo-padded to (K, n+2, n+2, n)
-    along the two leading cell axes with periodic wrap pre-applied
-    (wrapped copies carry ±box on their own coordinate), so the kernel
-    needs no wrap arithmetic;
+  * layout: the one-sided production sweep (sweep_pallas_pair) reads
+    pencil windows DIRECTLY from the flat slot-major (K, C) arrays
+    (C = n³, z-fastest cell ids, matching shortrange.bucketize): block
+    specs slice (K, F·n) column windows, neighbor windows wrap via mod
+    arithmetic in the index maps, and the wrapped copies' ±box
+    own-coordinate corrections are per-program scalar adds in-kernel —
+    no halo-padded copies, no (ci, cj, K, ck) relayout, no output
+    transpose (measured ~0.4 s of memory plumbing per full 256³ sweep,
+    and 2.2 GB of padded temporaries at 512³).  The two-sided and
+    reach-2 variants below keep the original halo-padded
+    (K, n+2, n+2, n) formulation;
   * invalid slots carry a FAR sentinel position instead of a mask — the
     r² < cutoff² cut eliminates them for free (one less input stream);
-  * grid = (n, n) over (ci, cj): each program owns one full z-pencil
-    (K, n) per component and reads its 8 neighbor pencils as aliased
+  * each program owns F adjacent z-pencils (lane packing to the 128
+    VPU lanes) and reads its 9 neighbor pencil windows as aliased
     inputs of the same array with shifted index maps — every pencil is
     read 9×3 times total (~3 GB at 256³ vs the XLA sweep's ~4 TB);
   * the z direction (±1 cell) is handled in-VMEM by static rolls with a
     ±box correction column at the wrap;
   * the screening factor S(x) = erfc(x/2) + x/√π·e^(−x²/4) (reference
-    gravity.py:373 get_shortrange_table) is evaluated as a Chebyshev fit
-    in x² — the reference tabulates for the same reason (transcendentals
-    in the pair loop); a table is a gather on TPU, a polynomial is FMAs.
+    gravity.py:373 get_shortrange_table) is evaluated as S = 1 + x·g(x²)
+    with a Horner fit of g directly on r²/scale² — the reference
+    tabulates for the same reason (transcendentals in the pair loop); a
+    table is a gather on TPU, a polynomial is FMAs.
 
 Reference semantics: interactions.py:1353-1984 (particle_particle) +
 gravity.py:263-373, with the tile→pencil mapping described in
@@ -287,66 +294,6 @@ def _pad_halo(arr, axis_coord: int | None, boxsize, pad: int = 1):
     return jnp.concatenate([lo2, arr, hi2], axis=1)
 
 
-def _make_pair_kernel(n: int, K_r: int, K_s: int, dtype,
-                      softening_kernel: str = "plummer"):
-    """One-sided variant: receivers (own pencil, 3 inputs of (1,1,K_r,n))
-    against suppliers (9 aliased pencils × 3 components)."""
-
-    def kernel(scal_ref, *refs):
-        own, ins, outs = refs[:3], refs[3:30], refs[30:]
-        inv_scale = scal_ref[0]
-        cutoff2 = scal_ref[1]
-        soft2 = scal_ref[2]
-        boxsize = scal_ref[3]
-        accum = _make_accum(inv_scale, cutoff2, soft2, dtype,
-                            softening_kernel)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        wrap_hi = (col == n - 1).astype(dtype) * boxsize
-        wrap_lo = (col == 0).astype(dtype) * (-boxsize)
-
-        def shifted(arr, dk, is_z):
-            if dk == 0:
-                return arr
-            out = jnp.roll(arr, -dk, axis=1)
-            if is_z:
-                out = out + (wrap_hi if dk == 1 else wrap_lo)
-            return out
-
-        nbs = []
-        for p in range(9):
-            bx = ins[p][0, 0]
-            by = ins[9 + p][0, 0]
-            bz = ins[18 + p][0, 0]
-            for dk in (-1, 0, 1):
-                nbs.append((
-                    shifted(bx, dk, False)[None, :, :],
-                    shifted(by, dk, False)[None, :, :],
-                    shifted(bz, dk, True)[None, :, :],
-                ))
-
-        CH = 8 if K_r % 8 == 0 else 1
-        nchunk = K_r // CH
-
-        def body(c, _):
-            s = pl.multiple_of(c * CH, CH)
-            ox = own[0][0, 0, pl.ds(s, CH), :][:, None, :]
-            oy = own[1][0, 0, pl.ds(s, CH), :][:, None, :]
-            oz = own[2][0, 0, pl.ds(s, CH), :][:, None, :]
-            ax = jnp.zeros((CH, n), dtype)
-            ay = jnp.zeros((CH, n), dtype)
-            az = jnp.zeros((CH, n), dtype)
-            for nbx, nby, nbz in nbs:
-                ax, ay, az = accum(ox, oy, oz, nbx, nby, nbz, ax, ay, az)
-            outs[0][0, 0, pl.ds(s, CH), :] = ax
-            outs[1][0, 0, pl.ds(s, CH), :] = ay
-            outs[2][0, 0, pl.ds(s, CH), :] = az
-            return 0
-
-        jax.lax.fori_loop(0, nchunk, body, 0)
-
-    return kernel
-
-
 def _pack_factor(n: int) -> int:
     """Lane-packing factor F: process F adjacent cj-pencils per kernel
     program with the z-cell lane dimension widened to F·n.  TPU vector
@@ -398,24 +345,32 @@ def _auto_pack(n: int, K_s: int) -> int:
     return best
 
 
-def _make_pair_kernel_packed(n: int, F: int, K_r: int, K_s: int, dtype,
-                             softening_kernel: str = "plummer"):
-    """Lane-packed one-sided kernel: each program owns F adjacent
-    cj-pencils, all vector work on (·, K_s, F·n) tiles (full 128 lanes).
-    refs: 3 receiver windows (1, F, K_r, n); then per component 6
-    supplier windows (1, F, K_s, n) at (di ∈ {−1,0,1}) × (cj-block
-    offset ∈ {0,1}) of the halo-padded array — together they cover the
-    cj range [F·j−1, F·j+F] every dj ∈ {−1,0,1} variant needs; then 3
-    outputs (1, 1, K_r, F·n)."""
+def _make_pair_kernel_flat(n: int, F: int, K_r: int, K_s: int, njb: int,
+                           dtype, softening_kernel: str = "plummer"):
+    """Flat-(K, C) lane-packed one-sided kernel: blocks are direct
+    column windows of the (K, C) slot arrays (C = n³, z-fastest flat
+    cell ids), so the caller needs NO halo padding, NO (ci,cj,K,ck)
+    relayout and NO output transpose — measured ~0.4 s of pure memory
+    plumbing per full 256³ sweep, and 2.2 GB of padded temporaries at
+    512³.  Periodic wrap is handled here: index maps wrap block indices
+    (mod), and the wrapped copies' own-coordinate ±box correction is a
+    per-program scalar add (x: program row at the i edge; y: per piece
+    at the j edge; z: roll correction columns as before).
+
+    refs: scal (4,); 3 receiver blocks (K_r, F·n); 27 supplier windows
+    (K_s, F·n) ordered [comp][di ∈ −1,0,1][djw ∈ −1,0,1]; 3 outputs
+    (K_r, F·n)."""
 
     def kernel(scal_ref, *refs):
-        own, ins, outs = refs[:3], refs[3:3 + 18], refs[3 + 18:]
+        own, ins, outs = refs[:3], refs[3:30], refs[30:]
         inv_scale = scal_ref[0]
         cutoff2 = scal_ref[1]
         soft2 = scal_ref[2]
         boxsize = scal_ref[3]
         accum = _make_accum(inv_scale, cutoff2, soft2, dtype,
                             softening_kernel)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         wrap_hi = (col == n - 1).astype(dtype) * boxsize
         wrap_lo = (col == 0).astype(dtype) * (-boxsize)
@@ -428,31 +383,43 @@ def _make_pair_kernel_packed(n: int, F: int, K_r: int, K_s: int, dtype,
                 out = out + (wrap_hi if dk == 1 else wrap_lo)
             return out
 
-        # receivers stay as refs; each chunk lane-concats its F halves
-        # (Mosaic cannot dynamic_slice hoisted VALUES, only refs)
+        def win(c, di, djw):
+            return ins[c * 9 + (di + 1) * 3 + (djw + 1)]
 
-        # suppliers: hoist the 27 (di, dj, dk) lane-packed variants.
-        # For receiver half h, variant dj needs supplier cj = F·j+h+dj =
-        # padded index h+dj+1 → window djb = (h+dj+1) // F, half
-        # (h+dj+1) % F.
-        def win(comp, di, djb):
-            return ins[comp * 6 + (di + 1) * 2 + djb]
+        zero = jnp.asarray(0.0, dtype)
+        xcorr = {
+            -1: jnp.where(i == 0, -boxsize, zero),
+            0: zero,
+            1: jnp.where(i == n - 1, boxsize, zero),
+        }
+        ycorr = {
+            -1: jnp.where(j == 0, -boxsize, zero),
+            0: zero,
+            1: jnp.where(j == njb - 1, boxsize, zero),
+        }
 
         nbs = []
         for di in (-1, 0, 1):
             for dj in (-1, 0, 1):
                 pieces = [[], [], []]
                 for h in range(F):
-                    p = h + dj + 1
-                    djb, hh = p // F, p % F
+                    p = h + dj
+                    djw, hh = p // F, p % F  # Python floor/mod: −1//F=−1 ✓
                     for c in range(3):
-                        pieces[c].append(win(c, di, djb)[0, hh])
+                        piece = win(c, di, djw)[:, hh * n:(hh + 1) * n]
+                        if c == 0 and di != 0:
+                            piece = piece + xcorr[di]
+                        elif c == 1 and djw != 0:
+                            piece = piece + ycorr[djw]
+                        pieces[c].append(piece)
                 for dk in (-1, 0, 1):
+                    # z-shift PER PIECE (a roll across the F·n concat
+                    # would leak slots between adjacent pencils)
                     nbs.append(tuple(
                         jnp.concatenate(
-                            [shifted(piece, dk, c == 2)
-                             for piece in pieces[c]], axis=1,
-                        )[None, :, :]
+                            [shifted(p, dk, c == 2) for p in pieces[c]],
+                            axis=1,
+                        ) if F > 1 else shifted(pieces[c][0], dk, c == 2)
                         for c in range(3)
                     ))
 
@@ -460,24 +427,19 @@ def _make_pair_kernel_packed(n: int, F: int, K_r: int, K_s: int, dtype,
         nchunk = K_r // CH
         nF = F * n
 
-        def chunk_own(c, s):
-            return jnp.concatenate(
-                [own[c][0, h, pl.ds(s, CH), :] for h in range(F)], axis=1
-            )[:, None, :]
-
-        def body(c, _):
-            s = pl.multiple_of(c * CH, CH)
-            ox = chunk_own(0, s)  # (CH, 1, F·n)
-            oy = chunk_own(1, s)
-            oz = chunk_own(2, s)
+        def body(ci, _):
+            s = pl.multiple_of(ci * CH, CH)
+            ox = own[0][pl.ds(s, CH), :][:, None, :]  # (CH, 1, F·n)
+            oy = own[1][pl.ds(s, CH), :][:, None, :]
+            oz = own[2][pl.ds(s, CH), :][:, None, :]
             ax = jnp.zeros((CH, nF), dtype)
             ay = jnp.zeros((CH, nF), dtype)
             az = jnp.zeros((CH, nF), dtype)
             for nbx, nby, nbz in nbs:
                 ax, ay, az = accum(ox, oy, oz, nbx, nby, nbz, ax, ay, az)
-            outs[0][0, 0, pl.ds(s, CH), :] = ax
-            outs[1][0, 0, pl.ds(s, CH), :] = ay
-            outs[2][0, 0, pl.ds(s, CH), :] = az
+            outs[0][pl.ds(s, CH), :] = ax
+            outs[1][pl.ds(s, CH), :] = ay
+            outs[2][pl.ds(s, CH), :] = az
             return 0
 
         jax.lax.fori_loop(0, nchunk, body, 0)
@@ -518,6 +480,7 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
                 acc = a if acc is None else acc + a
             return acc
     dtype = hx.dtype
+    assert C == n**3, (C, n)
     big = jnp.asarray(1e4, dtype) * boxsize
     bxs = jnp.where(bvalid, bx, -big)  # receiver sentinel ≠ supplier sentinel
     bys = jnp.where(bvalid, by, -big)  # (coincident sentinels would pass
@@ -525,16 +488,6 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
     hxs = jnp.where(valid, hx, big)
     hys = jnp.where(valid, hy, big)
     hzs = jnp.where(valid, hz, big)
-
-    def to4(a, K):
-        return a.reshape(K, n, n, n).transpose(1, 2, 0, 3)
-
-    own_x = to4(bxs, K_r)  # receivers: own pencil only, no halo needed
-    own_y = to4(bys, K_r)
-    own_z = to4(bzs, K_r)
-    px = _pad_halo(to4(hxs, K_s), 0, boxsize)
-    py = _pad_halo(to4(hys, K_s), 1, boxsize)
-    pz = _pad_halo(to4(hzs, K_s), None, boxsize)
 
     scal = jnp.stack([
         1.0 / jnp.asarray(scale, dtype),
@@ -544,71 +497,30 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
     ])
 
     F = pack if pack is not None else (1 if interpret else _auto_pack(n, K_s))
-    if F > 1:
-        assert n % F == 0 and F * n <= 128
-        own_spec = pl.BlockSpec((1, F, K_r, n), lambda i, j: (i, j, 0, 0))
-        sup = lambda di, djb: pl.BlockSpec(
-            (1, F, K_s, n),
-            lambda i, j, di=di, djb=djb: (i + 1 + di, j + djb, 0, 0),
-        )
-        in_specs = [pl.BlockSpec((4,), lambda i, j: (0,))]
-        in_specs += [own_spec] * 3
-        for _comp in range(3):
-            in_specs += [sup(di, djb) for di in (-1, 0, 1)
-                         for djb in (0, 1)]
-        out_spec = pl.BlockSpec((1, 1, K_r, F * n), lambda i, j: (i, j, 0, 0))
-        kfn = _make_pair_kernel_packed(n, F, K_r, K_s, dtype,
-                                       softening_kernel=kernel)
-        # supplier windows index the cj-halo-padded array in F-blocks:
-        # pad cj to a multiple of F plus the two halo columns so block
-        # djb=1 at the last j stays in bounds (n+2 = F·(n//F)+2 ≤
-        # F·(n//F + 1) always holds for F ≥ 2)
-        pad_to = F * (n // F + 1)
-        extra = pad_to - (n + 2)
-        # far-sentinel fill: the trailing cj'-pad halves are never
-        # concatenated into a variant, but keep them outside the cutoff
-        # regardless
-        px2 = jnp.pad(px, ((0, 0), (0, extra), (0, 0), (0, 0)),
-                      constant_values=big)
-        py2 = jnp.pad(py, ((0, 0), (0, extra), (0, 0), (0, 0)),
-                      constant_values=big)
-        pz2 = jnp.pad(pz, ((0, 0), (0, extra), (0, 0), (0, 0)),
-                      constant_values=big)
-        outs = pl.pallas_call(
-            kfn,
-            grid=(n, n // F),
-            out_shape=[jax.ShapeDtypeStruct((n, n // F, K_r, F * n), dtype)] * 3,
-            in_specs=in_specs,
-            out_specs=[out_spec] * 3,
-            interpret=interpret,
-        )(scal, own_x, own_y, own_z,
-          *([px2] * 6 + [py2] * 6 + [pz2] * 6))
-        return jnp.stack([
-            o.reshape(n, n // F, K_r, F, n).transpose(2, 0, 1, 3, 4)
-            .reshape(K_r, C)
-            for o in outs
-        ])
-
-    own_spec = pl.BlockSpec((1, 1, K_r, n), lambda i, j: (i, j, 0, 0))
-    pencil = lambda di, dj: pl.BlockSpec(
-        (1, 1, K_s, n), lambda i, j, di=di, dj=dj: (i + 1 + di, j + 1 + dj, 0, 0)
+    assert n % F == 0 and F * n <= 128
+    njb = n // F
+    own_spec = pl.BlockSpec((K_r, F * n), lambda i, j: (0, i * njb + j))
+    sup = lambda di, djw: pl.BlockSpec(
+        (K_s, F * n),
+        lambda i, j, di=di, djw=djw: (
+            0, ((i + di) % n) * njb + ((j + djw) % njb)
+        ),
     )
-    offs = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
     in_specs = [pl.BlockSpec((4,), lambda i, j: (0,))]
     in_specs += [own_spec] * 3
     for _comp in range(3):
-        in_specs += [pencil(di, dj) for (di, dj) in offs]
-    out_spec = pl.BlockSpec((1, 1, K_r, n), lambda i, j: (i, j, 0, 0))
-    kfn = _make_pair_kernel(n, K_r, K_s, dtype, softening_kernel=kernel)
+        in_specs += [sup(di, djw) for di in (-1, 0, 1) for djw in (-1, 0, 1)]
+    kfn = _make_pair_kernel_flat(n, F, K_r, K_s, njb, dtype,
+                                 softening_kernel=kernel)
     outs = pl.pallas_call(
         kfn,
-        grid=(n, n),
-        out_shape=[jax.ShapeDtypeStruct((n, n, K_r, n), dtype)] * 3,
+        grid=(n, njb),
+        out_shape=[jax.ShapeDtypeStruct((K_r, C), dtype)] * 3,
         in_specs=in_specs,
-        out_specs=[out_spec] * 3,
+        out_specs=[own_spec] * 3,
         interpret=interpret,
-    )(scal, own_x, own_y, own_z, *([px] * 9 + [py] * 9 + [pz] * 9))
-    return jnp.stack([o.transpose(2, 0, 1, 3).reshape(K_r, C) for o in outs])
+    )(scal, bxs, bys, bzs, *([hxs] * 9 + [hys] * 9 + [hzs] * 9))
+    return jnp.stack(outs)
 
 
 def kept_offsets(cell_width: float, cutoff: float, margin: float,

@@ -193,8 +193,13 @@ def rebucketize_rungs(state: RungState, boxsize: float, nc: int,
          state.ids.reshape(M)],
         num_keys=1,
     )
-    key_s = ops[0][:N]
-    arrs = [o[:N] for o in ops[1:]]
+    # materialize the leading-N slices NOW: without the barrier XLA
+    # fuses the slices into the scatter reads, keeping all 8 M-sized
+    # sorted operands alive through the new-state construction — at
+    # 512³ (M = 185M, state 5.5 GB) that peak OOMs the 16 GB chip
+    ops = jax.lax.optimization_barrier([o[:N] for o in ops])
+    key_s = ops[0]
+    arrs = list(ops[1:])
     cell_s = key_s // NR
     rung_s = (NR - 1 - (key_s % NR)).astype(jnp.int8)
     n_kept = jnp.sum(key_s < C * NR)
