@@ -447,16 +447,22 @@ def _make_pair_kernel_flat(n: int, F: int, K_r: int, K_s: int, njb: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n_cells", "interpret", "kernel", "pack"))
+@partial(jax.jit, static_argnames=("n_cells", "interpret", "kernel", "pack",
+                                   "sentineled"))
 def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
                       boxsize, scale, cutoff, softening,
                       interpret: bool = False, kernel: str = "plummer",
-                      pack: int | None = None):
+                      pack: int | None = None, sentineled: bool = False):
     """One-sided pencil sweep: acc (3, K_r, C) ON the receiver buckets
     FROM the supplier buckets (same contract as shortrange._sweep_pair).
     pack: lane-packing factor override (None = auto: 1 in interpret
     mode, else the largest divisor of n with F·n ≤ 128 whose measured
-    compile ceiling admits K_s — see _PACK_K_CAP)."""
+    compile ceiling admits K_s — see _PACK_K_CAP).
+    sentineled=True: the caller already replaced invalid slots with the
+    far sentinel 1e4·box (one shared sentinel array for both sides
+    saves the 6 masking copies — 4.4 GB of transients at 512³; a shared
+    sentinel VALUE is safe because coincident sentinels give r² = 0,
+    which the r² > 0 cut excludes)."""
     n = n_cells
     assert n >= 3
     K_r, C = bvalid.shape
@@ -476,18 +482,23 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
                     hx[lo:hi], hy[lo:hi], hz[lo:hi], valid[lo:hi],
                     n_cells, boxsize, scale, cutoff, softening,
                     interpret=interpret, kernel=kernel,
+                    sentineled=sentineled,
                 )
                 acc = a if acc is None else acc + a
             return acc
     dtype = hx.dtype
     assert C == n**3, (C, n)
-    big = jnp.asarray(1e4, dtype) * boxsize
-    bxs = jnp.where(bvalid, bx, -big)  # receiver sentinel ≠ supplier sentinel
-    bys = jnp.where(bvalid, by, -big)  # (coincident sentinels would pass
-    bzs = jnp.where(bvalid, bz, -big)  # the r² > 0 cut — keep them apart)
-    hxs = jnp.where(valid, hx, big)
-    hys = jnp.where(valid, hy, big)
-    hzs = jnp.where(valid, hz, big)
+    if sentineled:
+        bxs, bys, bzs = bx, by, bz
+        hxs, hys, hzs = hx, hy, hz
+    else:
+        big = jnp.asarray(1e4, dtype) * boxsize
+        bxs = jnp.where(bvalid, bx, big)
+        bys = jnp.where(bvalid, by, big)
+        bzs = jnp.where(bvalid, bz, big)
+        hxs = jnp.where(valid, hx, big)
+        hys = jnp.where(valid, hy, big)
+        hzs = jnp.where(valid, hz, big)
 
     scal = jnp.stack([
         1.0 / jnp.asarray(scale, dtype),

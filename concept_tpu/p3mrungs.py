@@ -188,18 +188,35 @@ def rebucketize_rungs(state: RungState, boxsize: float, nc: int,
         cell = cell * nc + _cell_index(flat[d], nc, boxsize, mesh_cells)
     rungM = state.rungs.reshape(M).astype(jnp.int32)
     key = jnp.where(validf, cell * NR + (NR - 1 - rungM), C * NR)
-    ops = jax.lax.sort(
-        [key, flat[0], flat[1], flat[2], mflat[0], mflat[1], mflat[2],
-         state.ids.reshape(M)],
-        num_keys=1,
-    )
-    # materialize the leading-N slices NOW: without the barrier XLA
-    # fuses the slices into the scatter reads, keeping all 8 M-sized
-    # sorted operands alive through the new-state construction — at
-    # 512³ (M = 185M, state 5.5 GB) that peak OOMs the 16 GB chip
-    ops = jax.lax.optimization_barrier([o[:N] for o in ops])
-    key_s = ops[0]
-    arrs = list(ops[1:])
+    if M >= (1 << 27):
+        # 512³-class: one 8-operand sort allocates in+out ≈ 11.8 GB of
+        # M-sized buffers — split into TWO STABLE sorts on the same key
+        # (stability makes the equal-key permutations identical, so a
+        # particle's pos and mom stay together); each phase peaks at
+        # ~half the operand footprint
+        ops1 = jax.lax.sort(
+            [key, flat[0], flat[1], flat[2]], num_keys=1, is_stable=True
+        )
+        ops1 = jax.lax.optimization_barrier([o[:N] for o in ops1])
+        ops2 = jax.lax.sort(
+            [key, mflat[0], mflat[1], mflat[2], state.ids.reshape(M)],
+            num_keys=1, is_stable=True,
+        )
+        ops2 = jax.lax.optimization_barrier([o[:N] for o in ops2])
+        key_s = ops1[0]
+        arrs = list(ops1[1:]) + list(ops2[1:])
+    else:
+        ops = jax.lax.sort(
+            [key, flat[0], flat[1], flat[2], mflat[0], mflat[1],
+             mflat[2], state.ids.reshape(M)],
+            num_keys=1,
+        )
+        # materialize the leading-N slices NOW: without the barrier XLA
+        # fuses the slices into the scatter reads, keeping all 8 M-sized
+        # sorted operands alive through the new-state construction
+        ops = jax.lax.optimization_barrier([o[:N] for o in ops])
+        key_s = ops[0]
+        arrs = list(ops[1:])
     cell_s = key_s // NR
     rung_s = (NR - 1 - (key_s % NR)).astype(jnp.int8)
     n_kept = jnp.sum(key_s < C * NR)
@@ -299,7 +316,7 @@ def _rung_tight(rungs, valid, NR: int):
 
 def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
                    scale, cutoff, softening, engine, softening_kernel,
-                   dtype, unified: bool = False):
+                   dtype, unified: bool = False, sentineled: bool = False):
     if unified:
         # narrow 4-mesh-cell layout: reach-2 offsets with gap pruning
         cell_width = boxsize / nc
@@ -342,7 +359,7 @@ def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
             jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
             jnp.asarray(cutoff, dtype), jnp.asarray(softening, dtype),
             interpret=(jax.default_backend() != "tpu"),
-            kernel=softening_kernel,
+            kernel=softening_kernel, sentineled=sentineled,
         )
     from concept_tpu.forces.shortrange import _sweep_pair
 
@@ -416,11 +433,18 @@ def rung_substep(
     if use_cache:
         acc = acc_cache[:, :K_r, :]
     else:
-        recv_pos = pos[:, :K_r, :]
+        # ONE shared sentinel array serves receivers (a row-slice view)
+        # and suppliers — sweep_pallas_pair(sentineled=True) then skips
+        # its six masking copies (4.4 GB of transients at 512³); the
+        # XLA/reach engines' internal masking is value-idempotent on
+        # already-sentineled inputs
+        big = jnp.asarray(1e4, dtype) * boxsize
+        pos_s = jnp.where(state.valid[None], pos, big)
         acc = _sr_pair_accel(
-            recv_pos, state.valid[:K_r], pos, state.valid, nc, boxsize,
-            scale, cutoff, softening, engine, softening_kernel, dtype,
-            unified=unified,
+            pos_s[:, :K_r, :], state.valid[:K_r], pos_s, state.valid,
+            nc, boxsize, scale, cutoff, softening, engine,
+            softening_kernel, dtype, unified=unified,
+            sentineled=(engine == "pallas" and not unified),
         )
     rungs_r = state.rungs[:K_r]
     # per-slot kick integral by own rung: one-hot accumulation over the
@@ -478,13 +502,33 @@ def resort_rungs_within_columns(state: RungState, acc, NR: int = 8):
     key = jnp.where(
         state.valid, (NR - 1 - state.rungs).astype(jnp.int32), NR
     )
-    ops = jax.lax.sort(
-        [key,
-         state.pos[0], state.pos[1], state.pos[2],
-         state.mom[0], state.mom[1], state.mom[2],
-         state.ids, acc[0], acc[1], acc[2]],
-        dimension=0, num_keys=1, is_stable=False,
-    )
+    if K * C >= (1 << 27):
+        # 512³-class: an 11-operand column sort allocates in+out ≈
+        # 16 GB — split into three STABLE sorts on the same key (equal-
+        # key permutations identical ⇒ a slot's fields stay together)
+        ops1 = jax.lax.sort(
+            [key, state.pos[0], state.pos[1], state.pos[2]],
+            dimension=0, num_keys=1, is_stable=True,
+        )
+        ops1 = jax.lax.optimization_barrier(ops1)
+        ops2 = jax.lax.sort(
+            [key, state.mom[0], state.mom[1], state.mom[2]],
+            dimension=0, num_keys=1, is_stable=True,
+        )
+        ops2 = jax.lax.optimization_barrier(ops2)
+        ops3 = jax.lax.sort(
+            [key, state.ids, acc[0], acc[1], acc[2]],
+            dimension=0, num_keys=1, is_stable=True,
+        )
+        ops = list(ops1) + list(ops2[1:]) + list(ops3[1:])
+    else:
+        ops = jax.lax.sort(
+            [key,
+             state.pos[0], state.pos[1], state.pos[2],
+             state.mom[0], state.mom[1], state.mom[2],
+             state.ids, acc[0], acc[1], acc[2]],
+            dimension=0, num_keys=1, is_stable=False,
+        )
     key_s = ops[0]
     valid = key_s < NR
     rungs = jnp.where(valid, (NR - 1 - key_s).astype(jnp.int8), 0)
