@@ -390,6 +390,16 @@ class BucketSimulation:
             int_a2 = bg.integrals_np(t, t + dt, keys=("a**(-2)",))["a**(-2)"]
             state, ns = self.step(state, int_a1, int_a2)
             steps += 1
+            if int(ns) > max_straggler:
+                # the fixed-size compaction TRUNCATED: excess stragglers
+                # neither deposited nor got the exact-path force — the
+                # step result is corrupt.  Fail loudly (the half-capacity
+                # rebucket trigger below should make this unreachable).
+                raise RuntimeError(
+                    f"straggler overflow: {int(ns)} > budget "
+                    f"{max_straggler} — step result corrupt; lower "
+                    f"rebucket_every or raise the straggler budget"
+                )
             max_straggler = self._straggler_budget()
             if steps % self.rebucket_every == 0 or int(ns) > max_straggler // 2:
                 state = self.maybe_rebucket(state)
@@ -445,13 +455,15 @@ class BucketSimulation:
                 # cap reached: overflow beyond it SPILLS into free slots
                 # elsewhere and is handled exactly by the straggler path
                 self.capacity = cap
-        new_state, kept, n_spill = _rebucketize_bucketstate(
+        new_state, kept, n_spill, n_valid = _rebucketize_bucketstate(
             state, jnp.asarray(self.boxsize, state.pos.dtype), self.n,
             self.capacity, self._N,
         )
         kept = int(kept)
         self._n_spilled = int(n_spill)
         assert kept == self._N, (kept, self._N)
+        # detect invariant violations the leading-N clamp would mask
+        assert int(n_valid) == self._N, (int(n_valid), self._N)
         return new_state
 
 
@@ -507,12 +519,15 @@ def _rebucketize_bucketstate(state: BucketState, boxsize, gridsize: int,
         blk = jnp.clip((comp / h).astype(jnp.int32), 0, n - 1) // B
         key = key * nb + blk
     key = jnp.where(validf, key, C)
+    # exactly N valid slots must exist (class invariant); report the
+    # actual count so the caller can fail LOUDLY if it is ever violated —
+    # the clamp below would otherwise fold leaked invalid slots into
+    # block C−1 as phantom particles that keep the n_kept check green
+    n_valid = jnp.sum(validf)
     ops = jax.lax.sort(
         [key, flat[0], flat[1], flat[2], mflat[0], mflat[1], mflat[2]],
         num_keys=1,
     )
-    # exactly N valid slots exist (class invariant, asserted by the
-    # caller), so the leading N sorted entries are exactly the valid ones
     key_s = jnp.minimum(ops[0][:N], C - 1)
     px, py, pz, mx, my, mz = (o[:N] for o in ops[1:])
     iota = jnp.arange(N, dtype=jnp.int32)
@@ -572,4 +587,4 @@ def _rebucketize_bucketstate(state: BucketState, boxsize, gridsize: int,
         .reshape(K, Cp)
     )
     n_kept = jnp.sum(valid)
-    return BucketState(pos=pos, mom=mom, valid=valid), n_kept, n_spill
+    return BucketState(pos=pos, mom=mom, valid=valid), n_kept, n_spill, n_valid

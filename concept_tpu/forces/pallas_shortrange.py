@@ -144,7 +144,10 @@ def _make_accum(inv_scale, cutoff2, soft2, dtype, softening_kernel: str):
         ay = ay + jnp.sum(f * dy, axis=1)
         az = az + jnp.sum(f * dz, axis=1)
         h2 = 7.84 * soft2  # (2.8 ε)²
-        near_m = (r2 > 0) & (r2 < h2)
+        # the cutoff guard keeps the correction consistent with the
+        # masked far field if a run is configured with 2.8·ε > cutoff
+        # (the correction must never fire where the pair force is zero)
+        near_m = (r2 > 0) & (r2 < h2) & (r2 < cutoff2)
 
         def with_corr(acc3):
             aX, aY, aZ = acc3
@@ -313,36 +316,65 @@ def _pack_factor(n: int) -> int:
 # kernel CRASHES the compiler (subprocess exit 1, not a clean error).
 # The ceiling depends on BOTH the pencil length n and the pack factor F
 # with no single closed form — verified OK / first-failing points:
-#   n=16: F=8 K 32 OK / 64 fail · F=4,2 K 96 fail · F=1 K 192 OK / 256 fail
-#   n=32: F=4 K 64 OK / 96 fail · F=2 K 96 OK
+#   n=16: F=8 K 32 OK / 64 fail
+#   n=32: F=4 K 64 OK / 96 fail
 #   n=64: F=2 K 104 OK / 128 fail
-# Treat as an empirical table of verified-safe caps; sweep_pallas_pair
-# degrades F below the preferred lane packing and, past the F=1 ceiling,
-# splits the supplier axis into ≤-cap chunks summed outside the kernel —
+# The flat-(K, C) kernel's window lane width is F·n, and the Mosaic
+# lowering additionally requires block lane dims be MULTIPLES OF 128 (or
+# the whole array): F·n = 128 is the only admissible packing for
+# n ≤ 128, so degrading F below the lane-valid factor is NOT a legal
+# escape past the ceiling (round-5 failure: K_s = 136 at n = 64 picked
+# F = 1 → lane 64 → lowering error).  Past the ceiling the supplier
+# axis is CHUNKED into ≤-cap sweeps summed outside the kernel instead —
 # slower, never broken.
-_PACK_K_CAP_F1 = 192
+
+
+def _lane_valid_packs(n: int, C: int):
+    """Pack factors F whose flat-(K, C) window lane width F·n the Mosaic
+    lowering accepts: a multiple of 128, or the entire array (F·n = C).
+    F must divide n (grid tiling)."""
+    out = []
+    for f in range(1, n + 1):
+        if n % f:
+            continue
+        lane = f * n
+        if lane > 128:
+            break  # wider windows are unverified and only waste VMEM
+        if lane == 128 or lane == C:
+            out.append(f)
+    return out
 
 
 def _pack_k_cap(n: int, f: int) -> int:
-    """Verified-safe supplier-row ceiling for pack factor f at pencil n."""
-    if f == 1:
-        return _PACK_K_CAP_F1
-    if n >= 64:
-        return 104 if f == 2 else 0
-    if n == 32:
-        return {2: 96, 4: 64}.get(f, 0)
-    # n = 16 (and any other small n): only the F=8 @ K≤32 point is
-    # verified among packed variants
-    return 32 if f == 8 else 0
+    """Verified-safe supplier-row ceiling for pack factor f at pencil n
+    (lane-128 windows; unverified combos get the conservative floor)."""
+    caps = {(16, 8): 32, (32, 4): 64, (64, 2): 104}
+    if (n, f) in caps:
+        return caps[(n, f)]
+    # unverified lane-valid combo (e.g. n ≥ 128 at F = 1): the hoisted
+    # neighbor windows' VMEM footprint scales with K_s·(F·n) just as the
+    # verified n = 64 point, so inherit its ceiling
+    return 104
 
 
-def _auto_pack(n: int, K_s: int) -> int:
-    """Largest admissible pack factor for supplier row count K_s."""
-    best = 1
-    for f in range(2, 128 // n + 1 if n <= 64 else 1):
-        if n % f == 0 and f * n <= 128 and K_s <= _pack_k_cap(n, f):
-            best = f
-    return best
+def _auto_pack(n: int, K_s: int, C: int) -> int:
+    """Largest lane-valid pack factor admitting K_s supplier rows, or 0
+    when every lane-valid factor's ceiling is exceeded (caller must
+    chunk the supplier axis at _pack_k_cap(n, _chunk_pack(n, C)))."""
+    fs = _lane_valid_packs(n, C)
+    if not fs:
+        # no lane-valid packing exists (tiny n): fall back to F = 1 and
+        # let the lowering complain — such grids belong on the XLA/
+        # interpret path
+        return 1
+    ok = [f for f in fs if K_s <= _pack_k_cap(n, f)]
+    return max(ok) if ok else 0
+
+
+def _chunk_pack(n: int, C: int) -> int:
+    """The lane-valid factor with the largest ceiling (chunking target)."""
+    fs = _lane_valid_packs(n, C)
+    return max(fs, key=lambda f: _pack_k_cap(n, f)) if fs else 1
 
 
 def _make_pair_kernel_flat(n: int, F: int, K_r: int, K_s: int, njb: int,
@@ -468,15 +500,30 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
     K_r, C = bvalid.shape
     K_s = valid.shape[0]
     if not interpret and pack is None:
-        cap1 = _PACK_K_CAP_F1
-        if K_s > cap1:
-            # supplier rows beyond even the unpacked kernel's compile
+        if not _lane_valid_packs(n, C):
+            # tiny grids (n·F can never reach the 128-lane tile): the
+            # flat kernel cannot lower — use the XLA sweep (identical
+            # contract; such grids are far below the Pallas payoff size)
+            from concept_tpu.forces.shortrange import _sweep_pair
+
+            dtype = hx.dtype
+            return _sweep_pair(
+                bx, by, bz, bvalid, hx, hy, hz, valid, n,
+                jnp.asarray(boxsize, dtype), jnp.asarray(scale, dtype),
+                jnp.asarray(cutoff, dtype) ** 2,
+                jnp.asarray(softening, dtype) ** 2, kernel=kernel,
+            )
+        F_auto = _auto_pack(n, K_s, C)
+        if F_auto == 0:
+            # supplier rows beyond every lane-valid factor's compile
             # ceiling: split the supplier axis into ≤-cap chunks and sum
-            # the accelerations (one-sided sweep ⇒ exactly linear)
-            nchunk = -(-K_s // cap1)
+            # the accelerations (one-sided sweep ⇒ exactly linear).
+            # Chunks are sized to multiples of 8 (sublane tiling).
+            cap = (_pack_k_cap(n, _chunk_pack(n, C)) // 8) * 8
+            nchunk = -(-K_s // cap)
             acc = None
             for c in range(nchunk):
-                lo, hi = c * cap1, min((c + 1) * cap1, K_s)
+                lo, hi = c * cap, min((c + 1) * cap, K_s)
                 a = sweep_pallas_pair(
                     bx, by, bz, bvalid,
                     hx[lo:hi], hy[lo:hi], hz[lo:hi], valid[lo:hi],
@@ -507,8 +554,8 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
         jnp.asarray(boxsize, dtype),
     ])
 
-    F = pack if pack is not None else (1 if interpret else _auto_pack(n, K_s))
-    assert n % F == 0 and F * n <= 128
+    F = pack if pack is not None else (1 if interpret else _auto_pack(n, K_s, C))
+    assert n % F == 0 and F * n <= 256 and F >= 1
     njb = n // F
     own_spec = pl.BlockSpec((K_r, F * n), lambda i, j: (0, i * njb + j))
     sup = lambda di, djw: pl.BlockSpec(

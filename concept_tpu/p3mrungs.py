@@ -548,7 +548,7 @@ def resort_rungs_within_columns(state: RungState, acc, NR: int = 8):
 def pm_kick_rungs(state: RungState, mass, G, int_pm, boxsize: float,
                   mesh: int, scale, k_pm: int = 8,
                   pm_max_overflow: int = 262144, interpret: bool = False,
-                  cells_cb: int = 0):
+                  cells_cb: int = 0, lean: bool | None = None):
     """Base-cadence PM long-range kick on the rung layout.  cells_cb > 0
     (unified layout, cells cells_cb mesh cells wide): the slot layout IS
     the deposit layout (pm_gradient_cells — no translation); else the
@@ -556,8 +556,16 @@ def pm_kick_rungs(state: RungState, mass, G, int_pm, boxsize: float,
     the unified route falls back to the layout-agnostic sort path —
     identical deposit→FFT→gather math, no per-program interpret-mode
     kernel overhead in CI.
+    lean selects the memory-lean PM kick (real-space order-4 stencil
+    gradients, one at a time — pm_kick_cells_lean) vs the spectral
+    Fourier-diff path; None = auto by mesh size (lean at mesh ≥ 768,
+    where the spectral path's simultaneous gradient grids exceed HBM).
+    Large-mesh runs with memory headroom can opt back into spectral
+    differentiation by passing lean=False (P3MRungSimulation pm_diff).
     Returns (state, n_pm_overflow, mass_sum)."""
-    if cells_cb > 0 and not interpret and mesh >= 768:
+    if lean is None:
+        lean = mesh >= 768
+    if cells_cb > 0 and not interpret and lean:
         # 512³-class memory plan: per-component stencil gradients with
         # in-place momentum updates (see pm_kick_cells_lean)
         from concept_tpu.p3msim import pm_kick_cells_lean
@@ -620,7 +628,8 @@ class P3MRungSimulation:
                  rebucket_every_max: int = 64,
                  unified: bool | None = None,
                  unified_cb: int | None = None,
-                 n_total: int | None = None):
+                 n_total: int | None = None,
+                 pm_diff: str = "auto"):
         # n_total overrides the cubic n_part³ count (non-cubic N, e.g.
         # loaded snapshots — reference supports any N on any nprocs,
         # main.py:1347); mesh must then be given explicitly
@@ -699,6 +708,12 @@ class P3MRungSimulation:
         self.eps_rung = softening if softening > 0 else boxsize / self.mesh
         self.fac_rung = FAC_SOFTENING * fac_rung
         self.k_pm = k_pm
+        # PM differentiation: 'spectral' (Fourier diff), 'lean'
+        # (memory-lean order-4 real-space stencil, the 512³-class plan),
+        # or 'auto' (lean at mesh ≥ 768) — the scheme no longer switches
+        # silently with mesh size when given explicitly
+        assert pm_diff in ("auto", "spectral", "lean"), pm_diff
+        self.pm_lean = {"auto": None, "spectral": False, "lean": True}[pm_diff]
         self.pm_max_overflow = 262144
         self.rebucket_every_max = rebucket_every_max
         self.interpret = jax.default_backend() != "tpu"
@@ -800,6 +815,7 @@ class P3MRungSimulation:
                 self.boxsize, self.mesh, jnp.asarray(self.scale, dtype),
                 k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
                 interpret=self.interpret, cells_cb=self.ucb,
+                lean=self.pm_lean,
             )
             if self.unified and not self.interpret:
                 self._check_pm_mass(float(mass_sum))
@@ -1029,6 +1045,7 @@ class P3MRungSimulation:
                 self.boxsize, self.mesh, jnp.asarray(self.scale, dtype),
                 k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
                 interpret=self.interpret, cells_cb=self.ucb,
+                lean=self.pm_lean,
             )
         return state
 
@@ -1228,6 +1245,7 @@ class RungSimulationAdapter:
                 sim.boxsize, sim.mesh, jnp.asarray(sim.scale, dtype),
                 k_pm=sim.k_pm, pm_max_overflow=sim.pm_max_overflow,
                 interpret=sim.interpret, cells_cb=sim.ucb,
+                lean=sim.pm_lean,
             )
         flat = self._to_flat(layout)
         self._cached_flat = flat

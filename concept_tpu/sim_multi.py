@@ -66,6 +66,7 @@ class MultiSimulation:
             particle_specs = [particle_specs]
         self.pspecs = {s.name: s for s in particle_specs}
         self.fspecs = {s.name: s for s in fluid_specs}
+        self.hysteresis = None  # Δt time-stepping state, set by evolve()
         self.config = config
         self.bg = bg
         self.lin = lin
@@ -695,7 +696,15 @@ class MultiSimulation:
         return decay_fac, decay_gain
 
     def evolve(self, state: MultiState, a_begin: float, a_end: float,
-               max_steps: int = 100000, static_dt=None):
+               max_steps: int = 100000, static_dt=None,
+               resume: dict | None = None):
+        """``resume``: a hysteresis dict (as exposed in
+        ``self.hysteresis`` after every step, mirroring
+        Simulation.evolve) restoring Δt, Δt_min, step counters and the
+        kick sync point — so segment boundaries and autosave resumes
+        continue EXACTLY instead of re-probing Δt from scratch
+        (reference auxiliary file: time_step, Δt, Δt_begin,
+        main.py:1821-1927)."""
         from concept_tpu import timestep as tstep
 
         bg = self.bg
@@ -726,6 +735,18 @@ class MultiSimulation:
         dt = tstep.DT_INITIAL_FAC * dt_max if math.isfinite(dt_max) else t_end - t
         dt_min = 1e-4 * dt
         step_last_sync = 0
+        if resume:
+            # exact continuation (cross-segment or autosave resume)
+            dt = float(resume.get("dt", dt))
+            dt_min = float(resume.get("dt_min", dt_min))
+            steps = int(resume.get("step_count", 0))
+            step_last_sync = int(resume.get("step_last_sync", steps))
+            if resume.get("t_mom") is not None:
+                t_mom = float(resume["t_mom"])
+        self.hysteresis = {
+            "dt": dt, "dt_min": dt_min, "step_count": steps,
+            "step_last_sync": step_last_sync, "t_mom": t_mom,
+        }
         while t < t_end - 1e-12 * abs(t_end):
             dt_max = dt_max_at(a)
             at_period = steps and (steps - step_last_sync) >= tstep.DT_PERIOD
@@ -777,6 +798,10 @@ class MultiSimulation:
             t += dt
             a = float(bg.a_of_t_np(t))
             steps += 1
+            self.hysteresis = {
+                "dt": dt, "dt_min": dt_min, "step_count": steps,
+                "step_last_sync": step_last_sync, "t_mom": t_mom,
+            }
             if steps >= max_steps:
                 raise RuntimeError("max_steps exceeded")
         if t_mom < t_end - 1e-12 * abs(t_end):
@@ -795,6 +820,7 @@ class MultiSimulation:
                 weff,
                 wv,
             )
+            self.hysteresis["t_mom"] = t_end
         return state, a
 
 
