@@ -460,14 +460,8 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
     comps = build_components(cfg, bg, consts)
     dist = make_distribution(n_devices)
     if any(src == "realize-fluid" for _, src in comps) or len(comps) > 1:
-        if dist is not None:
-            masterprint(
-                "Note: multi-component runs currently use GSPMD "
-                "auto-sharding; the explicit -n mesh applies to "
-                "single-component runs"
-            )
         return run_multi(cfg, comps, units, consts, bg, lin,
-                         max_steps=max_steps, seed=seed)
+                         max_steps=max_steps, seed=seed, dist=dist)
     spec, source = comps[0]
     loaded_state = None
     if source != "realize":
@@ -732,12 +726,16 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
 
 
 def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
-              max_steps: int = 100000, seed: int | None = None):
+              max_steps: int = 100000, seed: int | None = None,
+              dist=None):
     """Multi-component run: particles + fluids coupled through the PM
-    potential (reference general component loop, main.py:214-461)."""
+    potential (reference general component loop, main.py:214-461).
+    ``dist``: explicit device mesh (`-n N`/`-n AxB`) — every component's
+    state is sharded over it (see sim_multi.shard_multi_state)."""
     import jax.numpy as jnp
     from concept_tpu.sim_multi import (
         MultiSimulation, MultiState, realize_fluid_from_linear,
+        shard_multi_state,
     )
 
     def with_life(spec):
@@ -859,7 +857,8 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
             s.name: realize_f(s, cfg.a_begin) for s in fspecs
             if s.life[0] <= cfg.a_begin
         }
-    state = MultiState(particles=particles, fluids=fluids)
+    state = shard_multi_state(
+        MultiState(particles=particles, fluids=fluids), dist)
 
     # events: output dumps + component activation/termination (the
     # reference's activate_terminate, main.py:1726-1803, Appendix D)
@@ -956,6 +955,7 @@ def run_multi(cfg: RunConfig, comps, units, consts, bg, lin,
                         state = state._replace(
                             fluids={**state.fluids, name: realize_f(s, a)}
                         )
+                    state = shard_multi_state(state, dist)
                 else:
                     masterprint(f"Terminating component {name} at a = {a:.4g}")
                     parts = dict(state.particles)

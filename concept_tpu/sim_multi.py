@@ -39,6 +39,53 @@ class MultiState(NamedTuple):
     fluids: dict  # name -> FluidState
 
 
+def shard_multi_state(state: MultiState, dist) -> MultiState:
+    """Place every component's arrays on an explicit device mesh (`-n N`
+    applies to multi-component runs, not only the single path): particle
+    (N, 3) arrays shard over N; fluid grids shard over their leading
+    spatial axis (1D slab mesh) or the two leading axes (2D pencil
+    mesh).  The step itself needs no changes — the fluid stencils are
+    jnp.roll shifts and the PM deposit/FFT are whole-array jit ops, so
+    GSPMD propagates these shardings and inserts the boundary-plane
+    collective-permutes (the reference's fluids are domain-decomposed
+    with explicit ghost communication, fluid.py:103-723 +
+    communicate_ghosts communication.py:563; here the compiler owns the
+    halos — asserted 1-vs-8-device identical by
+    tests/test_fluid_distributed.py)."""
+    if dist is None or getattr(dist, "mesh", None) is None:
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = dist.mesh
+    if hasattr(dist, "axis"):
+        gaxes = (dist.axis, None, None)
+        paxis = dist.axis
+    else:
+        gaxes = (dist.axis_a, dist.axis_b, None)
+        paxis = (dist.axis_a, dist.axis_b)
+
+    def put(arr, spec):
+        return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+
+    particles = {
+        name: ps._replace(
+            pos=put(ps.pos, (paxis, None)),
+            mom=put(ps.mom, (paxis, None)),
+        )
+        for name, ps in state.particles.items()
+    }
+    fluids = {}
+    for name, fs in state.fluids.items():
+        fluids[name] = fs._replace(
+            varrho=put(fs.varrho, gaxes),
+            J=None if fs.J is None else put(fs.J, (None,) + gaxes),
+            P=None if fs.P is None else put(fs.P, gaxes),
+            sigma=None if fs.sigma is None else put(fs.sigma,
+                                                    (None,) + gaxes),
+        )
+    return MultiState(particles=particles, fluids=fluids)
+
+
 class MultiSimulation:
     """One particle component + any number of constant-w fluids, PM gravity."""
 
