@@ -16,6 +16,7 @@ Momentum conventions:
 
 from __future__ import annotations
 
+import math
 import os
 import struct
 from dataclasses import dataclass, field
@@ -440,6 +441,18 @@ def load_gadget(filename: str, units):
     pos = np.frombuffer(pos_raw, fdtype).reshape(N, 3).astype(np.float64)
     vel = np.frombuffer(vel_raw, fdtype).reshape(N, 3).astype(np.float64)
     ids = np.frombuffer(ids_raw, np.uint32 if len(ids_raw) == 4 * N else np.uint64)
+    # MASS block: present iff any populated type has header mass 0 —
+    # it then carries individual masses for exactly those particles, in
+    # type order (GADGET-2 format; reference snapshot.py:639-2642
+    # handles per-particle masses the same way)
+    n_mass = sum(int(npart[t]) for t in range(6)
+                 if npart[t] and masses[t] == 0)
+    mass_arr = None
+    if n_mass:
+        _, mass_raw = read_block()
+        mdtype = np.float32 if len(mass_raw) == 4 * n_mass else np.float64
+        mass_arr = np.frombuffer(mass_raw, mdtype).astype(np.float64)
+        assert mass_arr.size == n_mass, (mass_arr.size, n_mass)
 
     h = hubble
     kpc_h = units.kpc / h
@@ -456,16 +469,37 @@ def load_gadget(filename: str, units):
     type_names = ("gas", "halo", "disk", "bulge", "stars", "bndry")
     comps = {}
     start = 0
+    mcur = 0
     for t in range(6):
         n_t = int(npart[t])
         if n_t == 0:
             continue
-        mass = masses[t] * msun10_h
+        if masses[t] == 0 and mass_arr is not None:
+            # per-particle masses from the MASS block: momenta use the
+            # TRUE mass of each particle; the component-level scalar is
+            # the mean (with a warning when they genuinely vary — the
+            # framework's dynamics take one mass per component, as the
+            # reference warns for TIPSY; uniform MASS blocks are exact)
+            m_t = mass_arr[mcur : mcur + n_t] * msun10_h
+            mcur += n_t
+            mass = float(np.mean(m_t))
+            if not np.all(m_t == m_t[0]):
+                from concept_tpu.utils.terminal import warn
+
+                warn(
+                    f"GADGET type '{type_names[t]}' has per-particle "
+                    f"masses; momenta are exact, the component mass is "
+                    f"the mean"
+                )
+            mom_t = vel[start : start + n_t] * kms * (a**1.5) * m_t[:, None]
+        else:
+            mass = masses[t] * msun10_h
+            mom_t = vel[start : start + n_t] * kms * (a**1.5) * mass
         name = f"GADGET {type_names[t]}"
         spec = ComponentSpec(name=name, species="matter", N=n_t, mass=mass)
         state = ParticleState(
             pos=pos[start : start + n_t] * kpc_h,
-            mom=vel[start : start + n_t] * kms * (a**1.5) * mass,
+            mom=mom_t,
             ids=ids[start : start + n_t],
         )
         comps[name] = (spec, state)
@@ -486,46 +520,86 @@ def is_gadget_snapshot(filename: str) -> bool:
 # --------------------------------------------------------------------- #
 # TIPSY (read-only, like the reference: snapshot.py:2643-3044)
 # --------------------------------------------------------------------- #
-_TIPSY_HEADER = struct.Struct(">d i i i i i 4x")  # big-endian, padded to 32
+_TIPSY_HEADER_FMT = "{e}d i i i i i 4x"  # time nbodies ndim nsph ndark nstar
+
+
+def _tipsy_header(raw: bytes):
+    """Unpack the TIPSY header, probing both endiannesses by the ndim
+    sanity check (reference read_header, snapshot.py:2770-2789).
+    Returns (time, nbodies, ndim, nsph, ndark, nstar, endianness)."""
+    for e in ("<", ">"):
+        s = struct.Struct(_TIPSY_HEADER_FMT.format(e=e))
+        vals = s.unpack(raw[: s.size])
+        if vals[2] in (1, 2, 3):
+            return (*vals, e)
+    raise ValueError("not a TIPSY snapshot (no endianness matches)")
 
 
 def is_tipsy_snapshot(filename: str) -> bool:
     try:
         with open(filename, "rb") as f:
-            head = f.read(_TIPSY_HEADER.size)
-        t, nbodies, ndim, nsph, ndark, nstar = _TIPSY_HEADER.unpack(head)
+            head = f.read(32)
+        t, nbodies, ndim, nsph, ndark, nstar, _ = _tipsy_header(head)
         return ndim == 3 and 0 < nbodies < 2**40 and nsph + ndark + nstar == nbodies
     except Exception:
         return False
 
 
-def load_tipsy(filename: str, units, boxsize: float | None = None):
-    """Read a TIPSY snapshot (dark-matter particles; big-endian standard
-    format).  TIPSY uses dimensionless units; positions in [-0.5, 0.5] are
-    mapped onto [0, boxsize) (caller supplies boxsize, else unit box).
+def load_tipsy(filename: str, units, boxsize: float | None = None,
+               H0: float | None = None):
+    """Read a TIPSY snapshot (dark-matter particles; little- or
+    big-endian standard format).
 
-    Dark particle struct: mass, pos[3], vel[3], eps, phi (f32, big-endian).
+    TIPSY system of units (reference snapshot.py:2930-2985): positions
+    in [−0.5, 0.5] map as (0.5 + x)·boxsize; the mass unit is the
+    critical-density box mass 3H₀²/(8πG)·boxsize³; the momentum unit is
+    boxsize·H₀·√(3/(8π))·a²·mass.  boxsize/H₀ are not stored in the
+    file — the caller supplies them (the reference takes both from the
+    simulation parameters); without them the dimensionless values are
+    returned as-is (unit box, unit-H₀ momenta).  Per-particle masses
+    are collapsed to the mean with a warning, as the reference does.
+
+    Dark particle struct: mass, pos[3], vel[3], eps, phi (9×f32).
     """
+    from concept_tpu.units import constants
+    from concept_tpu.utils.terminal import warn
+
     with open(filename, "rb") as f:
         raw = f.read()
-    t, nbodies, ndim, nsph, ndark, nstar = _TIPSY_HEADER.unpack(
-        raw[: _TIPSY_HEADER.size]
-    )
-    off = _TIPSY_HEADER.size
+    t, nbodies, ndim, nsph, ndark, nstar, e = _tipsy_header(raw[:32])
+    off = 32
     gas_size = 12 * 4
     off += nsph * gas_size
     dark = np.frombuffer(
-        raw, dtype=np.dtype(">f4"), count=ndark * 9, offset=off
+        raw, dtype=np.dtype(f"{e}f4"), count=ndark * 9, offset=off
     ).reshape(ndark, 9).astype(np.float64)
-    mass = float(dark[0, 0])
+    masses = dark[:, 0]
+    mass = float(masses[0])
+    if np.unique(masses).size > 1:
+        mass = float(np.mean(masses))
+        warn(
+            "TIPSY particles have independent masses; "
+            "using the mean particle mass (as the reference does)"
+        )
     pos = dark[:, 1:4]
     vel = dark[:, 4:7]
     L = boxsize if boxsize is not None else 1.0
-    meta = SnapshotMeta(a=t, boxsize=L, H0=0.0, Omega_b=0.0, Omega_cdm=0.0)
+    H0v = H0 if H0 is not None else 0.0
+    a = t
+    if H0 is not None:
+        # reference unit conversions (snapshot.py:2946-2982)
+        mass = mass * (3 * H0v**2 / (8 * math.pi * constants.G_Newton)
+                       * L**3)
+        mom_unit = L * H0v * math.sqrt(3 / (8 * math.pi)) * a**2 * mass
+    else:
+        # no H₀ supplied: keep the file's dimensionless system (mass as
+        # stored; momenta = a²·mass·vel, i.e. unit H₀·boxsize)
+        mom_unit = a**2 * mass
+    meta = SnapshotMeta(a=a, boxsize=L, H0=H0v, Omega_b=0.0, Omega_cdm=0.0)
     spec = ComponentSpec(name="TIPSY dark", species="matter", N=ndark, mass=mass)
     state = ParticleState(
         pos=(pos + 0.5) * L,
-        mom=vel * t * t * mass,  # TIPSY velocity conventions vary; comoving ẋ assumed
+        mom=vel * mom_unit,
         ids=np.arange(ndark),
     )
     return meta, {spec.name: (spec, state)}
@@ -547,7 +621,10 @@ def snapshot_type(filename: str) -> str | None:
     return None
 
 
-def load(filename: str, units=None):
+def load(filename: str, units=None, boxsize: float | None = None,
+         H0: float | None = None):
+    """``boxsize``/``H0``: simulation parameters needed by formats that
+    do not store them (TIPSY); ignored by self-describing formats."""
     if units is None:
         from concept_tpu.units import units as default_units
 
@@ -560,5 +637,5 @@ def load(filename: str, units=None):
             return load_gadget_multifile(filename, units)
         return load_gadget(filename, units)
     if kind == "tipsy":
-        return load_tipsy(filename, units)
+        return load_tipsy(filename, units, boxsize=boxsize, H0=H0)
     raise ValueError(f"unrecognized snapshot format: {filename}")

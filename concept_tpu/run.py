@@ -470,7 +470,8 @@ def run(cfg: RunConfig, max_steps: int = 100000, seed: int | None = None,
         from concept_tpu.io import snapshot as snap
         import jax.numpy as _jnp
 
-        meta, loaded = snap.load(source, units)
+        meta, loaded = snap.load(source, units, boxsize=cfg.boxsize,
+                                 H0=cfg.H0)
         (name, (spec, st)), = loaded.items()
         # out-of-bounds handling (reference out_of_bounds_check,
         # snapshot.py:3359-3410): wrap when snapshot_wrap is set,
