@@ -24,6 +24,32 @@ from concept_tpu.grid import fourier
 from concept_tpu.grid.interp import deposit
 
 
+def _shellthickness_at(spec: dict, k: float, kf: float, gridsize: int):
+    """Running shell thickness at wavenumber k: control points {k: value}
+    interpolated in log10 k, both sides allowed as expressions in
+    k_fundamental/k_f/nyquist/gridsize, values additionally in 'k'
+    (reference bispec_options 'shellthickness' + eval_bin_str,
+    param/example_explanatory:268-276)."""
+    names = {
+        "k_fundamental": kf, "k_f": kf, "k_min": kf,
+        "nyquist": kf * (gridsize // 2), "gridsize": gridsize, "k": k,
+        "min": min, "max": max, "log": math.log, "log10": math.log10,
+        "sqrt": math.sqrt, "pi": math.pi,
+    }
+
+    def ev(x):
+        if isinstance(x, str):
+            return float(eval(x, {"__builtins__": {}}, names))  # noqa: S307
+        return float(x)
+
+    pts = sorted((ev(kk), ev(vv)) for kk, vv in spec.items())
+    if len(pts) == 1:
+        return pts[0][1]
+    xs = np.log10([p[0] for p in pts])
+    ys = [p[1] for p in pts]
+    return float(np.interp(math.log10(max(k, 1e-30)), xs, ys))
+
+
 def shell_field(delta_slab, gridsize: int, k_center: float, half_width: float,
                 boxsize: float, antialias: bool = True):
     """irfft of δ(k) restricted to |k| ∈ [k−Δ, k+Δ].
@@ -157,12 +183,22 @@ def bispec(
     antialias: bool = True,
     shotnoise_correction: bool = False,
     n_particles: int | None = None,
+    shellthickness=None,
 ):
     """Measure B(k1,k2,k3).  Returns dict with per-triangle arrays incl.
     the reduced bispectrum Q = B/(P₁P₂ + P₂P₃ + P₃P₁) (reference
     analysis.py:3244-3282).
 
     shell_fac: shell half-width = max(k_fundamental, shell_fac·k).
+    shellthickness: the reference's running specification instead — a
+    dict {k_or_expr: thickness_expr} of control points interpolated in
+    log10 k, where both sides may be expressions in k_fundamental/k_f/
+    nyquist/gridsize and the VALUES may additionally reference the
+    evaluation wavenumber 'k' (bispec_options 'shellthickness',
+    param/example_explanatory:268-276, e.g.
+    {'1*k_fundamental': '0.25*k_fundamental',
+     '4*k_fundamental': 'max(3*k_fundamental, 1/20*log(10)*k)'}).
+    Overrides shell_fac when given.
     antialias: cell-shell overlap weights (reference analysis.py:2803).
     shotnoise_correction: subtract the Poisson terms — per-shell power
     P → P − 1/n̄ and B → B − (P₁ᶜ+P₂ᶜ+P₃ᶜ)/n̄ − 1/n̄² with n̄ = N/V
@@ -201,7 +237,11 @@ def bispec(
     def get_shell(k):
         key = round(float(k) / kf, 3)
         if key not in cache:
-            hw = max(kf, shell_fac * k)
+            if shellthickness is not None:
+                hw = 0.5 * _shellthickness_at(shellthickness, float(k),
+                                              kf, n)
+            else:
+                hw = max(kf, shell_fac * k)
             cache[key] = shell_field(slab, n, k, hw, boxsize,
                                      antialias=antialias)
         return cache[key]

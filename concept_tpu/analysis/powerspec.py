@@ -36,14 +36,105 @@ class PowerspecOptions:
     shotnoise_correction: bool = True
 
 
+def _eval_bin_expr(s, names: dict) -> float:
+    """Evaluate a bins-per-decade / k_max string expression with the
+    reference's variable vocabulary ('4*k_min', 'nyquist', ... —
+    analysis.py eval_bin_str)."""
+    env = dict(names)
+    for key in list(names):
+        base = key.removeprefix("k_")
+        for alias in (base, base.lower(), base.capitalize(),
+                      f"k_{base}", f"k{base}"):
+            env[alias] = names[key]
+    env["min"], env["max"], env["sqrt"] = min, max, math.sqrt
+    return float(eval(s, {"__builtins__": {}}, env))  # noqa: S307
+
+
+def running_bin_centers(k_min: float, k_max: float, bins_per_decade: dict,
+                        gridsize: int, boxsize: float) -> np.ndarray:
+    """Bin centers under a RUNNING bins-per-decade specification — a
+    dict mapping k (number or expression like '4*k_min') to the local
+    number of bins per decade, interpolated between control points in
+    log10 k (reference construct_powerspec_k_bin_centers,
+    analysis.py:343-412, incl. the minimum-binsize guard and the
+    stretch-and-shift endpoint matching)."""
+    k_f = 2 * math.pi / boxsize
+    nyq = gridsize // 2
+    binsize_min = (
+        0.5 * (1 - 1e-2) * k_f
+        * (math.sqrt(3 * nyq**2 + 1) - math.sqrt(3 * nyq**2))
+    )
+    names = {
+        "nyquist": k_f * nyq, "gridsize": gridsize, "k_min": k_min,
+        "k_max": k_max, "k_fundamental": k_min, "k_f": k_min,
+    }
+    bpd = {}
+    for k, v in bins_per_decade.items():
+        if isinstance(k, str):
+            k = _eval_bin_expr(k, names)
+        if isinstance(v, str):
+            v = _eval_bin_expr(v, names)
+        bpd[float(k)] = float(v)
+    if len(bpd) == 1:
+        bpd.update({k + 1: v for k, v in bpd.items()})
+    xs = np.log10(np.asarray(sorted(bpd)))
+    ys = np.asarray([bpd[k] for k in sorted(bpd)])
+
+    def bins_at(logk):
+        return float(np.interp(logk, xs, ys))
+
+    logk_min, logk_max = math.log10(k_min), math.log10(k_max)
+    centers = []
+    logk_right = logk_min - 0.5 / bins_at(logk_min)
+    while logk_right <= logk_max:
+        logk_left = logk_right
+        logk_right = logk_left + 1.0 / bins_at(logk_left)
+        logk_right = max(logk_right,
+                         math.log10(10**logk_left + binsize_min))
+        centers.append(10 ** (0.5 * (logk_left + logk_right)))
+    if not centers:
+        centers.append(math.sqrt(k_min * k_max))
+    centers = np.asarray(centers, np.float64)
+    if len(centers) > 1:
+        left = k_min
+        right = 10 ** (logk_max - 0.5 / bins_at(logk_max))
+        lc = np.log10(centers)
+        centers = 10 ** (
+            math.log10(left)
+            + (lc - lc[0]) * ((math.log10(right) - math.log10(left))
+                              / (lc[-1] - lc[0]))
+        )
+    return centers
+
+
 def bin_indices_and_k(gridsize: int, boxsize: float,
-                      k_linear_max: int = 16, bins_per_decade: int = 40):
+                      k_linear_max: int = 16, bins_per_decade=40):
     """Per-mode bin index and physical |k| grid.
 
-    Hybrid binning like the reference (analysis.py:235-441): linear bins of
-    width k_fundamental up to ``k_linear_max``·k_f, logarithmic with
-    ``bins_per_decade`` above.  Returns (bins, k_phys, n_bins).
+    ``bins_per_decade`` an int: hybrid binning like the reference
+    default (analysis.py:235-441) — linear bins of width k_fundamental
+    up to ``k_linear_max``·k_f, logarithmic above.  A DICT: the
+    reference's running bins-per-decade specification (powerspec_options
+    'bins per decade' dict form, param/example_explanatory:242-247) —
+    per-mode bins are the log-nearest running bin centers.
+    Returns (bins, k_phys, n_bins).
     """
+    if isinstance(bins_per_decade, dict):
+        k_f = 2 * math.pi / boxsize
+        nyq = gridsize // 2
+        k_max = k_f * math.sqrt(3) * nyq
+        centers = running_bin_centers(k_f, k_max, bins_per_decade,
+                                      gridsize, boxsize)
+        k2 = fourier.k2_int_grid(gridsize)
+        kmag = jnp.sqrt(k2.astype(jnp.float32)) * k_f
+        logc = jnp.asarray(np.log10(centers), jnp.float32)
+        logk = jnp.log10(jnp.maximum(kmag, 1e-30))
+        idx = jnp.searchsorted(logc, logk)
+        idx = jnp.clip(idx, 1, len(centers) - 1)
+        left_closer = (logk - logc[idx - 1]) <= (logc[idx] - logk)
+        bins = jnp.where(left_closer, idx - 1, idx).astype(jnp.int32) + 1
+        bins = jnp.where(k2 == 0, 0, bins)  # k=0 in the dropped bin 0
+        return bins, kmag, len(centers) + 1
     k2 = fourier.k2_int_grid(gridsize)
     kmag_int = jnp.sqrt(k2.astype(jnp.float32))
     lin_bins = jnp.round(kmag_int).astype(jnp.int32)

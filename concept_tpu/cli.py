@@ -18,11 +18,38 @@ import os
 import sys
 
 
+def _env_default(long_name: str, default, action=None):
+    """CONCEPT_*-style environment mirrors (reference concept:1017-1035:
+    every long option's default can be supplied as CONCEPT_<name>, with
+    dashes mapped to underscores — e.g. CONCEPT_param, CONCEPT_nprocs,
+    CONCEPT_pure_python=True)."""
+    val = os.environ.get("CONCEPT_" + long_name.lstrip("-").replace("-", "_"))
+    if val is None:
+        return default
+    if action == "store_true":
+        return val.strip().lower() in ("1", "true", "t", "yes", "y", "on")
+    if action == "append":
+        return [val]
+    return val
+
+
 def make_parser():
     p = argparse.ArgumentParser(
         prog="concept-tpu",
         description="TPU-native cosmological N-body + fluid simulation framework",
     )
+
+    _add_argument = p.add_argument
+
+    def add_argument(*names, **kwargs):
+        long = next((n for n in names if n.startswith("--")), None)
+        if long is not None and kwargs.get("nargs") is not argparse.REMAINDER:
+            action = kwargs.get("action")
+            kwargs["default"] = _env_default(
+                long, kwargs.get("default"), action)
+        return _add_argument(*names, **kwargs)
+
+    p.add_argument = add_argument
     p.add_argument("-p", "--param", help="parameter file (executable Python)")
     p.add_argument(
         "-c", "--command-line-params", action="append", default=[],

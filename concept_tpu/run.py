@@ -1001,8 +1001,7 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
                            or sim.config.potential_gridsize)
             pk = powerspec(
                 [pstate.pos], [1.0], gridsize, cfg.boxsize, spec.N,
-                bins_per_decade=int(opts.get("bins per decade",
-                                             opts.get("bins_per_decade", 40))),
+                bins_per_decade=_bpd(opts),
                 k_max=opts.get("k_max"),
             )
             fn = os.path.join(dirname, f"{base}_{name}_{tag}.txt")
@@ -1059,9 +1058,7 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
                 gridsize, cfg.boxsize,
                 order=int(opts.get("interpolation", 4)),
                 interlace=bool(opts.get("interlace", True)),
-                bins_per_decade=int(opts.get("bins per decade",
-                                             opts.get("bins_per_decade",
-                                                      40))),
+                bins_per_decade=_bpd(opts),
                 k_max=opts.get("k_max"),
                 shotnoise=shot,
             )
@@ -1165,6 +1162,7 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
                 [pstate.pos], [1.0], gridsize, cfg.boxsize,
                 configuration=configuration,
                 antialias=cfg.bispec_antialiasing,
+                shellthickness=opts.get("shellthickness"),
             )
             cols = [out["triangles"], out["n_triangles"][:, None],
                     out["B"][:, None]]
@@ -1187,6 +1185,13 @@ def dump_multi(cfg: RunConfig, sim, state, a, kind, units, lin):
                 plot_bispec(out, fn.replace(".txt", ".png"),
                             treelevel=tree, a=a,
                             prefer=cfg.bispec_plot_prefer)
+
+
+def _bpd(opts):
+    """powerspec_options 'bins per decade': an int, or the reference's
+    running dict form {k_or_expr: bins} (param/example_explanatory:242)."""
+    v = opts.get("bins per decade", opts.get("bins_per_decade", 40))
+    return v if isinstance(v, dict) else int(v)
 
 
 def _output_flags(spec, selector, keys, primary):
@@ -1228,8 +1233,7 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
             [state.pos], [1.0], gridsize, cfg.boxsize, sim.spec.N,
             order=opts.get("interpolation", 4),
             interlace=bool(opts.get("interlace", True)),
-            bins_per_decade=int(opts.get("bins per decade",
-                                         opts.get("bins_per_decade", 40))),
+            bins_per_decade=_bpd(opts),
             k_max=opts.get("k_max"),
         )
         lin_col = None
@@ -1352,6 +1356,7 @@ def dump(cfg: RunConfig, sim, state, a, kind, units, lin):
             [state.pos], [1.0], gridsize, cfg.boxsize,
             configuration=configuration,
             antialias=cfg.bispec_antialiasing,
+            shellthickness=opts.get("shellthickness"),
         )
         cols = [out["triangles"], out["n_triangles"][:, None], out["B"][:, None]]
         header = "k1 k2 k3 triangles B"

@@ -508,6 +508,10 @@ class MultiSimulation:
         ):
             fl = state.fluids[self.lapse_supplier]
             slab_l = rfft3(fl.varrho * a ** (-3 * weff[self.lapse_supplier]))
+            if fl.varrho.shape[0] != n:
+                # lapse grid on its own mesh: resample onto the
+                # potential grid in k-space (as _density_slab does)
+                slab_l = fourier.copy_modes(slab_l, fl.varrho.shape[0], n)
             phi_l = gravity_potential_slab(
                 slab_l, n, cfg.boxsize, cfg.G, deconv_order=0
             )

@@ -15,6 +15,13 @@ import numpy as np
 from concept_tpu.utils.terminal import masterprint, abort
 
 
+def _bpd(opts):
+    """powerspec_options 'bins per decade': an int, or the reference's
+    running dict form {k_or_expr: bins} (param/example_explanatory:242)."""
+    v = opts.get("bins per decade", opts.get("bins_per_decade", 40))
+    return v if isinstance(v, dict) else int(v)
+
+
 def delegate(util_args: list[str], cli_args) -> int:
     name, *rest = util_args
     fn = {
@@ -111,9 +118,7 @@ def util_powerspec(paths: list[str], cli_args) -> int:
                 gridsize, meta.boxsize, spec.N,
                 order=opts.get("interpolation", 4),
                 interlace=bool(opts.get("interlace", True)),
-                bins_per_decade=int(opts.get("bins per decade",
-                                             opts.get("bins_per_decade",
-                                                      40))),
+                bins_per_decade=_bpd(opts),
                 k_max=opts.get("k_max"),
             )
             out = path + f"_powerspec_{name}.txt"

@@ -313,3 +313,35 @@ def test_distributed_evolution_matches_single_64cubed():
     d = np.minimum(d, box - d)
     cell = box / n_grid
     assert np.max(d) < 1e-3 * cell, f"max pos diff {np.max(d)/cell} cells"
+
+
+def test_distributed_step_matches_single_64cubed():
+    """Default-lane TRIMMED version of the 64³ invariance check
+    (VERDICT r4 next #10: a regression at production-like shapes must
+    surface per-PR, not weekly): two jitted steps at 64³/64-mesh on the
+    8-device mesh vs single device.  The full multi-step evolve stays in
+    the weekly slow lane above."""
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("x",))
+    dist = GridDistribution(mesh=mesh, axis="x")
+    n_grid = 64
+    sim_d, state = ge._build(n_grid=n_grid, dist=dist)
+    sim_s, _ = ge._build(n_grid=n_grid, dist=None)
+    state_s = jax.tree.map(jnp.copy, state)
+
+    pshard = NamedSharding(mesh, P("x", None))
+    state_d = state._replace(
+        pos=jax.device_put(state.pos, pshard),
+        mom=jax.device_put(state.mom, pshard),
+    )
+    int1, int2 = jnp.float32(2e-3), jnp.float32(1e-3)
+    step_s = jax.jit(sim_s._step)
+    step_d = jax.jit(sim_d._step)
+    for _ in range(2):
+        state_s, _ = step_s(state_s, int1, int2)
+        state_d, _ = step_d(state_d, int1, int2)
+    box = sim_s.config.boxsize
+    d = np.abs(np.asarray(state_d.pos) - np.asarray(state_s.pos))
+    d = np.minimum(d, box - d)
+    cell = box / n_grid
+    assert np.max(d) < 1e-3 * cell, f"max pos diff {np.max(d)/cell} cells"

@@ -420,3 +420,70 @@ def test_interactive_option(tmp_path):
     assert r.returncode == 0, r.stderr[-1000:]
     assert "BOX 55.0 1.0" in r.stdout
     assert "Realizing" not in r.stdout  # no simulation ran
+
+
+def test_concept_env_var_mirrors(monkeypatch):
+    """CONCEPT_* environment variables mirror every long CLI option's
+    default (reference concept:1017-1035), dashes mapped to
+    underscores."""
+    from concept_tpu.cli import make_parser
+
+    monkeypatch.setenv("CONCEPT_param", "/tmp/somewhere.py")
+    monkeypatch.setenv("CONCEPT_nprocs", "4")
+    monkeypatch.setenv("CONCEPT_pure_python", "True")
+    monkeypatch.setenv("CONCEPT_command_line_params", "boxsize=1*Mpc")
+    args = make_parser().parse_args([])
+    assert args.param == "/tmp/somewhere.py"
+    assert args.nprocs == "4"
+    assert args.pure_python is True
+    assert args.command_line_params == ["boxsize=1*Mpc"]
+    # explicit CLI flags still win over the environment
+    args = make_parser().parse_args(["-p", "other.py", "-n", "2"])
+    assert args.param == "other.py"
+    assert args.nprocs == "2"
+
+
+def test_running_bins_per_decade_dict():
+    """powerspec_options 'bins per decade' in the reference's running
+    dict form (param/example_explanatory:242-247): control points
+    {k_expr: bins} interpolated in log k — coarse at low k, fine at
+    high k."""
+    import jax.numpy as jnp
+    from concept_tpu.analysis.powerspec import powerspec
+
+    rng = np.random.default_rng(0)
+    box, n, N = 100.0, 32, 2000
+    pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
+    pk_run = powerspec([pos], [1.0], n, box, N,
+                       bins_per_decade={"4*k_min": 4, "100*k_min": 40})
+    pk_int = powerspec([pos], [1.0], n, box, N, bins_per_decade=40)
+    assert np.all(np.isfinite(pk_run["power"]))
+    assert np.all(np.diff(pk_run["k"]) > 0)
+    # the running form is coarser at low k than the fixed-40 hybrid
+    assert len(pk_run["k"]) < len(pk_int["k"])
+    # log-bin widths grow finer (more bins/decade) toward high k
+    logk = np.log10(pk_run["k"])
+    widths = np.diff(logk)
+    assert widths[-1] < widths[0]
+
+
+def test_bispec_shellthickness_expressions():
+    """bispec_options 'shellthickness' accepts the reference's
+    expression dict (param/example_explanatory:268-276)."""
+    import jax.numpy as jnp
+    from concept_tpu.analysis.bispec import bispec, _shellthickness_at
+    import math
+
+    kf = 2 * math.pi / 100.0
+    spec = {"1*k_fundamental": "0.25*k_fundamental",
+            "4*k_fundamental": "max(3*k_fundamental, 1/20*log(10)*k)"}
+    # control points evaluate per the reference vocabulary
+    assert np.isclose(_shellthickness_at(spec, kf, kf, 32), 0.25 * kf)
+    th_hi = _shellthickness_at(spec, 10 * kf, kf, 32)
+    assert th_hi >= 3 * kf
+    rng = np.random.default_rng(1)
+    box, n, N = 100.0, 16, 512
+    pos = jnp.asarray(rng.uniform(0, box, (N, 3)).astype(np.float32))
+    out = bispec([pos], [1.0], n, box, configuration="equilateral 3",
+                 shellthickness=spec)
+    assert np.isfinite(out["B"]).any()
