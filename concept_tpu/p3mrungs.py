@@ -376,7 +376,7 @@ def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
     jax.jit,
     static_argnames=("boxsize", "nc", "K_r", "engine", "interpret",
                      "softening_kernel", "NR", "assign", "return_acc",
-                     "use_cache", "unified"),
+                     "use_cache", "unified", "sentinel_out"),
     donate_argnums=(0,),
 )
 def rung_substep(
@@ -403,6 +403,7 @@ def rung_substep(
     use_cache: bool = False,
     return_acc: bool = False,
     unified: bool = False,
+    sentinel_out: bool = False,
 ):
     """One rung boundary: drift ALL slots by int_drift (the sub-interval
     ENDING at this boundary; 0 at the base step's first boundary), then
@@ -425,9 +426,19 @@ def rung_substep(
         engine = "pallas" if (jax.default_backend() == "tpu" and nc >= 3) else "xla"
 
     inv_mass = int_drift / mass
+    big = jnp.asarray(1e4, dtype) * boxsize
+    # interior substeps (sentinel_out=True) drift straight to the
+    # sentinel fill: the drifted array doubles as the sweep's
+    # receiver/supplier input AND the output state's pos — the next
+    # consumer is only another substep's drift-where (fill-agnostic), so
+    # the separate pos_s masking pass (a full (3, K, C) write + read per
+    # substep) disappears.  Boundary substeps keep the 0 fill: the PM
+    # kick (after boundary 0) and every external consumer of the final
+    # state assume zeroed invalid slots.
+    fill = big if sentinel_out else jnp.asarray(0.0, dtype)
     pos = jnp.where(
         state.valid[None], jnp.mod(state.pos + state.mom * inv_mass, boxsize),
-        0.0,
+        fill,
     )
 
     if use_cache:
@@ -438,8 +449,8 @@ def rung_substep(
         # its six masking copies (4.4 GB of transients at 512³); the
         # XLA/reach engines' internal masking is value-idempotent on
         # already-sentineled inputs
-        big = jnp.asarray(1e4, dtype) * boxsize
-        pos_s = jnp.where(state.valid[None], pos, big)
+        pos_s = pos if sentinel_out else jnp.where(
+            state.valid[None], pos, big)
         acc = _sr_pair_accel(
             pos_s[:, :K_r, :], state.valid[:K_r], pos_s, state.valid,
             nc, boxsize, scale, cutoff, softening, engine,
@@ -459,8 +470,16 @@ def rung_substep(
     coef = G * mass * mass
     dmom = (coef * per_slot_int)[None] * acc * active[None]
     mom = state.mom.at[:, :K_r, :].add(dmom)
-    mom = jnp.where(state.valid[None], mom, 0.0)
-    vmax2 = jnp.max(jnp.sum(mom * mom, axis=0))
+    if assign:
+        # protective re-mask + the v² reduction only where consumed:
+        # dmom is already active-masked (invalid slots add exactly 0, so
+        # the invalid-mom ≡ 0 invariant from bucketize/pm_kick holds
+        # through interior substeps), and base_step discards the interior
+        # v² — both were a full (3, K, C) momentum pass per substep.
+        mom = jnp.where(state.valid[None], mom, 0.0)
+        vmax2 = jnp.max(jnp.sum(mom * mom, axis=0))
+    else:
+        vmax2 = jnp.zeros((), dtype)
 
     if assign:
         # rung criterion Δt_i = fac·√(ε/|ẍ_i|) (reference main.py:2433);
@@ -858,6 +877,10 @@ class P3MRungSimulation:
                 acc_cache=self._acc_cache if use_cache else None,
                 use_cache=use_cache, return_acc=last,
                 unified=self.ucb == 4,
+                # interior substeps feed only the next substep: keep the
+                # invalid slots at the sweep sentinel and skip the per-
+                # substep masking/reduction passes (see rung_substep)
+                sentinel_out=not (first or last),
             )
             if last:
                 state, (K_act_new, tight_new, v2), acc = out
