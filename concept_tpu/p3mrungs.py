@@ -376,7 +376,8 @@ def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
     jax.jit,
     static_argnames=("boxsize", "nc", "K_r", "engine", "interpret",
                      "softening_kernel", "NR", "assign", "return_acc",
-                     "use_cache", "unified", "sentinel_out"),
+                     "use_cache", "unified", "sentinel_out", "K_s",
+                     "skip_drift"),
     donate_argnums=(0,),
 )
 def rung_substep(
@@ -404,6 +405,8 @@ def rung_substep(
     return_acc: bool = False,
     unified: bool = False,
     sentinel_out: bool = False,
+    K_s: int | None = None,
+    skip_drift: bool = False,
 ):
     """One rung boundary: drift ALL slots by int_drift (the sub-interval
     ENDING at this boundary; 0 at the base step's first boundary), then
@@ -418,9 +421,17 @@ def rung_substep(
     sweep — valid only when positions are unchanged since it was
     computed (boundary 0 reuses the previous base step's final sweep).
 
-    assign=True (final boundary, K_r = K) reassigns rungs from the fresh
-    acceleration.  Returns (state, (K_act, vmax2)[, acc])."""
+    assign=True (final boundary) reassigns rungs from the fresh
+    acceleration.  K_s bounds the SUPPLIER row extent (rows ≥ the max
+    cell occupancy are invalid in every column between rebuckets — pure
+    sentinel work in the sweep; base_step passes the occupancy extent).
+    skip_drift=True (boundary 0, int_drift ≡ 0) skips the (3, K, C)
+    drift pass entirely.  Returns (state, (K_act, vmax2)[, acc])."""
     K, C = state.valid.shape
+    if K_s is None:
+        K_s = K
+    assert K_r <= K_s <= K, (K_r, K_s, K)
+    assert not (skip_drift and sentinel_out)
     dtype = state.pos.dtype
     if engine == "auto":
         engine = "pallas" if (jax.default_backend() == "tpu" and nc >= 3) else "xla"
@@ -436,10 +447,16 @@ def rung_substep(
     # kick (after boundary 0) and every external consumer of the final
     # state assume zeroed invalid slots.
     fill = big if sentinel_out else jnp.asarray(0.0, dtype)
-    pos = jnp.where(
-        state.valid[None], jnp.mod(state.pos + state.mom * inv_mass, boxsize),
-        fill,
-    )
+    if skip_drift:
+        # boundary 0: positions unchanged (invalid slots already 0-filled
+        # by the previous boundary substep / bucketize)
+        pos = state.pos
+    else:
+        pos = jnp.where(
+            state.valid[None],
+            jnp.mod(state.pos + state.mom * inv_mass, boxsize),
+            fill,
+        )
 
     if use_cache:
         acc = acc_cache[:, :K_r, :]
@@ -452,7 +469,8 @@ def rung_substep(
         pos_s = pos if sentinel_out else jnp.where(
             state.valid[None], pos, big)
         acc = _sr_pair_accel(
-            pos_s[:, :K_r, :], state.valid[:K_r], pos_s, state.valid,
+            pos_s[:, :K_r, :], state.valid[:K_r],
+            pos_s[:, :K_s, :], state.valid[:K_s],
             nc, boxsize, scale, cutoff, softening, engine,
             softening_kernel, dtype, unified=unified,
             sentineled=(engine == "pallas" and not unified),
@@ -490,6 +508,12 @@ def rung_substep(
             jnp.log2(jnp.maximum(dt_base / dt_i, 1e-30))
         )
         new_rungs = jnp.clip(new_rungs, 0, NR - 1).astype(jnp.int8)
+        if K_r < K:
+            # occupancy-tightened receivers: rows ≥ K_r are invalid in
+            # every column — their rungs are 0 by the valid-mask below
+            new_rungs = jnp.concatenate(
+                [new_rungs, jnp.zeros((K - K_r, C), jnp.int8)], axis=0
+            )
         new_rungs = jnp.where(state.valid, new_rungs, 0)
         K_act = _k_act_layout(new_rungs, state.valid, NR)
         tight = _rung_tight(new_rungs, state.valid, NR)
@@ -518,6 +542,19 @@ def resort_rungs_within_columns(state: RungState, acc, NR: int = 8):
     staleness response).  The boundary-0 acc cache rides along in the
     same sort so it stays row-aligned."""
     K, C = state.valid.shape
+    # all valid rows live in the occupancy prefix the acc was computed
+    # over (rows beyond are invalid in every column between rebuckets):
+    # sort ONLY that prefix and reattach the untouched invalid tail
+    Kp = acc.shape[1]
+    tail = None
+    if Kp < K:
+        tail = state
+        state = RungState(
+            pos=state.pos[:, :Kp], mom=state.mom[:, :Kp],
+            valid=state.valid[:Kp], rungs=state.rungs[:Kp],
+            ids=state.ids[:Kp],
+        )
+        K = Kp
     key = jnp.where(
         state.valid, (NR - 1 - state.rungs).astype(jnp.int32), NR
     )
@@ -555,19 +592,28 @@ def resort_rungs_within_columns(state: RungState, acc, NR: int = 8):
         pos=jnp.stack(ops[1:4]), mom=jnp.stack(ops[4:7]),
         valid=valid, rungs=rungs, ids=jnp.where(valid, ops[7], -1),
     )
+    if tail is not None:
+        new_state = RungState(
+            pos=jnp.concatenate([new_state.pos, tail.pos[:, Kp:]], axis=1),
+            mom=jnp.concatenate([new_state.mom, tail.mom[:, Kp:]], axis=1),
+            valid=jnp.concatenate([new_state.valid, tail.valid[Kp:]], axis=0),
+            rungs=jnp.concatenate([new_state.rungs, tail.rungs[Kp:]], axis=0),
+            ids=jnp.concatenate([new_state.ids, tail.ids[Kp:]], axis=0),
+        )
     return new_state, jnp.stack(ops[8:11])
 
 
 @partial(
     jax.jit,
     static_argnames=("boxsize", "mesh", "k_pm", "pm_max_overflow",
-                     "interpret", "cells_cb"),
+                     "interpret", "cells_cb", "k_rows"),
     donate_argnums=(0,),
 )
 def pm_kick_rungs(state: RungState, mass, G, int_pm, boxsize: float,
                   mesh: int, scale, k_pm: int = 8,
                   pm_max_overflow: int = 262144, interpret: bool = False,
-                  cells_cb: int = 0, lean: bool | None = None):
+                  cells_cb: int = 0, lean: bool | None = None,
+                  k_rows: int | None = None):
     """Base-cadence PM long-range kick on the rung layout.  cells_cb > 0
     (unified layout, cells cells_cb mesh cells wide): the slot layout IS
     the deposit layout (pm_gradient_cells — no translation); else the
@@ -581,7 +627,12 @@ def pm_kick_rungs(state: RungState, mass, G, int_pm, boxsize: float,
     where the spectral path's simultaneous gradient grids exceed HBM).
     Large-mesh runs with memory headroom can opt back into spectral
     differentiation by passing lean=False (P3MRungSimulation pm_diff).
+    k_rows bounds the slot-row extent fed to the deposit/gather kernels
+    (rows ≥ the max cell occupancy are invalid everywhere — base_step
+    passes the occupancy extent; deposit/gather cost scales with rows).
     Returns (state, n_pm_overflow, mass_sum)."""
+    K = state.valid.shape[0]
+    kr = K if k_rows is None else min(k_rows, K)
     if lean is None:
         lean = mesh >= 768
     if cells_cb > 0 and not interpret and lean:
@@ -589,22 +640,26 @@ def pm_kick_rungs(state: RungState, mass, G, int_pm, boxsize: float,
         # in-place momentum updates (see pm_kick_cells_lean)
         from concept_tpu.p3msim import pm_kick_cells_lean
 
-        mom, mass_sum = pm_kick_cells_lean(
-            state.pos, state.mom, state.valid, mass, G, int_pm, scale,
+        mom_p, mass_sum = pm_kick_cells_lean(
+            state.pos[:, :kr], state.mom[:, :kr], state.valid[:kr],
+            mass, G, int_pm, scale,
             boxsize, mesh, cb=cells_cb, interpret=interpret,
         )
+        mom = (mom_p if kr == K
+               else jnp.concatenate([mom_p, state.mom[:, kr:]], axis=1))
         return state._replace(mom=mom), jnp.zeros((), jnp.int32), mass_sum
     if cells_cb > 0 and not interpret:
         fd3, n_over, mass_sum = pm_gradient_cells(
-            state.pos, state.valid, mass, G, scale, boxsize, mesh,
-            cb=cells_cb, interpret=interpret,
+            state.pos[:, :kr], state.valid[:kr], mass, G, scale, boxsize,
+            mesh, cb=cells_cb, interpret=interpret,
         )
     else:
+        kr = K  # the layout/sort path bins all rows itself
         fd3, n_over, mass_sum = pm_gradient_layout(
             state.pos, state.valid, mass, G, scale, boxsize, mesh,
             k_pm=k_pm, pm_max_overflow=pm_max_overflow, interpret=interpret,
         )
-    mom = state.mom + (-mass * int_pm) * fd3
+    mom = state.mom.at[:, :kr].add((-mass * int_pm) * fd3)
     mom = jnp.where(state.valid[None], mom, 0.0)
     return state._replace(mom=mom), n_over, mass_sum
 
@@ -624,6 +679,13 @@ def _quantize_K(k_act: int, K: int) -> int:
 
 def _pad8(x: int, cap: int) -> int:
     return min(cap, max(8, ((x + 7) // 8) * 8))
+
+
+def _pad16(x: int, cap: int) -> int:
+    """Occupancy-extent quantization for the sweep row bounds: multiples
+    of 16 bound the compile-variant count while keeping the tightening
+    within one sublane tile of the true extent."""
+    return min(cap, max(8, ((x + 15) // 16) * 16))
 
 
 class P3MRungSimulation:
@@ -742,9 +804,15 @@ class P3MRungSimulation:
         self.capacity = capacity
         self._drift_used = 0.0
         self._K_act = None  # host copy, refreshed per base step
+        self._K_occ = None  # occupancy row extent (≤ capacity), per rebucket
         self._acc_cache = None  # (3,K,C) SR acc at current positions
         self.stats = {"substeps": 0, "receiver_rows": 0, "full_rows": 0,
                       "max_rung": 0}
+        # per-phase wall-clock attribution (scripts/prof_rungs): when
+        # True, base_step hard-syncs at phase boundaries and accumulates
+        # seconds into phase_s — profiling only, perturbs pipelining
+        self.profile = False
+        self.phase_s = {}
 
     # -------------------------------------------------------------- #
     def init_state(self, pos, mom, ids=None):
@@ -766,9 +834,11 @@ class P3MRungSimulation:
                 jnp.asarray(comp), self.nc, self.boxsize, mc
             )
         counts = jnp.zeros((self.nc**3,), jnp.int32).at[cell].add(1)
-        self.capacity = max(
-            self.capacity, _pad8(int(jnp.max(counts)), 1 << 30)
-        )
+        max_count = int(jnp.max(counts))
+        self.capacity = max(self.capacity, _pad8(max_count, 1 << 30))
+        # occupancy row extent: rows ≥ this are invalid in EVERY column
+        # until the next rebucket — the sweeps/PM skip them entirely
+        self._K_occ = _pad16(max_count, self.capacity)
         state, kept = bucketize_rungs(
             *(jnp.asarray(p) for p in pos),
             *(jnp.asarray(m) for m in mom),
@@ -781,6 +851,8 @@ class P3MRungSimulation:
 
     def assign_initial_rungs(self, state: RungState, dt_base: float):
         """Probe sweep (no drift, no kick) → initial rungs + K_act."""
+        K_occ = (self._K_occ if self._K_occ is not None
+                 else state.valid.shape[0])
         state, (K_act, _tight, _) = rung_substep(
             state, self.mass, self.G,
             jnp.asarray(0.0, state.pos.dtype),
@@ -789,7 +861,7 @@ class P3MRungSimulation:
             jnp.asarray(self.scale, state.pos.dtype),
             jnp.asarray(self.cutoff, state.pos.dtype),
             jnp.asarray(self.softening, state.pos.dtype),
-            K_r=state.valid.shape[0], interpret=self.interpret,
+            K_r=K_occ, K_s=K_occ, interpret=self.interpret,
             softening_kernel=self.softening_kernel, NR=self.NR,
             assign=True, dt_base=jnp.asarray(dt_base, state.pos.dtype),
             eps_rung=jnp.asarray(self.eps_rung, state.pos.dtype),
@@ -809,6 +881,24 @@ class P3MRungSimulation:
         dtype = state.pos.dtype
         K = state.valid.shape[0]
         K_act = self._K_act
+        # occupancy row extent: receivers/suppliers/PM skip rows beyond
+        # it (invalid in every column between rebuckets — pure sentinel
+        # work; right after a capacity growth the 1.3× headroom makes
+        # this a ~40 % sweep saving)
+        K_occ = self._K_occ if self._K_occ is not None else K
+
+        if self.profile:
+            import time as _time
+
+            def _mark(name, t0, sync):
+                _ = float(sync.reshape(-1)[0]) if sync is not None else None
+                self.phase_s[name] = (
+                    self.phase_s.get(name, 0.0) + _time.perf_counter() - t0
+                )
+                return _time.perf_counter()
+        else:
+            def _mark(name, t0, sync):
+                return 0.0
         max_rung = int(np.max(np.nonzero(K_act)[0])) if np.any(K_act) else 0
         self.stats["max_rung"] = max(self.stats["max_rung"], max_rung)
         n_sub = 1 << max_rung
@@ -834,7 +924,7 @@ class P3MRungSimulation:
                 self.boxsize, self.mesh, jnp.asarray(self.scale, dtype),
                 k_pm=self.k_pm, pm_max_overflow=self.pm_max_overflow,
                 interpret=self.interpret, cells_cb=self.ucb,
-                lean=self.pm_lean,
+                lean=self.pm_lean, k_rows=K_occ,
             )
             if self.unified and not self.interpret:
                 self._check_pm_mass(float(mass_sum))
@@ -842,6 +932,8 @@ class P3MRungSimulation:
                 self._check_pm_overflow(int(n_pm_over))
             return state
 
+        import time as _time
+        _t0 = _time.perf_counter() if self.profile else 0.0
         for i in range(n_sub + 1):
             fired = [k for k in range(max_rung + 1)
                      if i % (1 << (max_rung - k)) == 0]
@@ -857,10 +949,11 @@ class P3MRungSimulation:
             last = i == n_sub
             first = i == 0
             use_cache = first and self._acc_cache is not None
-            K_r = K if (last or first) else _quantize_K(int(K_act[kmin]), K)
+            K_r = (K_occ if (last or first)
+                   else _quantize_K(int(K_act[kmin]), K_occ))
             self.stats["substeps"] += 1
             self.stats["receiver_rows"] += 0 if use_cache else K_r
-            self.stats["full_rows"] += K
+            self.stats["full_rows"] += K_occ
             out = rung_substep(
                 state, self.mass, self.G,
                 jnp.asarray(int_drift, dtype),
@@ -881,9 +974,11 @@ class P3MRungSimulation:
                 # invalid slots at the sweep sentinel and skip the per-
                 # substep masking/reduction passes (see rung_substep)
                 sentinel_out=not (first or last),
+                K_s=K_occ, skip_drift=first,
             )
             if last:
                 state, (K_act_new, tight_new, v2), acc = out
+                _t0 = _mark(f"sub_last_K{K_r}", _t0, state.pos)
                 K_act_np = np.asarray(K_act_new)
                 tight_np = np.asarray(tight_new)
                 if self._rung_waste(K_act_np, tight_np) > 0.25 * K:
@@ -893,6 +988,7 @@ class P3MRungSimulation:
                     state, acc = resort_rungs_within_columns(
                         state, acc, NR=self.NR)
                     self._K_act = tight_np
+                    _t0 = _mark("resort", _t0, state.pos)
                 else:
                     self._K_act = K_act_np
                 # reuse at the next base step's boundary 0 (positions
@@ -901,10 +997,14 @@ class P3MRungSimulation:
                 vmax2 = float(v2)
             else:
                 state, (K_act_new, tight_new, v2) = out
+                _t0 = _mark(
+                    "sub0_cached" if use_cache else f"sub_K{K_r}",
+                    _t0, state.pos)
             if i == 0:
                 # cache consumed (or absent): free it, then the PM kick
                 self._acc_cache = None
                 state = run_pm(state)
+                _t0 = _mark("pm", _t0, state.pos)
         vmax = math.sqrt(vmax2)
         # margin budget over the whole base step
         int_a2 = bg.integrals_np(t, t + dt, keys=("a**(-2)",))["a**(-2)"]
@@ -970,11 +1070,12 @@ class P3MRungSimulation:
         (the on-disk jax cache amortizes it across runs either way)."""
         dtype = state.pos.dtype
         K = state.valid.shape[0]
+        K_occ = self._K_occ if self._K_occ is not None else K
         ladder, q = [], 8
-        while q < K:
+        while q < K_occ:
             ladder.append(q)
             q *= 2
-        ladder.append(K)
+        ladder.append(K_occ)
         zero = jnp.asarray(0.0, dtype)
         zkick = jnp.zeros((self.NR,), dtype)
         for K_r in ladder:
@@ -984,9 +1085,10 @@ class P3MRungSimulation:
                 jnp.asarray(self.scale, dtype),
                 jnp.asarray(self.cutoff, dtype),
                 jnp.asarray(self.softening, dtype),
-                K_r=K_r, interpret=self.interpret,
+                K_r=K_r, K_s=K_occ, interpret=self.interpret,
                 softening_kernel=self.softening_kernel, NR=self.NR,
                 unified=self.ucb == 4,
+                sentinel_out=(K_r != K_occ),
             )
         return self.rebucket(state)
 
@@ -1011,6 +1113,7 @@ class P3MRungSimulation:
         )
         assert int(kept) == self.N, (int(kept), self.N)
         self._K_act = K_act
+        self._K_occ = _pad16(max_count, self.capacity)
         self._acc_cache = None  # layout permuted
         self._drift_used = 0.0
         return new_state

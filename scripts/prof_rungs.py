@@ -33,15 +33,39 @@ sim = P3MRungSimulation(n_part, box, mass, G, mesh=2 * n_part, bg=bg,
 print(f"unified={sim.unified} ucb={sim.ucb} nc={sim.nc} K0={sim.capacity}",
       flush=True)
 
-rng = np.random.default_rng(0)
-lin = (np.arange(n_part, dtype=np.float32) + 0.5) * (box / n_part)
-comps = []
-for bshape in ((-1, 1, 1), (1, -1, 1), (1, 1, -1)):
-    c = np.broadcast_to(lin.reshape(bshape), (n_part,) * 3).reshape(-1)
-    comps.append(jnp.asarray(
-        np.mod(c + rng.standard_normal(N).astype(np.float32)
-               * (0.3 * box / n_part), box)))
-mom = tuple(jnp.zeros((N,), jnp.float32) for _ in range(3))
+if "--clustered" in sys.argv:
+    # profile at the evolved clustered state instead of the jittered
+    # lattice: load the bench-state cache (final or partial checkpoint)
+    import os
+
+    from bench import _BENCH_CACHE
+    # the clustered cache is built in the BENCH geometry (box = n_part
+    # Mpc, 1 Mpc mean separation) — rebuild the sim to match
+    box = n_part * units.Mpc
+    mass = particle_mass(0.319, bg.rho_crit_of(G), box, N)
+    soft = 0.025 * box / n_part
+    sim = P3MRungSimulation(n_part, box, mass, G, mesh=2 * n_part, bg=bg,
+                            N_rungs=8, softening=soft,
+                            softening_kernel="spline")
+    key = "p3m_clustered_256_0.12"
+    path = os.path.join(_BENCH_CACHE, key + ".npz")
+    if not os.path.exists(path):
+        path = os.path.join(_BENCH_CACHE, key + ".partial.npz")
+    with np.load(path) as z:
+        pos_np, mom_np = z["pos"], z["mom"]
+    print(f"clustered state from {path}", flush=True)
+    comps = [jnp.asarray(np.ascontiguousarray(pos_np[d])) for d in range(3)]
+    mom = tuple(jnp.asarray(np.ascontiguousarray(mom_np[d])) for d in range(3))
+else:
+    rng = np.random.default_rng(0)
+    lin = (np.arange(n_part, dtype=np.float32) + 0.5) * (box / n_part)
+    comps = []
+    for bshape in ((-1, 1, 1), (1, -1, 1), (1, 1, -1)):
+        c = np.broadcast_to(lin.reshape(bshape), (n_part,) * 3).reshape(-1)
+        comps.append(jnp.asarray(
+            np.mod(c + rng.standard_normal(N).astype(np.float32)
+                   * (0.3 * box / n_part), box)))
+    mom = tuple(jnp.zeros((N,), jnp.float32) for _ in range(3))
 
 t0 = time.perf_counter()
 state = sim.init_state(tuple(comps), mom)
@@ -61,9 +85,10 @@ state = sim.warm_compiles(state)
 _ = float(state.pos[0, 0, 0])
 print(f"warm_compiles {time.perf_counter()-t0:.1f}s", flush=True)
 
-# instrumented base steps
+# instrumented base steps (per-phase syncs: see P3MRungSimulation.profile)
 t = t0h
 vmax = 0.0
+sim.profile = True
 for step in range(4):
     if sim.needs_rebucket:
         tt = time.perf_counter()
@@ -73,6 +98,7 @@ for step in range(4):
     dtn = min(sim._timestep(0.1, vmax / sim.mass), dt)
     sim.stats = {"substeps": 0, "receiver_rows": 0, "full_rows": 0,
                  "max_rung": 0}
+    sim.phase_s = {}
     tt = time.perf_counter()
     state, vmax = sim.base_step(state, t, dtn, t)
     _ = float(state.pos[0, 0, 0])
@@ -82,7 +108,10 @@ for step in range(4):
           f"substeps={s['substeps']} recv_rows={s['receiver_rows']} "
           f"full_rows={s['full_rows']} K_act={list(sim._K_act)} "
           f"ups={N/wall:.3g}", flush=True)
+    print("  phases: " + "  ".join(
+        f"{k}={v:.2f}s" for k, v in sorted(sim.phase_s.items())), flush=True)
     t += dtn
+sim.profile = False
 
 # isolate: one full-K sweep (assign) and one PM kick
 K = state.valid.shape[0]
