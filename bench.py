@@ -290,7 +290,14 @@ def bench_p3m_unified_clustered(n_part=256, a_end=0.12, n_steps=3):
     a = a_end
     t = float(bg.t_of_a_np(a))
     dt = sim._timestep(a, 0.0)
-    state = sim.warm_compiles(state)  # ladder + rebucket precompiled
+    # warm until the capacity is stable: init_state sizes the layout
+    # exact-fit, so warm_compiles' own rebucket typically GROWS it
+    # (1.3× headroom) — the ladder must then be re-warmed at the new
+    # K/K_occ or those compiles land inside the timed window
+    cap = -1
+    while sim.capacity != cap:
+        cap = sim.capacity
+        state = sim.warm_compiles(state)  # ladder + rebucket precompiled
     state, vmax = sim.base_step(state, t, dt, t)
     t += dt
     state = sim.rebucket(state)

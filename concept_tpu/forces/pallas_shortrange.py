@@ -284,6 +284,166 @@ def _make_kernel(n: int, K: int, dtype, softening_kernel: str = "plummer"):
     return kernel
 
 
+def _make_pair_kernel_flat_bounded(n: int, F: int, K_r: int, K_s: int,
+                                   njb: int, SC: int, dtype,
+                                   softening_kernel: str = "plummer"):
+    """Per-window row-bounded variant of _make_pair_kernel_flat.
+
+    Two scalar-prefetched int32 arrays (n·njb,) carry per-window row
+    bounds: rbound (receiver rows that can hold a valid receiver in
+    THIS window) and sbound (supplier rows that can hold a valid slot
+    in ANY of the window's 9 neighbor windows).  Clustered states skew
+    per-cell occupancy hard (256³ bench state: global max 224 rows vs
+    pencil-window mean 124, and rung-substep receivers concentrate in
+    few windows), so bounding each program by its LOCAL extent instead
+    of the global max converts occupancy skew directly into time:
+
+      * rbound == 0 ⇒ the whole program is skipped (outputs zeroed) —
+        rung substeps with few active cells skip ~everything;
+      * the receiver chunk loop runs ceil(min(rbound, K_r)/CH) chunks;
+      * suppliers are processed in SC-row subchunks up to
+        ceil(min(sbound, K_s)/SC) — and because the 27 shifted
+        neighbor variants are built per SUBCHUNK (not hoisted at full
+        K_s), the kernel's live VMEM no longer scales with K_s, which
+        also lifts the full-hoist formulation's Mosaic compile ceiling
+        (_pack_k_cap) — no outer supplier chunking needed.
+
+    Rows ≥ the bound MUST be invalid (sentinel-filled) in every column
+    of the window — the caller derives bounds from per-pencil layout
+    extents (see sweep_pallas_pair rext/sext).  Skipped rows produce
+    acc = 0, exactly what sentinel pairs produce anyway."""
+
+    def kernel(rbound_ref, sbound_ref, scal_ref, *refs):
+        own, ins, outs = refs[:3], refs[3:30], refs[30:]
+        inv_scale = scal_ref[0]
+        cutoff2 = scal_ref[1]
+        soft2 = scal_ref[2]
+        boxsize = scal_ref[3]
+        accum = _make_accum(inv_scale, cutoff2, soft2, dtype,
+                            softening_kernel)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        w = i * njb + j
+        rmax = jnp.minimum(rbound_ref[w], K_r)
+        smax = jnp.minimum(sbound_ref[w], K_s)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        wrap_hi = (col == n - 1).astype(dtype) * boxsize
+        wrap_lo = (col == 0).astype(dtype) * (-boxsize)
+
+        def shifted(arr, dk, is_z):
+            if dk == 0:
+                return arr
+            out = jnp.roll(arr, -dk, axis=1)
+            if is_z:
+                out = out + (wrap_hi if dk == 1 else wrap_lo)
+            return out
+
+        def win(c, di, djw):
+            return ins[c * 9 + (di + 1) * 3 + (djw + 1)]
+
+        zero = jnp.asarray(0.0, dtype)
+        xcorr = {
+            -1: jnp.where(i == 0, -boxsize, zero),
+            0: zero,
+            1: jnp.where(i == n - 1, boxsize, zero),
+        }
+        ycorr = {
+            -1: jnp.where(j == 0, -boxsize, zero),
+            0: zero,
+            1: jnp.where(j == njb - 1, boxsize, zero),
+        }
+
+        CH = 8 if K_r % 8 == 0 else 1
+        nF = F * n
+        zeros_out = jnp.zeros((K_r, nF), dtype)
+        outs[0][...] = zeros_out
+        outs[1][...] = zeros_out
+        outs[2][...] = zeros_out
+
+        def sup_block(ss):
+            """27 shifted (SC, F·n) supplier variants for rows
+            [ss, ss+SC) — built on demand per subchunk (the build is
+            ~2% of the accum FMAs at CH = 8)."""
+            nbs = []
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    pieces = [[], [], []]
+                    for h in range(F):
+                        p = h + dj
+                        djw, hh = p // F, p % F
+                        for c in range(3):
+                            piece = win(c, di, djw)[
+                                pl.ds(ss, SC), hh * n:(hh + 1) * n]
+                            if c == 0 and di != 0:
+                                piece = piece + xcorr[di]
+                            elif c == 1 and djw != 0:
+                                piece = piece + ycorr[djw]
+                            pieces[c].append(piece)
+                    for dk in (-1, 0, 1):
+                        nbs.append(tuple(
+                            jnp.concatenate(
+                                [shifted(p, dk, c == 2) for p in pieces[c]],
+                                axis=1,
+                            ) if F > 1 else shifted(pieces[c][0], dk, c == 2)
+                            for c in range(3)
+                        ))
+            return nbs
+
+        @pl.when((rmax > 0) & (smax > 0))
+        def _run():
+            n_rchunk = (rmax + CH - 1) // CH
+            n_schunk = (smax + SC - 1) // SC
+
+            def body(ci, _):
+                s = pl.multiple_of(ci * CH, CH)
+                ox = own[0][pl.ds(s, CH), :][:, None, :]
+                oy = own[1][pl.ds(s, CH), :][:, None, :]
+                oz = own[2][pl.ds(s, CH), :][:, None, :]
+
+                def sbody(si, accs):
+                    ax, ay, az = accs
+                    ss = pl.multiple_of(si * SC, SC)
+                    for nbx, nby, nbz in sup_block(ss):
+                        ax, ay, az = accum(ox, oy, oz, nbx, nby, nbz,
+                                           ax, ay, az)
+                    return (ax, ay, az)
+
+                ax, ay, az = jax.lax.fori_loop(
+                    0, n_schunk, sbody,
+                    (jnp.zeros((CH, nF), dtype),
+                     jnp.zeros((CH, nF), dtype),
+                     jnp.zeros((CH, nF), dtype)),
+                )
+                outs[0][pl.ds(s, CH), :] = ax
+                outs[1][pl.ds(s, CH), :] = ay
+                outs[2][pl.ds(s, CH), :] = az
+                return 0
+
+            jax.lax.fori_loop(0, n_rchunk, body, 0)
+
+    return kernel
+
+
+def _window_bounds(ext, n: int, F: int, neighbors: bool):
+    """Per-pencil layout extents (n²,) → per-window row bounds (n·njb,)
+    at pack factor F.  neighbors=True additionally maxes over the 9
+    windows a program reads as suppliers ((i±1) mod n, (j±1) mod njb)."""
+    njb = n // F
+    w = ext.reshape(n, njb, F).max(axis=2)
+    if neighbors:
+        m = w
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                m = jnp.maximum(m, jnp.roll(jnp.roll(w, di, 0), dj, 1))
+        w = m
+    return w.reshape(n * njb)
+
+
+_SUP_SUBCHUNK = 32  # supplier rows per in-kernel subchunk (sublane ×4)
+
+
 def _pad_halo(arr, axis_coord: int | None, boxsize, pad: int = 1):
     """(n, n, K, n) → (n+2·pad, n+2·pad, K, n): periodic wrap copies along
     the two leading cell axes; when axis_coord is 0 or 1, the wrapped
@@ -484,7 +644,8 @@ def _make_pair_kernel_flat(n: int, F: int, K_r: int, K_s: int, njb: int,
 def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
                       boxsize, scale, cutoff, softening,
                       interpret: bool = False, kernel: str = "plummer",
-                      pack: int | None = None, sentineled: bool = False):
+                      pack: int | None = None, sentineled: bool = False,
+                      rext=None, sext=None):
     """One-sided pencil sweep: acc (3, K_r, C) ON the receiver buckets
     FROM the supplier buckets (same contract as shortrange._sweep_pair).
     pack: lane-packing factor override (None = auto: 1 in interpret
@@ -494,11 +655,75 @@ def sweep_pallas_pair(bx, by, bz, bvalid, hx, hy, hz, valid, n_cells: int,
     far sentinel 1e4·box (one shared sentinel array for both sides
     saves the 6 masking copies — 4.4 GB of transients at 512³; a shared
     sentinel VALUE is safe because coincident sentinels give r² = 0,
-    which the r² > 0 cut excludes)."""
+    which the r² > 0 cut excludes).
+    rext/sext: optional per-PENCIL (n²,) int32 LAYOUT extents — every
+    valid receiver (supplier) slot of pencil p lives in a row < rext[p]
+    (sext[p]).  When given, the per-window row-bounded kernel is used:
+    programs skip rows/subchunks/whole windows beyond their local
+    extents (clustered-occupancy skew → time; see
+    _make_pair_kernel_flat_bounded).  Requires sentineled inputs (the
+    bound rows are zeroed, never masked)."""
     n = n_cells
     assert n >= 3
     K_r, C = bvalid.shape
     K_s = valid.shape[0]
+    bounded = rext is not None
+    if bounded:
+        assert sext is not None and sentineled
+        fs = _lane_valid_packs(n, C)
+        if not fs:
+            bounded = False  # tiny grids: XLA fallback below handles it
+    if bounded:
+        dtype = hx.dtype
+        from jax.experimental.pallas import tpu as pltpu
+
+        F = max(fs) if pack is None else pack
+        assert n % F == 0
+        njb = n // F
+        if K_s % 32 == 0:
+            SC = 32
+        elif K_s % 16 == 0:
+            SC = 16
+        elif K_s % 8 == 0:
+            SC = 8
+        else:
+            SC = K_s
+        rbound = _window_bounds(rext.astype(jnp.int32), n, F, False)
+        sbound = _window_bounds(sext.astype(jnp.int32), n, F, True)
+        scal = jnp.stack([
+            1.0 / jnp.asarray(scale, dtype),
+            jnp.asarray(cutoff, dtype) ** 2,
+            jnp.asarray(softening, dtype) ** 2,
+            jnp.asarray(boxsize, dtype),
+        ])
+        own_spec = pl.BlockSpec((K_r, F * n),
+                                lambda i, j, *_: (0, i * njb + j))
+        sup = lambda di, djw: pl.BlockSpec(
+            (K_s, F * n),
+            lambda i, j, *_, di=di, djw=djw: (
+                0, ((i + di) % n) * njb + ((j + djw) % njb)
+            ),
+        )
+        in_specs = [pl.BlockSpec((4,), lambda i, j, *_: (0,))]
+        in_specs += [own_spec] * 3
+        for _comp in range(3):
+            in_specs += [sup(di, djw)
+                         for di in (-1, 0, 1) for djw in (-1, 0, 1)]
+        kfn = _make_pair_kernel_flat_bounded(
+            n, F, K_r, K_s, njb, SC, dtype, softening_kernel=kernel)
+        outs = pl.pallas_call(
+            kfn,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n, njb),
+                in_specs=in_specs,
+                out_specs=[own_spec] * 3,
+            ),
+            out_shape=[jax.ShapeDtypeStruct((K_r, C), dtype)] * 3,
+            interpret=interpret,
+        )(rbound, sbound, scal, bx, by, bz,
+          *([hx] * 9 + [hy] * 9 + [hz] * 9))
+        return jnp.stack(outs)
     if not interpret and pack is None:
         if not _lane_valid_packs(n, C):
             # tiny grids (n·F can never reach the 128-lane tile): the

@@ -314,9 +314,35 @@ def _rung_tight(rungs, valid, NR: int):
     return jnp.stack(outs)
 
 
+@partial(jax.jit, static_argnames=("nc",))
+def _pencil_occ_ext(valid, nc: int):
+    """Per-pencil occupancy LAYOUT extents (nc²,) int32: valid slots are
+    a column prefix between rebuckets, so the extent is the count.  Feeds
+    the bounded sweep's supplier/boundary-receiver row bounds."""
+    counts = jnp.sum(valid.astype(jnp.int32), axis=0)  # (C,)
+    return counts.reshape(nc * nc, nc).max(axis=1)
+
+
+@partial(jax.jit, static_argnames=("nc", "NR"))
+def _pencil_rung_ext(rungs, valid, nc: int, NR: int):
+    """(NR, nc²) int32: per pencil, 1 + the highest row holding a valid
+    slot with rung ≥ k — LAYOUT extents, so a stale rung-major order
+    costs extra rows, never correctness.  Feeds the bounded sweep's
+    interior-substep receiver bounds (active particles cluster hard:
+    most pencil windows hold none and skip the whole program)."""
+    K, C = valid.shape
+    rows1 = jnp.arange(1, K + 1, dtype=jnp.int32)[:, None]
+    outs = []
+    for k in range(NR):
+        ext = jnp.max(jnp.where((rungs >= k) & valid, rows1, 0), axis=0)
+        outs.append(ext.reshape(nc * nc, nc).max(axis=1))
+    return jnp.stack(outs)
+
+
 def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
                    scale, cutoff, softening, engine, softening_kernel,
-                   dtype, unified: bool = False, sentineled: bool = False):
+                   dtype, unified: bool = False, sentineled: bool = False,
+                   rext=None, sext=None):
     if unified:
         # narrow 4-mesh-cell layout: reach-2 offsets with gap pruning
         cell_width = boxsize / nc
@@ -360,6 +386,8 @@ def _sr_pair_accel(recv_pos, recv_valid, sup_pos, sup_valid, nc, boxsize,
             jnp.asarray(cutoff, dtype), jnp.asarray(softening, dtype),
             interpret=(jax.default_backend() != "tpu"),
             kernel=softening_kernel, sentineled=sentineled,
+            rext=rext if sentineled else None,
+            sext=sext if sentineled else None,
         )
     from concept_tpu.forces.shortrange import _sweep_pair
 
@@ -407,6 +435,8 @@ def rung_substep(
     sentinel_out: bool = False,
     K_s: int | None = None,
     skip_drift: bool = False,
+    rext=None,
+    sext=None,
 ):
     """One rung boundary: drift ALL slots by int_drift (the sub-interval
     ENDING at this boundary; 0 at the base step's first boundary), then
@@ -474,6 +504,7 @@ def rung_substep(
             nc, boxsize, scale, cutoff, softening, engine,
             softening_kernel, dtype, unified=unified,
             sentineled=(engine == "pallas" and not unified),
+            rext=rext, sext=sext,
         )
     rungs_r = state.rungs[:K_r]
     # per-slot kick integral by own rung: one-hot accumulation over the
@@ -805,6 +836,10 @@ class P3MRungSimulation:
         self._drift_used = 0.0
         self._K_act = None  # host copy, refreshed per base step
         self._K_occ = None  # occupancy row extent (≤ capacity), per rebucket
+        # per-pencil layout extents feeding the bounded sweep: _ext_occ
+        # (nc²,) refreshed per rebucket, _ext_rung (NR, nc²) per assign
+        self._ext_occ = None
+        self._ext_rung = None
         self._acc_cache = None  # (3,K,C) SR acc at current positions
         self.stats = {"substeps": 0, "receiver_rows": 0, "full_rows": 0,
                       "max_rung": 0}
@@ -837,8 +872,11 @@ class P3MRungSimulation:
         max_count = int(jnp.max(counts))
         self.capacity = max(self.capacity, _pad8(max_count, 1 << 30))
         # occupancy row extent: rows ≥ this are invalid in EVERY column
-        # until the next rebucket — the sweeps/PM skip them entirely
-        self._K_occ = _pad16(max_count, self.capacity)
+        # until the next rebucket — the sweeps/PM skip them entirely.
+        # 12% headroom + ratchet (see rebucket): growing K_occ
+        # re-specializes the whole sweep ladder (~60-100 s of
+        # compiles); the per-window bounds make padded rows ~free
+        self._K_occ = _pad16(int(max_count * 1.12), self.capacity)
         state, kept = bucketize_rungs(
             *(jnp.asarray(p) for p in pos),
             *(jnp.asarray(m) for m in mom),
@@ -847,6 +885,9 @@ class P3MRungSimulation:
         )
         assert int(kept) == N, (int(kept), N)
         self._drift_used = 0.0
+        self._ext_occ = _pencil_occ_ext(state.valid, self.nc)
+        self._ext_rung = _pencil_rung_ext(
+            state.rungs, state.valid, self.nc, self.NR)
         return state
 
     def assign_initial_rungs(self, state: RungState, dt_base: float):
@@ -866,6 +907,7 @@ class P3MRungSimulation:
             assign=True, dt_base=jnp.asarray(dt_base, state.pos.dtype),
             eps_rung=jnp.asarray(self.eps_rung, state.pos.dtype),
             fac_rung=self.fac_rung, unified=self.ucb == 4,
+            rext=self._ext_occ, sext=self._ext_occ,
         )
         # the layout order is stale w.r.t. the new rungs: re-sort now
         state = self.rebucket(state)
@@ -975,6 +1017,13 @@ class P3MRungSimulation:
                 # substep masking/reduction passes (see rung_substep)
                 sentinel_out=not (first or last),
                 K_s=K_occ, skip_drift=first,
+                # per-pencil row bounds: boundaries sweep to the local
+                # occupancy extent, interiors to the local rung-≥kmin
+                # extent (most windows hold no active receiver and skip)
+                rext=(self._ext_occ if (last or first)
+                      else None if self._ext_rung is None
+                      else self._ext_rung[kmin]),
+                sext=self._ext_occ,
             )
             if last:
                 state, (K_act_new, tight_new, v2), acc = out
@@ -1006,6 +1055,11 @@ class P3MRungSimulation:
                 state = run_pm(state)
                 _t0 = _mark("pm", _t0, state.pos)
         vmax = math.sqrt(vmax2)
+        # fresh rungs (and a possible resort) moved the per-pencil
+        # active extents: refresh them for the next base step's
+        # interior-substep receiver bounds (one (K, C) pass)
+        self._ext_rung = _pencil_rung_ext(
+            state.rungs, state.valid, self.nc, self.NR)
         # margin budget over the whole base step
         int_a2 = bg.integrals_np(t, t + dt, keys=("a**(-2)",))["a**(-2)"]
         self._drift_used += vmax / self.mass * float(int_a2)
@@ -1089,6 +1143,7 @@ class P3MRungSimulation:
                 softening_kernel=self.softening_kernel, NR=self.NR,
                 unified=self.ucb == 4,
                 sentinel_out=(K_r != K_occ),
+                rext=self._ext_occ, sext=self._ext_occ,
             )
         return self.rebucket(state)
 
@@ -1113,7 +1168,17 @@ class P3MRungSimulation:
         )
         assert int(kept) == self.N, (int(kept), self.N)
         self._K_act = K_act
-        self._K_occ = _pad16(max_count, self.capacity)
+        # ratchet with headroom: a K_occ change re-specializes every
+        # sweep in the ladder (measured 60-135 s of recompiles per
+        # crossing in the round-4 clustered bench); per-window bounds
+        # make the padded rows ~free in the sweeps, so jump 12% ahead
+        # of the measured max occupancy and never shrink
+        if self._K_occ is None or max_count > self._K_occ:
+            self._K_occ = _pad16(int(max_count * 1.12), self.capacity)
+        self._K_occ = min(self._K_occ, self.capacity)
+        self._ext_occ = _pencil_occ_ext(new_state.valid, self.nc)
+        self._ext_rung = _pencil_rung_ext(
+            new_state.rungs, new_state.valid, self.nc, self.NR)
         self._acc_cache = None  # layout permuted
         self._drift_used = 0.0
         return new_state
